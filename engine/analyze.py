@@ -1,0 +1,125 @@
+"""Analyzer: tokenization spec + the vectorized actor-pool implementation.
+
+Tokenization spec (single source of truth, shared by the engine, the oracle
+and the DuckDB oracle SQL):
+
+    lowercase the text, then tokens are maximal runs of ``[a-z0-9]+`` (ASCII).
+
+The spec is ASCII-only so the Arrow/RE2 path (`pc.utf8_lower` +
+`pc.split_pattern_regex`) and the Python path (`re.findall`) are provably
+equivalent, and so DuckDB's `regexp_split_to_array` can express the same
+tokenizer for the correctness oracle.
+
+`Tokenizer` is the stateful stage of SURVEY.md §2.3 (T1 analog): a callable
+class used as `map_batches(Tokenizer, concurrency=N, batch_format="pyarrow")`
+— config/pattern state built once per actor in __init__, per-batch work fully
+vectorized (token strings never surface as Python objects; term identity
+stays inside an Arrow dictionary).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+TOKEN_PATTERN = "[a-z0-9]+"
+SPLIT_PATTERN = "[^a-z0-9]+"
+
+_PY_TOKEN_RE = re.compile(TOKEN_PATTERN)
+
+
+def tokenize(text: str) -> list[str]:
+    """Reference (oracle-side) tokenizer. Must match Tokenizer exactly."""
+    return _PY_TOKEN_RE.findall(text.lower())
+
+
+def tokenize_counts_arrow(
+    texts: pa.ChunkedArray | pa.Array,
+) -> tuple[np.ndarray, pa.Array, np.ndarray, np.ndarray]:
+    """Vectorized per-doc term counting.
+
+    Returns (doc_idx, terms, tfs, doclens): one (doc_idx, term, tf) triple per
+    distinct (doc, term) pair (terms as an Arrow string array — no Python
+    string per token), plus token count per input doc.
+    """
+    n_docs = len(texts)
+    empty = (
+        np.empty(0, np.int64),
+        pa.array([], pa.string()),
+        np.empty(0, np.int32),
+        np.zeros(n_docs, np.int32),
+    )
+    if n_docs == 0:
+        return empty
+    lower = pc.utf8_lower(texts)
+    lists = pc.split_pattern_regex(lower, pattern=SPLIT_PATTERN)
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    offsets = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = lists.flatten()
+    parents = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(offsets))
+    if len(flat) == 0:
+        return empty
+    de = flat.dictionary_encode()
+    if isinstance(de, pa.ChunkedArray):
+        de = de.combine_chunks()
+    codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = de.dictionary
+    # the split leaves "" tokens at string boundaries; drop that dict code
+    empty_code = pc.index(vocab, "").as_py()
+    if empty_code >= 0:
+        keep = codes != empty_code
+        codes = codes[keep]
+        parents = parents[keep]
+    doclens = np.bincount(parents, minlength=n_docs).astype(np.int32)
+    if codes.size == 0:
+        return empty[0], empty[1], empty[2], doclens
+    nv = len(vocab)
+    key = parents * nv + codes
+    ukey, counts = np.unique(key, return_counts=True)
+    doc_idx = ukey // nv
+    term_idx = ukey % nv
+    terms = vocab.take(pa.array(term_idx, pa.int64()))
+    return doc_idx, terms, counts.astype(np.int32), doclens
+
+
+class Tokenizer:
+    """Actor-pool stage: extracted batch -> partial postings batch.
+
+    Emits one row per (term, doc) — already the final per-doc granularity, so
+    this is the map-side pre-aggregation of SURVEY.md §7.2 step 4 (no
+    per-token rows ever hit the shuffle).
+    """
+
+    def __init__(self) -> None:
+        # analyzer state built once per actor (RE2 pattern compilation warms
+        # on first call; do it here, not per batch)
+        pc.split_pattern_regex(pa.array(["warm up 1"]), pattern=SPLIT_PATTERN)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        doc_idx, terms, tfs, doclens = tokenize_counts_arrow(batch.column("text"))
+        return pa.table(
+            {
+                "term": terms.cast(pa.string()),
+                "doc_id": pa.array(doc_ids[doc_idx], pa.uint64()),
+                "tf": pa.array(tfs, pa.int32()),
+                "doclen": pa.array(doclens[doc_idx], pa.int32()),
+            }
+        )
+
+
+class DoclenCounter:
+    """Actor-pool stage: extracted batch -> (doc_id, doclen) rows (for stats)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        _, _, _, doclens = tokenize_counts_arrow(batch.column("text"))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "doclen": pa.array(doclens, pa.int32()),
+            }
+        )

@@ -1,0 +1,350 @@
+"""Query engine: Block-Max WAND BM25 top-k over the compressed segments.
+
+The engine analog of the reference's query path
+(/root/reference/streamlit_app.py:165-399): encode query -> compile metadata
+filters -> ranked top-k with bounded candidate pool -> optional two-stage
+rerank (:317-364) -> doc-store join for display fields.
+
+Determinism contract (must match engine/oracle.py exactly):
+- idf = np.log((N - df + 0.5) / (df + 0.5) + 1.0)
+- score(doc) = sum over matching terms, in ascending lexicographic term
+  order, of idf * impact (impacts precomputed float64 at build)
+- tie-break (score DESC, doc_id ASC)
+
+Block-Max WAND (Ding & Suel, SIGIR 2011 "Faster top-k document retrieval
+using block-max indexes"): candidate pivoting on per-term score upper bounds,
+refined by per-block maxima, with a bounded min-heap.  Salted chunks of a hot
+term are treated as independent cursors — each doc lives in exactly one chunk
+per term, so bounds and scores stay exact.
+
+`IndexReader` is the stateful query-side cache (SURVEY.md §2.3 T6): stats,
+df table and doc metadata load once and are reused across queries — in a
+serving deployment this class is the per-actor state of a query actor pool.
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+from . import codec
+from .analyze import tokenize
+from .schema import term_bucket
+
+
+class _Cursor:
+    __slots__ = ("term", "idf", "ids", "impacts", "block_last", "block_max", "ptr", "ub")
+
+    def __init__(self, term, idf, ids, impacts, block_last, block_max):
+        self.term = term
+        self.idf = idf
+        self.ids = ids
+        self.impacts = impacts
+        self.block_last = block_last
+        self.block_max = block_max
+        self.ptr = 0
+        self.ub = idf * float(block_max.max()) if block_max.size else 0.0
+
+    def doc(self) -> int:
+        return int(self.ids[self.ptr])
+
+    def exhausted(self) -> bool:
+        return self.ptr >= self.ids.size
+
+    def seek(self, target: int) -> None:
+        """Advance to first posting with doc_id >= target."""
+        self.ptr += int(
+            np.searchsorted(self.ids[self.ptr :], np.uint64(target), side="left")
+        )
+
+    def block_ub(self, doc: int) -> float:
+        """idf * max impact of the block containing `doc` (exact upper bound)."""
+        b = int(np.searchsorted(self.block_last, np.uint64(doc), side="left"))
+        if b >= self.block_max.size:
+            return 0.0
+        return self.idf * float(self.block_max[b])
+
+    def block_end(self, doc: int) -> int:
+        b = int(np.searchsorted(self.block_last, np.uint64(doc), side="left"))
+        if b >= self.block_last.size:
+            return 1 << 62
+        return int(self.block_last[b])
+
+
+class IndexReader:
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "stats.json")) as f:
+            self.stats = json.load(f)
+        self.n_docs = self.stats["n_docs"]
+        self.avgdl = self.stats["avgdl"]
+        df_tbl = pq.read_table(os.path.join(index_dir, "dfs.parquet"))
+        self._df = dict(
+            zip(df_tbl["term"].to_pylist(), df_tbl["df"].to_pylist())
+        )
+        self._segments = pads.dataset(
+            os.path.join(index_dir, "segments"), partitioning="hive"
+        )
+        self._extracted = pads.dataset(os.path.join(index_dir, "extracted"))
+        self._docmeta = None  # (sorted doc_ids, lang codes, ts, langs list)
+        self._chunk_cache: dict[str, list] = {}
+
+    # ------------------------------------------------------------------
+    def idf(self, term: str) -> float:
+        df = self._df.get(term, 0)
+        return float(np.log((self.n_docs - df + 0.5) / (df + 0.5) + 1.0))
+
+    def _load_chunks(self, term: str) -> list[tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]:
+        """All compressed chunks (salted) for a term, decoded; cached.
+
+        Reads only the term's hash bucket (partition pruning) with a term
+        predicate (row-group pushdown) — a T-term query touches <= T buckets.
+        """
+        if term in self._chunk_cache:
+            return self._chunk_cache[term]
+        tbl = self._segments.to_table(
+            filter=(pc.field("bucket") == term_bucket(term))
+            & (pc.field("term") == term)
+        )
+        chunks = []
+        for row in range(tbl.num_rows):
+            n = tbl["df_chunk"][row].as_py()
+            ids = codec.delta_decode(tbl["doc_ids"][row].as_py(), n)
+            impacts = codec.floats_decode(tbl["impacts"][row].as_py())
+            block_last = np.asarray(tbl["block_last_doc"][row].as_py(), dtype=np.uint64)
+            block_max = np.asarray(tbl["block_max_impact"][row].as_py(), dtype=np.float64)
+            chunks.append((ids, impacts, block_last, block_max))
+        self._chunk_cache[term] = chunks
+        return chunks
+
+    def _load_docmeta(self) -> None:
+        if self._docmeta is not None:
+            return
+        t = self._extracted.to_table(columns=["doc_id", "lang", "warc_ts"])
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ts = t["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        lang = t["lang"].to_pylist()
+        langs = sorted(set(lang))
+        lang_code = {l: i for i, l in enumerate(langs)}
+        codes = np.fromiter((lang_code[l] for l in lang), dtype=np.int32, count=len(lang))
+        order = np.argsort(ids, kind="stable")
+        self._docmeta = (ids[order], codes[order], ts[order], langs)
+
+    def _allowed_fn(self, lang_filter, ts_min, ts_max):
+        """Compile the metadata predicate (SURVEY.md §2.8 filter analog).
+
+        At sandbox scale doc metadata is a cached in-memory column; at 10^12
+        docs this becomes a partitioned filter bitmap keyed by docID range —
+        the probe below (binary search per candidate) is the same either way.
+        """
+        if lang_filter is None and ts_min is None and ts_max is None:
+            return None
+        self._load_docmeta()
+        ids, lang_codes, ts, langs = self._docmeta
+        want_lang = langs.index(lang_filter) if lang_filter in langs else -2
+
+        def allowed(doc: int) -> bool:
+            d = np.uint64(doc)
+            pos = int(np.searchsorted(ids, d))
+            if pos >= ids.size or ids[pos] != d:
+                return False
+            # duplicate (loser) rows share the doc_id; the indexed version is
+            # the max-warc_ts row — evaluate the predicate on that one
+            best = pos
+            end = pos
+            while end + 1 < ids.size and ids[end + 1] == d:
+                end += 1
+                if ts[end] >= ts[best]:
+                    best = end
+            if lang_filter is not None and lang_codes[best] != want_lang:
+                return False
+            if ts_min is not None and ts[best] < ts_min:
+                return False
+            if ts_max is not None and ts[best] > ts_max:
+                return False
+            return True
+
+        return allowed
+
+    # ------------------------------------------------------------------
+    def search(
+        self,
+        query_text: str,
+        k: int = 10,
+        lang_filter: str | None = None,
+        ts_min: int | None = None,
+        ts_max: int | None = None,
+        prior_weight: float = 0.0,
+    ) -> list[tuple[int, float]]:
+        """BM25 top-k -> [(doc_id, score)], best first. Rank-identical to
+        OracleIndex.search."""
+        terms = sorted(set(tokenize(query_text)))
+        cursors: list[_Cursor] = []
+        for t in terms:
+            if self._df.get(t, 0) <= 0:
+                continue
+            w = self.idf(t)
+            for ids, impacts, bl, bm in self._load_chunks(t):
+                if ids.size:
+                    cursors.append(_Cursor(t, w, ids, impacts, bl, bm))
+        allowed = self._allowed_fn(lang_filter, ts_min, ts_max)
+        pool = max(50, 10 * k) if prior_weight > 0.0 else k
+        top = self._bmw(cursors, pool, allowed)
+        if prior_weight > 0.0:
+            top = self._rerank(top, prior_weight)
+        return top[:k]
+
+    def _bmw(self, cursors: list[_Cursor], k: int, allowed) -> list[tuple[int, float]]:
+        """Block-Max WAND with a bounded min-heap of size k."""
+        heap: list[tuple[float, int, int]] = []  # (score, -doc_id, doc_id)
+
+        def theta() -> tuple[float, int]:
+            if len(heap) < k:
+                return (-np.inf, 0)
+            return (heap[0][0], heap[0][1])
+
+        cursors = [c for c in cursors if not c.exhausted()]
+        while cursors:
+            cursors.sort(key=lambda c: c.doc())
+            th, _ = theta()
+            # find pivot: first prefix whose summed term upper bounds can win
+            acc = 0.0
+            pivot_idx = -1
+            # pivot when the bound can beat the floor — or exactly tie it
+            # (a tying doc can still win on the (score, doc_id) tie-break)
+            for i, c in enumerate(cursors):
+                acc += c.ub
+                if acc >= th:
+                    pivot_idx = i
+                    break
+            if pivot_idx < 0:
+                break  # nothing left can beat the heap floor
+            pivot_doc = cursors[pivot_idx].doc()
+            if cursors[0].doc() == pivot_doc:
+                # extend to every cursor currently sitting on pivot_doc —
+                # they all contribute to its score and its upper bound
+                q = pivot_idx
+                while q + 1 < len(cursors) and cursors[q + 1].doc() == pivot_doc:
+                    q += 1
+                # block-max refinement: exact per-block bounds at pivot_doc
+                block_acc = 0.0
+                for c in cursors[: q + 1]:
+                    block_acc += c.block_ub(pivot_doc)
+                if block_acc < th:  # strict: a tie could win on doc_id
+                    # skip within current blocks, but never past the next
+                    # cursor's doc (it would add score we haven't bounded)
+                    d_prime = min(c.block_end(pivot_doc) for c in cursors[: q + 1])
+                    if q + 1 < len(cursors):
+                        d_prime = min(d_prime, cursors[q + 1].doc() - 1)
+                    target = max(d_prime + 1, pivot_doc + 1)
+                    for c in cursors[: q + 1]:
+                        c.seek(target)
+                else:
+                    # fully evaluate pivot_doc
+                    if allowed is None or allowed(pivot_doc):
+                        contribs = []
+                        for c in cursors:
+                            if c.doc() > pivot_doc:
+                                break
+                            if c.doc() == pivot_doc:
+                                contribs.append(
+                                    (c.term, c.idf * float(c.impacts[c.ptr]))
+                                )
+                        contribs.sort(key=lambda x: x[0])
+                        score = 0.0
+                        for _, v in contribs:
+                            score += v
+                        entry = (score, -pivot_doc, pivot_doc)
+                        if len(heap) < k:
+                            heapq.heappush(heap, entry)
+                        elif (entry[0], entry[1]) > (heap[0][0], heap[0][1]):
+                            heapq.heapreplace(heap, entry)
+                    for c in cursors:
+                        if c.doc() == pivot_doc:
+                            c.ptr += 1
+                        elif c.doc() > pivot_doc:
+                            break
+            else:
+                # advance the highest-ub cursor that is strictly before the
+                # pivot doc (guaranteed progress; cursors at the pivot stay)
+                behind = [i for i in range(pivot_idx + 1) if cursors[i].doc() < pivot_doc]
+                pre = max(behind, key=lambda i: cursors[i].ub)
+                cursors[pre].seek(pivot_doc)
+            cursors = [c for c in cursors if not c.exhausted()]
+        out = sorted(heap, key=lambda e: (-e[0], e[2]))
+        return [(doc, score) for score, _, doc in out]
+
+    def _rerank(self, pool: list[tuple[int, float]], prior_weight: float):
+        """Two-stage rerank (reference: streamlit_app.py:317-364 analog):
+        score + prior_weight * ln(1 + doclen)."""
+        if not pool:
+            return pool
+        texts = self.fetch_docs([d for d, _ in pool], columns=["doc_id", "text"])
+        doclen = {r["doc_id"]: len(tokenize(r["text"])) for r in texts.to_pylist()}
+        rescored = [
+            (d, s + prior_weight * float(np.log1p(doclen.get(d, 0)))) for d, s in pool
+        ]
+        rescored.sort(key=lambda kv: (-kv[1], kv[0]))
+        return rescored
+
+    # ------------------------------------------------------------------
+    def fetch_docs(self, doc_ids: list[int], columns=None) -> pa.Table:
+        """Doc-store lookup after top-k (SURVEY.md §2.4 J2 analog):
+        broadcast-semi-join of the tiny k-set against the extracted table."""
+        if not doc_ids:
+            cols = columns or ["doc_id", "url", "warc_ts", "lang", "text"]
+            return self._extracted.schema.empty_table().select(cols)
+        tbl = self._extracted.to_table(
+            columns=columns,
+            filter=pc.field("doc_id").isin(pa.array(doc_ids, pa.uint64())),
+        )
+        # duplicate (loser) url rows share doc_id: keep max warc_ts row
+        if "warc_ts" in tbl.column_names and tbl.num_rows > len(doc_ids):
+            tbl = tbl.sort_by([("doc_id", "ascending"), ("warc_ts", "ascending")])
+            ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+            keep = np.ones(len(ids), dtype=bool)
+            keep[:-1] = ids[:-1] != ids[1:]
+            tbl = tbl.filter(pa.array(keep))
+        return tbl
+
+    def topk_table(self, queries: pa.Table) -> pa.Table:
+        """Run the fixed query set -> expected_topk-shaped table
+        (query_id, rank, url, doc_id, score)."""
+        qid_out, rank_out, did_out, score_out = [], [], [], []
+        for q in queries.to_pylist():
+            def to_us(v):
+                if v is None:
+                    return None
+                return int(v.timestamp() * 1e6) if hasattr(v, "timestamp") else int(v)
+
+            res = self.search(
+                q["query_text"],
+                k=q["k"],
+                lang_filter=q.get("lang_filter"),
+                ts_min=to_us(q.get("ts_min")),
+                ts_max=to_us(q.get("ts_max")),
+                prior_weight=q.get("prior_weight") or 0.0,
+            )
+            for r, (did, score) in enumerate(res, start=1):
+                qid_out.append(q["query_id"])
+                rank_out.append(r)
+                did_out.append(did)
+                score_out.append(score)
+        url_tbl = self.fetch_docs(sorted(set(did_out)), columns=["doc_id", "url", "warc_ts"])
+        url_of = dict(zip(url_tbl["doc_id"].to_pylist(), url_tbl["url"].to_pylist()))
+        return pa.table(
+            {
+                "query_id": pa.array(qid_out, pa.int64()),
+                "rank": pa.array(rank_out, pa.int32()),
+                "url": pa.array([url_of.get(d) for d in did_out], pa.string()),
+                "doc_id": pa.array(did_out, pa.uint64()),
+                "score": pa.array(score_out, pa.float64()),
+            }
+        )

@@ -1,0 +1,115 @@
+"""Arrow schemas + constants for the engine's logical tables.
+
+Data model per SURVEY.md §1.2: one ray.data.Dataset per logical table, blocks
+are pyarrow Tables.  The input `pages` table has exactly the shape of
+BASELINE.json's input_hint; the reference's relational model
+(/root/reference/rds_schema.sql:1-58) maps onto these per the correspondence
+table in SURVEY.md §1.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+# ---------------------------------------------------------------------------
+# BM25 parameters (fixed; FIXTURES.md §3)
+K1 = 1.2
+B = 0.75
+
+# postings are cut into blocks of this many entries for block-max metadata
+BLOCK_SIZE = 128
+
+# term-hash buckets used to partition the segment files (query-side pruning:
+# a query for T terms touches at most T buckets)
+NUM_TERM_BUCKETS = 32
+
+# a term whose df exceeds this fraction of N is "hot" and gets salted into
+# NUM_SALTS sub-groups in the merge shuffle (SURVEY.md §4 "Skew")
+HOT_TERM_DF_FRACTION = 0.10
+NUM_SALTS = 8
+
+PAGES_SCHEMA = pa.schema(
+    [
+        pa.field("url", pa.string()),
+        pa.field("warc_ts", pa.timestamp("us")),
+        pa.field("html", pa.binary()),
+        pa.field("text", pa.string()),
+        pa.field("lang", pa.string()),
+    ]
+)
+
+# extracted: url -> text (byte-identical contract) + doc identity/metadata
+EXTRACTED_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.uint64()),
+        pa.field("url", pa.string()),
+        pa.field("warc_ts", pa.timestamp("us")),
+        pa.field("lang", pa.string()),
+        pa.field("text", pa.string()),
+    ]
+)
+
+# docmeta: per-document metadata used by query-time filters + doc-store join
+DOCMETA_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.uint64()),
+        pa.field("url", pa.string()),
+        pa.field("warc_ts", pa.timestamp("us")),
+        pa.field("lang", pa.string()),
+        pa.field("doclen", pa.int64()),
+    ]
+)
+
+# partial postings emitted per input partition (pre-aggregated map-side:
+# one row per (term, doc) — the A5 per-group-reduce pattern of SURVEY.md §2.5)
+PARTIAL_POSTINGS_SCHEMA = pa.schema(
+    [
+        pa.field("term", pa.string()),
+        pa.field("doc_id", pa.uint64()),
+        pa.field("tf", pa.int32()),
+        pa.field("doclen", pa.int32()),
+    ]
+)
+
+# merged, compressed posting chunks — one row per (term, salt) group
+SEGMENT_SCHEMA = pa.schema(
+    [
+        pa.field("term", pa.string()),
+        pa.field("salt", pa.int32()),
+        pa.field("bucket", pa.int32()),
+        pa.field("df_chunk", pa.int64()),
+        pa.field("doc_ids", pa.binary()),  # delta-varint, sorted uint64
+        pa.field("tfs", pa.binary()),  # varint
+        pa.field("impacts", pa.binary()),  # float64 LE array: per-posting BM25 impact (idf excluded)
+        pa.field("block_last_doc", pa.list_(pa.uint64())),
+        pa.field("block_max_impact", pa.list_(pa.float64())),
+    ]
+)
+
+
+def doc_id_of_url(url: str) -> int:
+    """Stable 63-bit docID from the url (FIXTURES.md §3).
+
+    blake2b(url)[:8] masked to 63 bits so the value survives int64 systems
+    (DuckDB, pandas) unchanged.  Hash-based stable IDs need no global
+    coordination at 10^12-doc scale (SURVEY.md §7.3c); delta-varint still
+    compresses because mean delta shrinks as the corpus grows.
+    """
+    h = hashlib.blake2b(url.encode("utf-8"), digest_size=8).digest()
+    return int.from_bytes(h, "big") & 0x7FFF_FFFF_FFFF_FFFF
+
+
+def doc_ids_of_urls(urls) -> np.ndarray:
+    """Vectorized-ish batch version (hashing is the per-row loop; cheap)."""
+    return np.fromiter(
+        (doc_id_of_url(u) for u in urls), dtype=np.uint64, count=len(urls)
+    )
+
+
+def term_bucket(term: str, num_buckets: int = NUM_TERM_BUCKETS) -> int:
+    """Deterministic term -> segment-file bucket (query-side pruning key)."""
+    h = hashlib.blake2b(term.encode("utf-8"), digest_size=4).digest()
+    return int.from_bytes(h, "big") % num_buckets
