@@ -1,16 +1,12 @@
 """Driver contract for the graft builder (Ray Data target).
 
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+initialised, local mode), runs each ``queries()[name](sf_dir)`` at sf=0.01
+and compares it against the matching ``oracle_sql()[name]`` via DuckDB
+(row-count + schema + order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: neither this
+module nor the engine package calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -20,25 +16,79 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: full inverted-index build over the
+    documents table (extract -> tokenizer actor pool -> salted groupby(term)
+    merge -> compressed segments) + Block-Max-WAND BM25 top-k."""
+    from engine.ops.docsearch import bm25_docs_topk
+
+    return bm25_docs_topk("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from engine.ops import ann, dedup, docsearch, relational, textops
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # flagship: full index build + BM25 top-k (SURVEY.md §3, K1/K2)
+        "bm25_docs_topk": docsearch.bm25_docs_topk,
+        # relational operators (SURVEY.md §2.4-§2.8)
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "q3_top_orders": relational.q3_top_orders,
+        "q5_nation_revenue": relational.q5_nation_revenue,
+        "q6_revenue": relational.q6_revenue,
+        "events_type_counts": relational.events_type_counts,
+        "events_latest_per_user": relational.events_latest_per_user,
+        "events_pivot": relational.events_pivot,
+        "events_tumbling_daily": relational.events_tumbling_daily,
+        "customers_without_recent_orders": relational.customers_without_recent_orders,
+        "orders_semi_building": relational.orders_semi_building,
+        "orders_topk": relational.orders_topk,
+        "orders_by_year": relational.orders_by_year,
+        "parts_like": relational.parts_like,
+        "orders_union_tiers": relational.orders_union_tiers,
+        "docs_lang_sets": relational.docs_lang_sets,
+        "customers_per_region": relational.customers_per_region,
+        # dedup family (SURVEY.md §2.7 + training-data extensions)
+        "exact_dedup": dedup.exact_dedup,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,  # approx: rows-only
+        "simhash_pairs": dedup.simhash_pairs,  # approx: rows-only
+        # text analysis
+        "token_counts": textops.token_counts,
+        "quality_scores": textops.quality_scores,
+        "lang_id": textops.lang_id,  # heuristic: rows-only
+        "fingerprints": textops.fingerprints,  # rows-only
+        # similarity search over embeddings
+        "knn_topk": ann.knn_topk,
+        "lsh_knn_topk": ann.lsh_knn_topk,  # approx: rows-only
+        "cosine_dup_pairs": ann.cosine_dup_pairs,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from engine.ops import ann, dedup, docsearch, relational, textops
+
+    return {
+        "bm25_docs_topk": docsearch.BM25_DOCS_SQL,
+        "q1_pricing_summary": relational.Q1_SQL,
+        "q3_top_orders": relational.Q3_SQL,
+        "q5_nation_revenue": relational.Q5_SQL,
+        "q6_revenue": relational.Q6_SQL,
+        "events_type_counts": relational.EVENTS_TYPE_COUNTS_SQL,
+        "events_latest_per_user": relational.EVENTS_LATEST_SQL,
+        "events_pivot": relational.EVENTS_PIVOT_SQL,
+        "events_tumbling_daily": relational.EVENTS_TUMBLING_SQL,
+        "customers_without_recent_orders": relational.CUSTOMERS_ANTI_SQL,
+        "orders_semi_building": relational.ORDERS_SEMI_SQL,
+        "orders_topk": relational.ORDERS_TOPK_SQL,
+        "orders_by_year": relational.ORDERS_BY_YEAR_SQL,
+        "parts_like": relational.PARTS_LIKE_SQL,
+        "orders_union_tiers": relational.ORDERS_UNION_SQL,
+        "docs_lang_sets": relational.DOCS_LANG_SETS_SQL,
+        "customers_per_region": relational.CUSTOMERS_PER_REGION_SQL,
+        "exact_dedup": dedup.EXACT_DEDUP_SQL,
+        "ngram_jaccard_pairs": dedup.NGRAM_JACCARD_SQL,
+        "token_counts": textops.TOKEN_COUNTS_SQL,
+        "quality_scores": textops.QUALITY_SCORES_SQL,
+        "knn_topk": ann.KNN_TOPK_SQL,
+        "cosine_dup_pairs": ann.COSINE_DUP_SQL,
+    }

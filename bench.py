@@ -1,0 +1,168 @@
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Headline: full inverted-index build over the deterministic synthetic pages
+corpus (FIXTURES.md) + BM25 query latency over the 73-query conformance set,
+plus the flagship relational/dedup/ann pipelines over $GRAFT_SF_DIR.
+
+    python bench.py             # one run at $RAY_GRAFT_CPUS (default 32)
+    python bench.py --scaling   # same job at 8 and 32 CPUs in fresh
+                                # processes -> throughput + efficiency line
+
+Scaling evidence per BASELINE.json north_rule: the two-cluster-size criterion
+is evidenced by two parallelism levels in fresh processes on the same input.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+NCPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "20000"))
+CORPUS_FILES = 32
+
+
+def _corpus_dir(n_docs: int) -> str:
+    """Shared, content-addressed corpus dir: generated once, reused by every
+    run (so 8- and 32-cpu runs read identical warm files)."""
+    d = os.path.join(tempfile.gettempdir(), f"rayft_bench_pages_{n_docs}_{CORPUS_FILES}")
+    marker = os.path.join(d, ".complete")
+    if not os.path.exists(marker):
+        from engine import synth
+
+        shutil.rmtree(d, ignore_errors=True)
+        synth.write_pages(d, n_docs, num_files=CORPUS_FILES)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return d
+
+
+def run_bench() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local", num_cpus=NCPUS, include_dashboard=False,
+            logging_level="ERROR",
+        )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    import numpy as np
+
+    from engine import synth
+    from engine.build import build_index
+    from engine.query import IndexReader
+
+    queries: dict[str, float] = {}
+    pages_dir = _corpus_dir(BENCH_DOCS)
+
+    # ---- headline: index build -----------------------------------------
+    index_dir = tempfile.mkdtemp(prefix="rayft_bench_idx_")
+    try:
+        t0 = time.perf_counter()
+        metrics = build_index(
+            pages_dir, index_dir, num_partitions=8,
+        )
+        build_s = time.perf_counter() - t0
+        queries["index_build_s"] = round(build_s, 3)
+        queries["index_docs_per_s"] = round(metrics["n_docs"] / build_s, 1)
+
+        # ---- BM25 query latency ----------------------------------------
+        reader = IndexReader(index_dir)
+        qtbl = synth.gen_queries_table(73).to_pylist()
+        reader.search("warmup " + synth.HEAD_TERMS[0], k=10)
+        lat = []
+        for q in qtbl:
+            t0 = time.perf_counter()
+            reader.search(q["query_text"], k=q["k"], prior_weight=0.0)
+            lat.append(time.perf_counter() - t0)
+        lat_ms = np.array(lat) * 1e3
+        queries["query_p50_ms"] = round(float(np.percentile(lat_ms, 50)), 3)
+        queries["query_p95_ms"] = round(float(np.percentile(lat_ms, 95)), 3)
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+
+    # ---- flagship operators over the relational testdata ---------------
+    from engine.ops import ann, dedup, relational, textops
+
+    def consume(res):
+        import pandas as pd
+        import pyarrow as pa
+
+        if isinstance(res, (pd.DataFrame, pa.Table)):
+            return len(res)
+        return res.count()
+
+    for name, fn in [
+        ("q1_pricing_summary", relational.q1_pricing_summary),
+        ("q3_top_orders", relational.q3_top_orders),
+        ("q6_revenue", relational.q6_revenue),
+        ("events_latest_per_user", relational.events_latest_per_user),
+        ("exact_dedup", dedup.exact_dedup),
+        ("token_counts", textops.token_counts),
+        ("knn_topk", ann.knn_topk),
+    ]:
+        t0 = time.perf_counter()
+        consume(fn(SF_DIR))
+        queries[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(v for v in queries.values() if isinstance(v, (int, float))), 3)
+    return {
+        "metric": "index-build throughput (docs/s) + BM25 query p50 (ms) + op wall times",
+        "value": queries["index_build_s"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NCPUS,
+        "bench_docs": BENCH_DOCS,
+        "total_s": total,
+    }
+
+
+def run_scaling() -> dict:
+    """Same headline job at 8 and 32 CPUs in fresh processes, same corpus."""
+    _corpus_dir(BENCH_DOCS)  # pre-generate + warm page cache once
+
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = one(8), one(32)
+    rate_lo = lo["queries"]["index_docs_per_s"]
+    rate_hi = hi["queries"]["index_docs_per_s"]
+    eff = (rate_hi / rate_lo) / (32 / 8)
+    return {
+        "metric": "index-build scaling efficiency (8 -> 32 cpus)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "docs_per_s_8": rate_lo,
+        "docs_per_s_32": rate_hi,
+        "build_s_8": lo["queries"]["index_build_s"],
+        "build_s_32": hi["queries"]["index_build_s"],
+        "query_p50_ms_32": hi["queries"]["query_p50_ms"],
+        "bench_docs": BENCH_DOCS,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        result = run_scaling()
+    else:
+        result = run_bench()
+        import ray
+
+        ray.shutdown()
+    print(json.dumps(result))

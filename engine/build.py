@@ -75,6 +75,24 @@ def _default_concurrency() -> int:
     return max(2, cpus - 2)
 
 
+def documents_to_extracted(batch: pa.Table) -> pa.Table:
+    """Adapter: a `documents(doc_id, text, lang, ...)` table -> EXTRACTED rows.
+
+    The table's own int64 doc_id is kept (any unique uint64 works for the
+    postings); url is synthesized as doc://<id>; warc_ts is a fixed epoch.
+    """
+    ids = batch.column("doc_id").to_pylist()
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id").cast(pa.uint64()),
+            "url": pa.array([f"doc://{i}" for i in ids], pa.string()),
+            "warc_ts": pa.array([0] * len(ids), pa.timestamp("us")),
+            "lang": batch.column("lang"),
+            "text": batch.column("text"),
+        }
+    )
+
+
 def build_index(
     input_path: str | list[str],
     index_dir: str,
@@ -83,6 +101,7 @@ def build_index(
     extract_batch_size: int = 256,
     tokenize_batch_size: int = 512,
     tokenizer_concurrency: int | None = None,
+    input_kind: str = "pages",
 ) -> dict:
     """Build (or resume) the full index under ``index_dir``. Returns metrics."""
     if isinstance(input_path, str):
@@ -111,8 +130,9 @@ def build_index(
             metrics["skipped_extract"] += 1
             continue
         ds = rd.read_parquet(pfiles)
+        extract_fn = extract_batch if input_kind == "pages" else documents_to_extracted
         ds = ds.map_batches(
-            extract_batch, batch_format="pyarrow", batch_size=extract_batch_size,
+            extract_fn, batch_format="pyarrow", batch_size=extract_batch_size,
             zero_copy_batch=True,
         )
         ds = ds.map_batches(dedup_latest_in_batch, batch_format="pyarrow")

@@ -1,0 +1,237 @@
+"""Similarity search over the `embeddings` table (list<float> column).
+
+The reference's flagship query is pgvector ANN top-k
+(/root/reference/streamlit_app.py:281-282, `ORDER BY embedding <#> q LIMIT k`).
+Our Ray-Data equivalents:
+
+- knn_topk          brute-force cosine: the query matrix is broadcast once
+                    (ray.put), each batch does one numpy matmul, local top-k
+                    per batch, tiny global merge. Exact -> DuckDB-verifiable.
+- lsh_knn_topk      random-hyperplane LSH bucketing: the scale path; probes
+                    only same/multi-probe buckets. Approximate -> rows-only
+                    (recall vs brute force asserted in tests).
+- cosine_dup_pairs  embedding near-dup pairs (sim >= threshold).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+QUERY_IDS = (0, 1, 2)
+K = 10
+
+
+def _read_emb(sf_dir: str) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _emb_matrix(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    m = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    return ids, m
+
+
+def _load_queries(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    ids, m = _emb_matrix(t)
+    mask = np.isin(ids, QUERY_IDS)
+    order = np.argsort(ids[mask])
+    return ids[mask][order], m[mask][order]
+
+
+class _CosineTopK:
+    """Actor-pool stage: per batch, sims vs the broadcast query matrix, local
+    top-k rows emitted (global merge handles the rest)."""
+
+    def __init__(self, q_ref, k: int):
+        self.q_ids, q = ray.get(q_ref)
+        self.qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        self.k = k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, m = _emb_matrix(t)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        mn = m / np.maximum(norms, 1e-30)
+        sims = mn @ self.qn.T  # (n_batch, n_queries)
+        out_q, out_v, out_s = [], [], []
+        k = min(self.k, len(ids))
+        for qi, qid in enumerate(self.q_ids):
+            s = sims[:, qi]
+            top = np.argpartition(-s, k - 1)[:k] if k < len(ids) else np.arange(len(ids))
+            out_q.extend([int(qid)] * len(top))
+            out_v.extend(ids[top].tolist())
+            out_s.extend(s[top].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def knn_topk(sf_dir: str, k: int = K):
+    """Exact cosine top-k for the fixed query vectors -> (query_id, vec_id,
+    sim rounded, rank)."""
+    q_ref = ray.put(_load_queries(sf_dir))
+    ds = _read_emb(sf_dir).map_batches(
+        _CosineTopK,
+        fn_constructor_args=(q_ref, k),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        zero_copy_batch=True,
+    )
+    df = ds.to_pandas()  # tiny: n_batches * n_queries * k rows
+    df["sim_r"] = df["sim"].round(6)
+    df = df.sort_values(["query_id", "sim_r", "vec_id"], ascending=[True, False, True])
+    df = df.groupby("query_id", sort=False).head(k).reset_index(drop=True)
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    return df[["query_id", "rank", "vec_id", "sim_r"]]
+
+
+KNN_TOPK_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  WHERE vec_id IN (0, 1, 2)
+),
+sims AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])), 6) AS sim_r
+  FROM q CROSS JOIN embeddings e
+),
+ranked AS (
+  SELECT query_id, vec_id, sim_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim_r DESC, vec_id) AS rank
+  FROM sims
+)
+SELECT query_id, rank, vec_id, sim_r FROM ranked WHERE rank <= {K}
+"""
+
+
+# ---------------------------------------------------------------------------
+_N_PLANES = 6  # bits per table
+_N_TABLES = 16  # independent hash tables (classic LSH amplification)
+
+
+class _LshBucketer:
+    """Multi-table random-hyperplane LSH (actor-pool stage).
+
+    Each vector gets one 6-bit sign-pattern bucket per table; the emitted key
+    packs (table_id << _N_PLANES) | bucket so a single groupby key spans all
+    tables.  On clustered real-world embeddings each table prunes hard; on
+    near-uniform random vectors (these fixtures) LSH degenerates toward a
+    scan — expected, and why the exact brute-force path stays the baseline.
+    """
+
+    def __init__(self, dim: int = 64, seed: int = 11):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, _N_TABLES * _N_PLANES))
+
+    def keys_of(self, m: np.ndarray) -> np.ndarray:
+        """(n, _N_TABLES) int64 keys."""
+        bits = (m @ self.planes) > 0  # (n, T*P)
+        bits = bits.reshape(len(m), _N_TABLES, _N_PLANES)
+        buckets = bits @ (1 << np.arange(_N_PLANES))
+        return (np.arange(_N_TABLES)[None, :] << _N_PLANES | buckets).astype(np.int64)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, m = _emb_matrix(t)
+        keys = self.keys_of(m)  # (n, T)
+        n = len(ids)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(ids, _N_TABLES), pa.int64()),
+                "bucket": pa.array(keys.reshape(-1), pa.int64()),
+            }
+        )
+
+
+def lsh_knn_topk(sf_dir: str, k: int = K, probe_radius: int = 1):
+    """Approximate cosine top-k via multi-table LSH with hamming-radius
+    probing.  Rows-only check; tests assert recall vs knn_topk."""
+    b = _LshBucketer()
+    bucketed = _read_emb(sf_dir).map_batches(
+        _LshBucketer, batch_format="pyarrow", concurrency=(1, 4), zero_copy_batch=True
+    )
+    q_ids, q = _load_queries(sf_dir)
+    q_keys = b.keys_of(q)  # (nq, T)
+    probe: set[int] = set()
+    for row in q_keys:
+        for key in row:
+            probe.add(int(key))
+            if probe_radius >= 1:
+                for i in range(_N_PLANES):
+                    probe.add(int(key) ^ (1 << i))
+    cand_ids = bucketed.filter(expr=f"bucket in {sorted(probe)}").unique("vec_id")
+    emb = _read_emb(sf_dir).filter(expr=f"vec_id in {sorted(cand_ids)}")
+    tbl = pa.Table.from_pandas(emb.to_pandas(), preserve_index=False)
+    ids, m = _emb_matrix(tbl)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+    sims = mn @ qn.T
+    rows = []
+    for qi, qid in enumerate(q_ids):
+        order = np.lexsort((ids, -np.round(sims[:, qi], 6)))[:k]
+        for r, o in enumerate(order, 1):
+            rows.append((int(qid), r, int(ids[o]), float(np.round(sims[o, qi], 6))))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "vec_id", "sim_r"])
+
+
+# ---------------------------------------------------------------------------
+def cosine_dup_pairs(sf_dir: str, threshold: float = 0.4):
+    """Embedding near-dup pairs (a < b, cosine >= threshold) — exact,
+    verifiable: each batch multiplies against the broadcast full matrix.
+
+    At 10^12 scale this becomes LSH-bucketed pair generation; the broadcast
+    all-pairs form is the correctness baseline over the sandbox tables.
+    """
+    import pyarrow.parquet as pq
+
+    full = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    f_ids, f_m = _emb_matrix(full)
+    f_mn = f_m / np.maximum(np.linalg.norm(f_m, axis=1, keepdims=True), 1e-30)
+    ref = ray.put((f_ids, f_mn))
+
+    class _Pairs:
+        def __init__(self):
+            self.f_ids, self.f_mn = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids, m = _emb_matrix(t)
+            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+            sims = mn @ self.f_mn.T
+            ai, bi = np.nonzero(sims >= threshold)
+            a = ids[ai]
+            b = self.f_ids[bi]
+            keep = a < b
+            return pa.table(
+                {
+                    "a": pa.array(a[keep], pa.int64()),
+                    "b": pa.array(b[keep], pa.int64()),
+                    "sim_r": pa.array(np.round(sims[ai, bi][keep], 6), pa.float64()),
+                }
+            )
+
+    return _read_emb(sf_dir).map_batches(
+        _Pairs, batch_format="pyarrow", concurrency=(1, 4), zero_copy_batch=True
+    )
+
+
+COSINE_DUP_SQL = """
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS sim_r
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+"""

@@ -1,0 +1,585 @@
+"""Relational operator suite over the testdata tables (SURVEY.md §2.4-§2.8).
+
+Every function mirrors a capability of the reference (citations inline) as an
+idiomatic Ray Data plan: column-pruned reads, vectorized pyarrow batch
+kernels, map-side pre-aggregation before every groupby, broadcast joins for
+small sides, Dataset.join (hash-partitioned) for large-large.
+
+Float-aggregate outputs are rounded (matching ROUND(...) in the oracle SQL)
+because a distributed sum is order-free: bitwise equality with a sequential
+DuckDB sum is not defined, agreement to 1e-2/1e-6 is.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from .joins import broadcast_join
+
+US_PER_DAY = 86_400_000_000
+
+
+def _read(sf_dir: str, table: str, columns=None, filter=None) -> rd.Dataset:
+    return rd.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns, filter=filter
+    )
+
+
+def _pa(sf_dir: str, table: str, columns=None) -> pa.Table:
+    import pyarrow.parquet as pq
+
+    return pq.read_table(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# A1/A10 analog: grouped global aggregate with map-side combine
+# (reference capability: COUNT/aggregate queries, ec2/rds/query.py:41-53)
+def q1_pricing_summary(sf_dir: str):
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount", "l_tax", "l_shipdate",
+        ],
+        filter=(pc.field("l_shipdate") <= pc.scalar(np.datetime64("2000-01-01", "us"))),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        charge = pc.multiply(disc_price, pc.add(pa.scalar(1.0), t["l_tax"]))
+        t2 = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty": t["l_quantity"],
+                "price": t["l_extendedprice"],
+                "disc_price": disc_price,
+                "charge": charge,
+                "disc": t["l_discount"],
+            }
+        )
+        g = t2.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("price", "sum"), ("disc_price", "sum"),
+             ("charge", "sum"), ("disc", "sum"), ("qty", "count")]
+        )
+        return g
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty_sum", alias_name="sum_qty"),
+            Sum("price_sum", alias_name="sum_base_price"),
+            Sum("disc_price_sum", alias_name="sum_disc_price"),
+            Sum("charge_sum", alias_name="sum_charge"),
+            Sum("disc_sum", alias_name="s_disc"),
+            Sum("qty_count", alias_name="count_order"),
+        )
+    )
+    df = agg.to_pandas()
+    n = df["count_order"].astype("int64")
+    out = pd.DataFrame(
+        {
+            "l_returnflag": df["l_returnflag"],
+            "l_linestatus": df["l_linestatus"],
+            "sum_qty": df["sum_qty"].round(2),
+            "sum_base_price": df["sum_base_price"].round(2),
+            "sum_disc_price": df["sum_disc_price"].round(2),
+            "sum_charge": df["sum_charge"].round(2),
+            "avg_qty": (df["sum_qty"] / n).round(4),
+            "avg_price": (df["sum_base_price"] / n).round(4),
+            "avg_disc": (df["s_disc"] / n).round(6),
+            "count_order": n,
+        }
+    )
+    return out
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+ round(sum(l_quantity), 2) AS sum_qty,
+ round(sum(l_extendedprice), 2) AS sum_base_price,
+ round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+ round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+ round(sum(l_quantity) / count(*), 4) AS avg_qty,
+ round(sum(l_extendedprice) / count(*), 4) AS avg_price,
+ round(sum(l_discount) / count(*), 6) AS avg_disc,
+ count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# J2/K1 analog: multi-way join + grouped top-k
+# (reference: streamlit_app.py:277-282 join-filter-sort-limit plan)
+def q3_top_orders(sf_dir: str):
+    cutoff = np.datetime64("1998-01-01", "us")
+    building = _pa(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    building = building.filter(pc.equal(building["c_mktsegment"], "BUILDING")).select(
+        ["c_custkey"]
+    )
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pc.field("o_orderdate") < pc.scalar(cutoff)),
+    )
+    orders = broadcast_join(orders, building, on="o_custkey", right_on="c_custkey", how="semi")
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(pc.field("l_shipdate") > pc.scalar(cutoff)),
+    )
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        g = pa.table({"l_orderkey": t["l_orderkey"], "rev": rev}).group_by(
+            "l_orderkey"
+        ).aggregate([("rev", "sum")])
+        return g
+
+    rev = (
+        li.map_batches(rev_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev_sum", alias_name="revenue"))
+    )
+    joined = rev.join(orders, "inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",))
+    df = joined.to_pandas()
+    # Dataset.join keeps the left key column name; restore the orders name
+    df = df.rename(columns={"l_orderkey": "o_orderkey"})
+    df["revenue"] = df["revenue"].round(2)
+    df = df.sort_values(["revenue", "o_orderkey"], ascending=[False, True]).head(10)
+    return df[["o_orderkey", "o_orderdate", "revenue"]].reset_index(drop=True)
+
+
+Q3_SQL = """
+SELECT o_orderkey, o_orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate  > TIMESTAMP '1998-01-01'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey LIMIT 10
+"""
+
+
+# J1/J2 analog: star join through dims (broadcast) + fact-fact (hash join)
+def q5_nation_revenue(sf_dir: str):
+    region = _pa(sf_dir, "region")
+    nation = _pa(sf_dir, "nation")
+    asia = region.filter(pc.equal(region["r_name"], "ASIA"))
+    nat = nation.join(asia, keys=["n_regionkey"], right_keys=["r_regionkey"], join_type="inner")
+    cust = _pa(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).join(
+        nat.select(["n_nationkey", "n_name"]),
+        keys=["c_nationkey"], right_keys=["n_nationkey"], join_type="inner",
+    ).select(["c_custkey", "n_name"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    orders = broadcast_join(orders, cust, on="o_custkey", right_on="c_custkey")
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"], "rev": rev}).group_by(
+            "l_orderkey"
+        ).aggregate([("rev", "sum")])
+
+    rev = (
+        li.map_batches(rev_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev_sum", alias_name="rev"))
+    )
+    joined = rev.join(orders, "inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",))
+    out = joined.groupby("n_name").aggregate(Sum("rev", alias_name="revenue")).to_pandas()
+    out["revenue"] = out["revenue"].round(2)
+    return out[["n_name", "revenue"]]
+
+
+Q5_SQL = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM region
+JOIN nation   ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+# §2.8 analog: predicate pushdown + global scalar aggregate
+def q6_revenue(sf_dir: str):
+    ds = _read(
+        sf_dir, "lineitem",
+        columns=["l_extendedprice", "l_discount", "l_quantity", "l_shipdate"],
+        filter=(
+            (pc.field("l_shipdate") >= pc.scalar(np.datetime64("1996-01-01", "us")))
+            & (pc.field("l_shipdate") < pc.scalar(np.datetime64("1997-01-01", "us")))
+            & (pc.field("l_discount") >= 0.05)
+            & (pc.field("l_discount") <= 0.07)
+            & (pc.field("l_quantity") < 24)
+        ),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = pc.sum(pc.multiply(t["l_extendedprice"], t["l_discount"])).as_py() or 0.0
+        return pa.table({"rev": pa.array([rev], pa.float64())})
+
+    total = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).sum("rev")
+    return pd.DataFrame({"revenue": [round(total, 2)]})
+
+
+Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+# A2 analog (SELECT DISTINCT unnest(...): streamlit_app.py:74-79)
+def events_type_counts(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("event_type").aggregate([("event_type", "count")])
+        return pa.table({"event_type": g["event_type"], "n_part": g["event_type_count"]})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(Sum("n_part", alias_name="n"))
+    )
+
+
+EVENTS_TYPE_COUNTS_SQL = "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+
+
+# A5 analog (DISTINCT ON latest: streamlit_app.py:254-259) — grouped latest
+def events_latest_per_user(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "event_type", "ts", "value"])
+
+    def latest_in_batch(t: pa.Table) -> pa.Table:
+        # map-side combine: keep the latest (ts, event_id) row per user
+        df = t.to_pandas()
+        idx = df.sort_values(["ts", "event_id"]).groupby("user_id", sort=False).tail(1)
+        return pa.Table.from_pandas(idx, preserve_index=False)
+
+    def latest_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).tail(1)
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].values,
+                "last_type": g["event_type"].values,
+                "last_ts": g["ts"].values,
+                "last_value": g["value"].values,
+            }
+        )
+
+    return (
+        ds.map_batches(latest_in_batch, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .map_groups(latest_group, batch_format="pandas")
+    )
+
+
+EVENTS_LATEST_SQL = """
+SELECT user_id, event_type AS last_type, ts AS last_ts, value AS last_value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+# A4 analog (MAX(...) FILTER pivot: compare_embeddings.py:514-520)
+def events_pivot(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        res = pd.DataFrame(index=df["user_id"].unique())
+        for et in ("click", "purchase"):
+            m = df[df["event_type"] == et].groupby("user_id")["value"].max()
+            res[f"max_{et}"] = m
+        res["n_events"] = df.groupby("user_id").size()
+        res.index.name = "user_id"
+        return pa.Table.from_pandas(res.reset_index(), preserve_index=False)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(
+            Max("max_click", alias_name="max_click", ignore_nulls=True),
+            Max("max_purchase", alias_name="max_purchase", ignore_nulls=True),
+            Sum("n_events", alias_name="n_events"),
+        )
+    )
+    return agg
+
+
+EVENTS_PIVOT_SQL = """
+SELECT user_id,
+       max(value) FILTER (WHERE event_type = 'click') AS max_click,
+       max(value) FILTER (WHERE event_type = 'purchase') AS max_purchase,
+       count(*) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
+# streaming-shaped: tumbling window aggregate (SURVEY.md §2.9)
+def events_tumbling_daily(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.int64())
+        day = pc.multiply(pc.divide(ts, US_PER_DAY), US_PER_DAY)  # floor to day
+        t2 = pa.table(
+            {"event_type": t["event_type"], "day": day.cast(pa.timestamp("us")), "value": t["value"]}
+        )
+        g = t2.group_by(["event_type", "day"]).aggregate([("value", "sum"), ("value", "count")])
+        return g
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "day"])
+        .aggregate(
+            Sum("value_sum", alias_name="s"),
+            Sum("value_count", alias_name="n"),
+        )
+    )
+    df = agg.to_pandas()
+    df["sum_value"] = df["s"].round(4)
+    return df[["event_type", "day", "n", "sum_value"]]
+
+
+EVENTS_TUMBLING_SQL = """
+SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY event_type, date_trunc('day', ts)
+"""
+
+
+# J3 analog (NOT EXISTS anti-join: ec2/parse_arxiv_papers/__main__.py:167-175)
+def customers_without_recent_orders(sf_dir: str):
+    cutoff = np.datetime64("1999-01-01", "us")
+    recent = _pa(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    recent = recent.filter(pc.greater_equal(recent["o_orderdate"], pa.scalar(cutoff)))
+    keys = pa.table({"o_custkey": pc.unique(recent["o_custkey"])})
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    return broadcast_join(cust, keys, on="c_custkey", right_on="o_custkey", how="anti")
+
+
+CUSTOMERS_ANTI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1999-01-01'
+)
+"""
+
+
+# J4 analog (semi-join small literal set: parse_arxiv_papers/__main__.py:161-165)
+def orders_semi_building(sf_dir: str):
+    cust = _pa(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    cust = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING")).select(["c_custkey"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"])
+    orders = broadcast_join(orders, cust, on="o_custkey", right_on="c_custkey", how="semi")
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_orderstatus").aggregate([("o_orderstatus", "count")])
+        return pa.table(
+            {"o_orderstatus": g["o_orderstatus"], "n_part": g["o_orderstatus_count"]}
+        )
+
+    return (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderstatus")
+        .aggregate(Sum("n_part", alias_name="n"))
+    )
+
+
+ORDERS_SEMI_SQL = """
+SELECT o_orderstatus, count(*) AS n FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+GROUP BY o_orderstatus
+"""
+
+
+# K1 analog: global top-k by sort/limit (streamlit_app.py:281-282)
+def orders_topk(sf_dir: str):
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    # per-batch local top-k before the global sort keeps the shuffle tiny
+    def local_topk(t: pa.Table) -> pa.Table:
+        idx = pc.select_k_unstable(
+            t, k=10, sort_keys=[("o_totalprice", "descending"), ("o_orderkey", "ascending")]
+        )
+        return t.take(idx)
+
+    top = ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+    df = top.to_pandas().sort_values(
+        ["o_totalprice", "o_orderkey"], ascending=[False, True]
+    ).head(10)
+    return df.reset_index(drop=True)
+
+
+ORDERS_TOPK_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+# §2.8 analog: EXTRACT(YEAR ...) BETWEEN (streamlit_app.py:199-205)
+def orders_by_year(sf_dir: str):
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        yr = pc.year(t["o_orderdate"])
+        t2 = pa.table({"yr": yr.cast(pa.int64()), "price": t["o_totalprice"]})
+        t2 = t2.filter(
+            pc.and_(pc.greater_equal(t2["yr"], 1996), pc.less_equal(t2["yr"], 1998))
+        )
+        return t2.group_by("yr").aggregate([("price", "sum"), ("price", "count")])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("yr")
+        .aggregate(Sum("price_sum", alias_name="s"), Sum("price_count", alias_name="n"))
+    )
+    df = agg.to_pandas()
+    df["total"] = df["s"].round(2)
+    return df[["yr", "n", "total"]]
+
+
+ORDERS_BY_YEAR_SQL = """
+SELECT EXTRACT(YEAR FROM o_orderdate) AS yr, count(*) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+WHERE EXTRACT(YEAR FROM o_orderdate) BETWEEN 1996 AND 1998
+GROUP BY EXTRACT(YEAR FROM o_orderdate)
+"""
+
+
+# §2.8 analog: LIKE pattern filter (ILIKE ANY: streamlit_app.py:220-232)
+def parts_like(sf_dir: str):
+    ds = _read(sf_dir, "part", columns=["p_brand", "p_type", "p_size"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        mask = pc.match_substring(t["p_type"], "AND")  # STANDARD contains AND
+        t = t.filter(pc.and_(mask, pc.greater(t["p_size"], 20)))
+        g = t.group_by("p_brand").aggregate([("p_size", "count")])
+        return g
+
+    agg = (
+        ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("p_brand")
+        .aggregate(Sum("p_size_count", alias_name="n"))
+    )
+    return agg
+
+
+PARTS_LIKE_SQL = """
+SELECT p_brand, count(*) AS n FROM part
+WHERE p_type LIKE '%AND%' AND p_size > 20
+GROUP BY p_brand
+"""
+
+
+# D3 analog: union of discriminated sources (upsert_stacks/__main__.py:50-59)
+def orders_union_tiers(sf_dir: str):
+    hi = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_totalprice"],
+        filter=(pc.field("o_totalprice") > 449000.0),
+    )
+    lo = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_totalprice"],
+        filter=(pc.field("o_totalprice") < 52000.0),
+    )
+
+    def tag(name):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column("tier", pa.array([name] * t.num_rows, pa.string()))
+
+        return f
+
+    return hi.map_batches(tag("high"), batch_format="pyarrow").union(
+        lo.map_batches(tag("low"), batch_format="pyarrow")
+    ).select_columns(["tier", "o_orderkey", "o_totalprice"])
+
+
+ORDERS_UNION_SQL = """
+SELECT 'high' AS tier, o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 449000.0
+UNION ALL
+SELECT 'low' AS tier, o_orderkey, o_totalprice FROM orders WHERE o_totalprice < 52000.0
+"""
+
+
+# A3 analog: per-group distinct sets (tags-per-source: streamlit_app.py:89-106)
+def docs_lang_sets(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["source", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        langs = sorted(set(g["lang"]))
+        return pd.DataFrame(
+            {
+                "source": [g["source"].iloc[0]],
+                "n_langs": [len(langs)],
+                "langs": [",".join(langs)],
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(per_group, batch_format="pandas")
+    )
+
+
+DOCS_LANG_SETS_SQL = """
+SELECT source, count(DISTINCT lang) AS n_langs,
+       string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs
+FROM documents GROUP BY source
+"""
+
+
+# J5 analog: broadcast dims join (section->tag dict join, stacks_parsing.py:114-122)
+def customers_per_region(sf_dir: str):
+    region = _pa(sf_dir, "region")
+    nation = _pa(sf_dir, "nation")
+    dim = nation.join(region, keys=["n_regionkey"], right_keys=["r_regionkey"]).select(
+        ["n_nationkey", "r_name"]
+    )
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    joined = broadcast_join(cust, dim, on="c_nationkey", right_on="n_nationkey")
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("r_name").aggregate([("r_name", "count")])
+        return pa.table({"r_name": g["r_name"], "n_part": g["r_name_count"]})
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(Sum("n_part", alias_name="n_customers"))
+    )
+
+
+CUSTOMERS_PER_REGION_SQL = """
+SELECT r_name, count(*) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
