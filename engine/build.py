@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 import numpy as np
 import pyarrow as pa
@@ -39,6 +40,7 @@ from . import codec
 from .analyze import Tokenizer
 from .checkpoint import BuildManifest, atomic_dir, fingerprint_files
 from .extract import dedup_latest_in_batch, extract_batch
+from .schema import doc_ids_of_urls
 from .schema import (
     B,
     EXTRACTED_SCHEMA,
@@ -115,96 +117,135 @@ def build_index(
             files = [input_path]
     else:
         files = list(input_path)
+    import time as _time
+
     os.makedirs(index_dir, exist_ok=True)
     man = BuildManifest(index_dir)
     parts = _partition_inputs(files, num_partitions)
     concurrency = tokenizer_concurrency or _default_concurrency()
     metrics: dict = {"partitions": len(parts), "skipped_extract": 0, "skipped_postings": 0}
+    _t = _time.perf_counter()
+    _phase_t: dict[str, float] = {}
 
-    # ---- phase extract (per partition, checkpointed) ---------------------
-    extracted_root = os.path.join(index_dir, "extracted")
-    for pid, pfiles in parts.items():
-        out_dir = os.path.join(extracted_root, f"pid={pid}")
-        fp = fingerprint_files(pfiles)
-        if man.partition_done(pid, "extract", fp, out_dir):
-            metrics["skipped_extract"] += 1
-            continue
-        ds = rd.read_parquet(pfiles)
-        extract_fn = extract_batch if input_kind == "pages" else documents_to_extracted
-        ds = ds.map_batches(
-            extract_fn, batch_format="pyarrow", batch_size=extract_batch_size,
-            zero_copy_batch=True,
-        )
-        ds = ds.map_batches(dedup_latest_in_batch, batch_format="pyarrow")
-        with atomic_dir(out_dir) as tmp:
-            ds.write_parquet(tmp)
-            _ensure_nonempty(tmp, EXTRACTED_SCHEMA)
-        n_rows = sum(
-            pa.parquet.read_metadata(os.path.join(out_dir, f)).num_rows
-            for f in os.listdir(out_dir)
-            if f.endswith(".parquet")
-        )
-        man.record_partition(pid, "extract", fp, pfiles, {"rows": n_rows})
+    def _mark(name: str) -> None:
+        nonlocal _t
+        now = _time.perf_counter()
+        _phase_t[name] = round(now - _t, 2)
+        _t = now
 
-    extract_fps = sorted(
-        man.data["partitions"][pid]["phase"]["extract"]["fingerprint"] for pid in parts
-    )
-    total_extracted = sum(
-        man.data["partitions"][pid]["phase"]["extract"]["metrics"]["rows"]
-        for pid in parts
-    )
-
-    # ---- phase losers (global cross-partition dedup residue) -------------
+    # ---- phase losers (global keep-latest-by-url dedup, computed FIRST
+    # from a column-pruned read of the raw input: only (url, warc_ts) leave
+    # storage; losers are filtered during extraction so no later phase ever
+    # sees them) ----------------------------------------------------------
     losers_path = os.path.join(index_dir, "losers.parquet")
-    losers_fp = "extract:" + "|".join(extract_fps)
+    all_input_fp = fingerprint_files(files) if files else "empty"
+    losers_fp = "input:" + all_input_fp
     if not man.phase_done("losers", losers_fp, losers_path):
-        losers_tbl = _compute_losers(extracted_root)
+        if input_kind == "pages" and files:
+            losers_tbl = _compute_losers_from_input(files)
+        else:  # documents tables carry a unique doc_id — no recrawls
+            losers_tbl = _EMPTY_LOSERS
         pa.parquet.write_table(losers_tbl, losers_path + ".tmp")
         os.replace(losers_path + ".tmp", losers_path)
         man.record_phase(
             "losers", losers_fp,
-            {"dup_urls": losers_tbl.num_rows, "dup_extra_rows": int(pa.compute.sum(losers_tbl["extra"]).as_py() or 0)},
+            {"dup_urls": losers_tbl.num_rows,
+             "dup_extra_rows": int(pa.compute.sum(losers_tbl["extra"]).as_py() or 0)},
         )
     losers_tbl = pa.parquet.read_table(losers_path)
-    n_loser_rows = int(pa.compute.sum(losers_tbl["extra"]).as_py() or 0)
     loser_ids = losers_tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
     loser_max_ts = losers_tbl["max_ts"].to_numpy(zero_copy_only=False).astype(np.int64)
     loser_order = np.argsort(loser_ids)
     loser_ref = ray.put((loser_ids[loser_order], loser_max_ts[loser_order]))
+    # content hash of the loser set: extract partitions are invalidated only
+    # when the DEDUP OUTCOME changes, not whenever any input file changes
+    import hashlib as _hashlib
 
-    # ---- phase postings (per partition, checkpointed) --------------------
-    partials_root = os.path.join(index_dir, "partials")
-    for pid in parts:
-        out_dir = os.path.join(partials_root, f"pid={pid}")
-        fp = man.data["partitions"][pid]["phase"]["extract"]["fingerprint"] + "+" + losers_fp[:16]
-        if man.partition_done(pid, "postings", fp, out_dir):
-            metrics["skipped_postings"] += 1
-            continue
-        ds = rd.read_parquet(
-            os.path.join(extracted_root, f"pid={pid}"),
-            columns=["doc_id", "warc_ts", "text"],  # prune at the read
+    _lh = _hashlib.blake2b(digest_size=8)
+    _lh.update(loser_ids[loser_order].tobytes())
+    _lh.update(loser_max_ts[loser_order].tobytes())
+    loser_content_fp = _lh.hexdigest()
+    _mark("t_losers")
+
+    # ---- phase extract (checkpoint unit: partition; one wave pipeline per
+    # run — partition dirs come from write_parquet(partition_cols)) --------
+    extracted_root = os.path.join(index_dir, "extracted")
+    extract_fn = extract_batch if input_kind == "pages" else documents_to_extracted
+    todo = []
+    for pid, pfiles in parts.items():
+        fp = fingerprint_files(pfiles) + "+L" + loser_content_fp
+        out_dir = os.path.join(extracted_root, f"pid={pid}")
+        if man.partition_done(pid, "extract", fp, out_dir):
+            metrics["skipped_extract"] += 1
+        else:
+            todo.append((pid, pfiles, fp))
+    if todo:
+        path_to_pid = {f: pid for pid, pfiles, _ in todo for f in pfiles}
+        ds = rd.read_parquet(sorted(path_to_pid), include_paths=True)
+        ds = ds.map_batches(
+            _ExtractWithPid(extract_fn, path_to_pid),
+            batch_format="pyarrow", batch_size=extract_batch_size,
+            zero_copy_batch=True,
         )
         if len(loser_ids):
             ds = ds.map_batches(
                 _LoserFilter(loser_ref), batch_format="pyarrow", zero_copy_batch=True
             )
+        ds = ds.map_batches(dedup_latest_in_batch, batch_format="pyarrow")
+        rows_per_pid = _write_partitioned(
+            ds, extracted_root, [pid for pid, _, _ in todo], EXTRACTED_SCHEMA
+        )
+        for pid, pfiles, fp in todo:
+            man.record_partition(
+                pid, "extract", fp, pfiles, {"rows": rows_per_pid.get(pid, 0)}
+            )
+    _mark("t_extract")
+
+    total_extracted = sum(
+        man.data["partitions"][pid]["phase"]["extract"]["metrics"]["rows"]
+        for pid in parts
+    )
+
+    # ---- phase postings (same wave pattern; input already deduped) -------
+    partials_root = os.path.join(index_dir, "partials")
+    todo = []
+    for pid in parts:
+        out_dir = os.path.join(partials_root, f"pid={pid}")
+        fp = man.data["partitions"][pid]["phase"]["extract"]["fingerprint"]
+        if man.partition_done(pid, "postings", fp, out_dir):
+            metrics["skipped_postings"] += 1
+        else:
+            todo.append((pid, fp))
+    if todo:
+        pid_dirs = {}
+        for pid, _ in todo:
+            d = os.path.join(extracted_root, f"pid={pid}")
+            for f in os.listdir(d):
+                if f.endswith(".parquet"):
+                    pid_dirs[os.path.join(d, f)] = pid
+        ds = rd.read_parquet(
+            sorted(pid_dirs),
+            columns=["doc_id", "text"],  # prune at the read
+            include_paths=True,
+        ).map_batches(_PathToPid(pid_dirs), batch_format="pyarrow")
         ds = ds.map_batches(
-            Tokenizer,
+            _PidTokenizer,
             batch_format="pyarrow",
             batch_size=tokenize_batch_size,
             concurrency=(1, concurrency),
             zero_copy_batch=True,
         )
-        with atomic_dir(out_dir) as tmp:
-            ds.write_parquet(tmp)
-            _ensure_nonempty(tmp, PARTIAL_POSTINGS_SCHEMA)
-        man.record_partition(pid, "postings", fp, [], {})
+        partials_schema = PARTIAL_POSTINGS_SCHEMA.append(pa.field("pid", pa.string()))
+        _write_partitioned(ds, partials_root, [pid for pid, _ in todo], partials_schema)
+        for pid, fp in todo:
+            man.record_partition(pid, "postings", fp, [], {})
+    _mark("t_postings")
 
     # ---- phase stats -----------------------------------------------------
     stats_path = os.path.join(index_dir, "stats.json")
     dfs_path = os.path.join(index_dir, "dfs.parquet")
     partials_fp = man.partials_fingerprint()
-    n_docs = total_extracted - n_loser_rows
+    n_docs = total_extracted
     if not man.phase_done("stats", partials_fp, stats_path):
         df_tbl, total_tokens = _compute_stats(partials_root)
         pa.parquet.write_table(df_tbl, dfs_path + ".tmp")
@@ -235,6 +276,7 @@ def build_index(
         man.record_phase("stats", partials_fp, stats)
     with open(stats_path) as f:
         stats = json.load(f)
+    _mark("t_stats")
 
     # ---- phase segments (THE salted wide shuffle) ------------------------
     segments_root = os.path.join(index_dir, "segments")
@@ -246,12 +288,19 @@ def build_index(
         hot_terms = frozenset(hot["term"].to_pylist())
         hot_ref = ray.put(hot_terms)
         avgdl = stats["avgdl"]
-        parts_ds = rd.read_parquet(partials_root)
+        parts_ds = rd.read_parquet(
+            partials_root, columns=["term", "doc_id", "tf", "doclen"]
+        )
         parts_ds = parts_ds.map_batches(
             _SaltAndBucket(hot_ref), batch_format="pyarrow", zero_copy_batch=True
         )
-        merged = parts_ds.groupby(["term", "salt"]).map_groups(
-            lambda g: _compress_group(g, avgdl), batch_format="pyarrow"
+        # THE wide step: shuffle keyed on (bucket, salt).  bucket spreads the
+        # vocabulary across reduce tasks; salt splits each hot term's postings
+        # so no single reduce task owns a head term's full list.  Inside a
+        # group the per-term compression is vectorized (one lexsort + slice
+        # per term), not a per-group Python roundtrip.
+        merged = parts_ds.groupby(["bucket", "salt"]).map_groups(
+            lambda g: _compress_bucket(g, avgdl), batch_format="pyarrow"
         )
         with atomic_dir(segments_root) as tmp:
             merged.write_parquet(tmp, partition_cols=["bucket"])
@@ -265,8 +314,93 @@ def build_index(
             "segments", partials_fp, {"hot_terms": len(hot_terms)}
         )
 
+    _mark("t_segments")
     metrics.update(stats)
+    metrics["phase_seconds"] = _phase_t
     return metrics
+
+
+class _PathToPid:
+    """Map each row's source-file path to its checkpoint-partition id and
+    drop the path column (vectorized via per-batch unique paths)."""
+
+    def __init__(self, path_to_pid: dict[str, str]):
+        self.path_to_pid = path_to_pid
+
+    def pid_array(self, batch: pa.Table) -> pa.Array:
+        paths = batch.column("path")
+        de = paths.combine_chunks() if isinstance(paths, pa.ChunkedArray) else paths
+        de = de.dictionary_encode()
+        if isinstance(de, pa.ChunkedArray):
+            de = de.combine_chunks()
+        pid_of = [self.path_to_pid[p] for p in de.dictionary.to_pylist()]
+        codes = de.indices.to_numpy(zero_copy_only=False)
+        return pa.array(np.asarray(pid_of, dtype=object)[codes], pa.string())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pid = self.pid_array(batch)
+        return batch.drop_columns(["path"]).append_column("pid", pid)
+
+
+class _ExtractWithPid(_PathToPid):
+    """Fused path->pid + extraction stage (one map over the input wave)."""
+
+    def __init__(self, extract_fn, path_to_pid: dict[str, str]):
+        super().__init__(path_to_pid)
+        self.extract_fn = extract_fn
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pid = self.pid_array(batch)
+        out = self.extract_fn(batch.drop_columns(["path"]))
+        return out.append_column("pid", pid)
+
+
+class _PidTokenizer(Tokenizer):
+    """Tokenizer that forwards each doc's pid onto its posting rows (batches
+    after a union may mix partitions, so pid is carried per row)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = super().__call__(batch)
+        pids = batch.column("pid").to_numpy(zero_copy_only=False)
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        # map each posting row back to its doc's position in this batch
+        order = np.argsort(doc_ids, kind="stable")
+        pos = order[
+            np.searchsorted(doc_ids[order], out.column("doc_id").to_numpy(zero_copy_only=False))
+        ]
+        return out.append_column("pid", pa.array(pids[pos], pa.string()))
+
+
+def _write_partitioned(
+    ds: rd.Dataset, final_root: str, pids: list[str], schema: pa.Schema
+) -> dict[str, int]:
+    """Write a pid-tagged dataset as hive dirs, then promote each pid dir
+    into `final_root` atomically; returns written row count per pid."""
+    os.makedirs(final_root, exist_ok=True)
+    parent = os.path.dirname(final_root.rstrip("/"))
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix=os.path.basename(final_root) + ".wave.", dir=parent)
+    rows: dict[str, int] = {}
+    try:
+        ds.write_parquet(tmp, partition_cols=["pid"])
+        no_pid_schema = pa.schema([f for f in schema if f.name != "pid"])
+        for pid in pids:
+            pdir = os.path.join(tmp, f"pid={pid}")
+            os.makedirs(pdir, exist_ok=True)
+            _ensure_nonempty(pdir, no_pid_schema)
+            rows[pid] = sum(
+                pa.parquet.read_metadata(os.path.join(pdir, f)).num_rows
+                for f in os.listdir(pdir)
+                if f.endswith(".parquet")
+            )
+            final = os.path.join(final_root, f"pid={pid}")
+            if os.path.isdir(final):
+                shutil.rmtree(final)
+            os.replace(pdir, final)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return rows
 
 
 class _LoserFilter:
@@ -321,46 +455,83 @@ class _SaltAndBucket:
         )
 
 
-def _compress_group(group: pa.Table, avgdl: float) -> pa.Table:
-    """map_groups reducer: one (term, salt) group -> one compressed chunk row."""
+def _compress_bucket(group: pa.Table, avgdl: float) -> pa.Table:
+    """map_groups reducer: one (bucket, salt) group -> one compressed chunk
+    row per term in the group (SURVEY.md §7.2 step 5)."""
+    if group.num_rows == 0:
+        return SEGMENT_SCHEMA.empty_table()
+    terms = group.column("term")
+    de = terms.combine_chunks() if isinstance(terms, pa.ChunkedArray) else terms
+    de = de.dictionary_encode()
+    if isinstance(de, pa.ChunkedArray):
+        de = de.combine_chunks()
+    codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = de.dictionary.to_pylist()
     doc_ids = group.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
-    tfs = group.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
-    dls = group.column("doclen").to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.argsort(doc_ids, kind="stable")
-    doc_ids, tfs, dls = doc_ids[order], tfs[order], dls[order]
-    tf_f = tfs.astype(np.float64)
-    dl_f = dls.astype(np.float64)
+    tfs = group.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+    dls = group.column("doclen").to_numpy(zero_copy_only=False).astype(np.float64)
     # identical op order to oracle.py: tf*(K1+1)/(tf + K1*((1-B) + (B*dl)/avgdl))
-    impacts = tf_f * (K1 + 1.0) / (tf_f + K1 * ((1.0 - B) + (B * dl_f) / avgdl))
-    block_last, block_max = codec.block_metadata(doc_ids, impacts)
-    term = group.column("term")[0].as_py()
+    impacts = tfs * (K1 + 1.0) / (tfs + K1 * ((1.0 - B) + (B * dls) / avgdl))
+    order = np.lexsort((doc_ids, codes))
+    codes, doc_ids = codes[order], doc_ids[order]
+    tfs, impacts = tfs[order], impacts[order]
+    bounds = np.nonzero(np.diff(codes))[0] + 1
+    starts = np.concatenate(([0], bounds))
+    ends = np.concatenate((bounds, [len(codes)]))
     salt = group.column("salt")[0].as_py()
     bucket = group.column("bucket")[0].as_py()
+    rows = {k: [] for k in (
+        "term", "df_chunk", "doc_ids", "tfs", "impacts",
+        "block_last_doc", "block_max_impact",
+    )}
+    for s0, e0 in zip(starts, ends):
+        ids_t = doc_ids[s0:e0]
+        imp_t = impacts[s0:e0]
+        block_last, block_max = codec.block_metadata(ids_t, imp_t)
+        rows["term"].append(vocab[codes[s0]])
+        rows["df_chunk"].append(e0 - s0)
+        rows["doc_ids"].append(codec.delta_encode(ids_t))
+        rows["tfs"].append(codec.varint_encode(tfs[s0:e0].astype(np.uint64)))
+        rows["impacts"].append(codec.floats_encode(imp_t))
+        rows["block_last_doc"].append(block_last.tolist())
+        rows["block_max_impact"].append(block_max.tolist())
+    n = len(rows["term"])
     return pa.table(
         {
-            "term": pa.array([term], pa.string()),
-            "salt": pa.array([salt], pa.int32()),
-            "bucket": pa.array([bucket], pa.int32()),
-            "df_chunk": pa.array([len(doc_ids)], pa.int64()),
-            "doc_ids": pa.array([codec.delta_encode(doc_ids)], pa.binary()),
-            "tfs": pa.array([codec.varint_encode(tfs.astype(np.uint64))], pa.binary()),
-            "impacts": pa.array([codec.floats_encode(impacts)], pa.binary()),
-            "block_last_doc": pa.array([block_last.tolist()], pa.list_(pa.uint64())),
-            "block_max_impact": pa.array([block_max.tolist()], pa.list_(pa.float64())),
+            "term": pa.array(rows["term"], pa.string()),
+            "salt": pa.array([salt] * n, pa.int32()),
+            "bucket": pa.array([bucket] * n, pa.int32()),
+            "df_chunk": pa.array(rows["df_chunk"], pa.int64()),
+            "doc_ids": pa.array(rows["doc_ids"], pa.binary()),
+            "tfs": pa.array(rows["tfs"], pa.binary()),
+            "impacts": pa.array(rows["impacts"], pa.binary()),
+            "block_last_doc": pa.array(rows["block_last_doc"], pa.list_(pa.uint64())),
+            "block_max_impact": pa.array(rows["block_max_impact"], pa.list_(pa.float64())),
         }
     )
 
 
-def _compute_losers(extracted_root: str) -> pa.Table:
+_EMPTY_LOSERS = pa.table(
+    {
+        "doc_id": pa.array([], pa.uint64()),
+        "max_ts": pa.array([], pa.int64()),
+        "extra": pa.array([], pa.int64()),
+    }
+)
+
+
+def _compute_losers_from_input(files: list[str]) -> pa.Table:
     """Find urls crawled more than once; return (doc_id, max_ts, extra).
 
-    Pre-aggregated map-side per batch, then a groupby over one small row per
-    distinct (batch, url-hash) — the shuffle carries ~|distinct urls| rows of
-    16 bytes, not documents.
+    Column-pruned read of (url, warc_ts) only; per-batch pre-aggregation to
+    one (doc_id, cnt, max_ts) row per distinct url per batch.  The final
+    reduce is driver-side Arrow C++ here (rows ~= |distinct urls| per batch);
+    at 10^12-doc scale the same partial rows feed groupby(doc_id).aggregate
+    instead — identical dataflow, reducer placed on the cluster.
     """
 
     def batch_agg(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = doc_ids_of_urls(t.column("url").to_pylist())
         ts = t.column("warc_ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
         order = np.argsort(ids, kind="stable")
         sids, sts = ids[order], ts[order]
@@ -379,36 +550,36 @@ def _compute_losers(extracted_root: str) -> pa.Table:
             }
         )
 
-    ds = rd.read_parquet(extracted_root, columns=["doc_id", "warc_ts"])
-    agg = (
-        ds.map_batches(batch_agg, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("doc_id")
-        .aggregate(Sum("cnt", alias_name="cnt"), Max("max_ts", alias_name="max_ts"))
-    )
-    pdf = agg.to_pandas()
-    empty_losers = pa.table(
-        {
-            "doc_id": pa.array([], pa.uint64()),
-            "max_ts": pa.array([], pa.int64()),
-            "extra": pa.array([], pa.int64()),
-        }
-    )
-    if len(pdf) == 0 or "cnt" not in pdf.columns:
-        return empty_losers
-    tbl = pa.Table.from_pandas(pdf, preserve_index=False)
-    dup = tbl.filter(pa.compute.greater(tbl["cnt"], pa.scalar(1)))
-    extra = pa.compute.subtract(dup["cnt"], pa.scalar(1))
+    ds = rd.read_parquet(files, columns=["url", "warc_ts"])
+    parts = ds.map_batches(batch_agg, batch_format="pyarrow", zero_copy_batch=True)
+    tables = [
+        pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+        for b in parts.iter_batches(batch_format="pyarrow", batch_size=None)
+    ]
+    tables = [t for t in tables if t.num_rows]
+    if not tables:
+        return _EMPTY_LOSERS
+    allp = pa.concat_tables(tables)
+    g = allp.group_by("doc_id").aggregate([("cnt", "sum"), ("max_ts", "max")])
+    dup = g.filter(pa.compute.greater(g["cnt_sum"], pa.scalar(1)))
     return pa.table(
         {
             "doc_id": dup["doc_id"].cast(pa.uint64()),
-            "max_ts": dup["max_ts"].cast(pa.int64()),
-            "extra": extra.cast(pa.int64()),
+            "max_ts": dup["max_ts_max"].cast(pa.int64()),
+            "extra": pa.compute.subtract(dup["cnt_sum"], pa.scalar(1)).cast(pa.int64()),
         }
     )
 
 
 def _compute_stats(partials_root: str) -> tuple[pa.Table, int]:
-    """Per-term global df + total token count, map-side pre-aggregated."""
+    """Per-term global df + total token count.
+
+    Map-side pre-aggregation shrinks each batch to <= |batch vocab| rows; the
+    final reduce runs driver-side in Arrow C++ (the combined partials are
+    vocab-sized, tiny next to the corpus).  At web scale with an unbounded
+    noisy vocab this final reduce becomes a Ray groupby over the same partial
+    rows — same dataflow, different reducer placement.
+    """
 
     def batch_df(t: pa.Table) -> pa.Table:
         g = t.group_by("term").aggregate([("tf", "sum"), ("term", "count")])
@@ -421,22 +592,24 @@ def _compute_stats(partials_root: str) -> tuple[pa.Table, int]:
         )
 
     ds = rd.read_parquet(partials_root, columns=["term", "tf"])
-    agg = (
-        ds.map_batches(batch_df, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("term")
-        .aggregate(Sum("df_part", alias_name="df"), Sum("tf_sum", alias_name="tf_total"))
-    )
-    pdf = agg.to_pandas()
-    if len(pdf) == 0 or "df" not in pdf.columns:
+    parts = ds.map_batches(batch_df, batch_format="pyarrow", zero_copy_batch=True)
+    tables = [
+        pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+        for b in parts.iter_batches(batch_format="pyarrow", batch_size=None)
+    ]
+    tables = [t for t in tables if t.num_rows]
+    if not tables:
         return (
             pa.table({"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())}),
             0,
         )
-    total_tokens = int(pdf["tf_total"].sum())
+    allp = pa.concat_tables(tables)
+    g = allp.group_by("term").aggregate([("df_part", "sum"), ("tf_sum", "sum")])
+    total_tokens = int(pa.compute.sum(g["tf_sum_sum"]).as_py() or 0)
     df_tbl = pa.table(
         {
-            "term": pa.array(pdf["term"], pa.string()),
-            "df": pa.array(pdf["df"].astype("int64"), pa.int64()),
+            "term": g["term"],
+            "df": g["df_part_sum"].cast(pa.int64()),
         }
     )
     return df_tbl, total_tokens

@@ -95,26 +95,38 @@ class IndexReader:
         self._extracted = pads.dataset(os.path.join(index_dir, "extracted"))
         self._docmeta = None  # (sorted doc_ids, lang codes, ts, langs list)
         self._chunk_cache: dict[str, list] = {}
+        self._bucket_tables: dict[int, tuple] = {}
+        self._doclen = None  # (sorted doc_ids, doclens) for the rerank prior
 
     # ------------------------------------------------------------------
     def idf(self, term: str) -> float:
         df = self._df.get(term, 0)
         return float(np.log((self.n_docs - df + 0.5) / (df + 0.5) + 1.0))
 
-    def _load_chunks(self, term: str) -> list[tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]:
-        """All compressed chunks (salted) for a term, decoded; cached.
+    def _bucket_rows(self, bucket: int) -> dict[str, list[int]]:
+        """term -> row indices of the (cached) bucket segment table.
 
-        Reads only the term's hash bucket (partition pruning) with a term
-        predicate (row-group pushdown) — a T-term query touches <= T buckets.
+        Reads the term's hash bucket once (partition pruning: a T-term query
+        touches <= T buckets); subsequent terms in the same bucket are free.
         """
+        cached = self._bucket_tables.get(bucket)
+        if cached is None:
+            tbl = self._segments.to_table(filter=pc.field("bucket") == bucket)
+            terms = tbl["term"].to_pylist()
+            index: dict[str, list[int]] = {}
+            for i, t in enumerate(terms):
+                index.setdefault(t, []).append(i)
+            cached = (tbl, index)
+            self._bucket_tables[bucket] = cached
+        return cached
+
+    def _load_chunks(self, term: str) -> list[tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]:
+        """All compressed chunks (salted) for a term, decoded; cached."""
         if term in self._chunk_cache:
             return self._chunk_cache[term]
-        tbl = self._segments.to_table(
-            filter=(pc.field("bucket") == term_bucket(term))
-            & (pc.field("term") == term)
-        )
+        tbl, index = self._bucket_rows(term_bucket(term))
         chunks = []
-        for row in range(tbl.num_rows):
+        for row in index.get(term, ()):
             n = tbl["df_chunk"][row].as_py()
             ids = codec.delta_decode(tbl["doc_ids"][row].as_py(), n)
             impacts = codec.floats_decode(tbl["impacts"][row].as_py())
@@ -173,6 +185,26 @@ class IndexReader:
 
         return allowed
 
+    def _allowed_mask(self, ids: np.ndarray, lang_filter, ts_min, ts_max) -> np.ndarray:
+        """Vectorized metadata predicate over candidate doc ids."""
+        self._load_docmeta()
+        meta_ids, lang_codes, ts, langs = self._docmeta
+        pos = np.searchsorted(meta_ids, ids)
+        pos = np.minimum(pos, max(meta_ids.size - 1, 0))
+        ok = (meta_ids.size > 0) & (meta_ids[pos] == ids)
+        if lang_filter is not None:
+            want = langs.index(lang_filter) if lang_filter in langs else -2
+            ok &= lang_codes[pos] == want
+        if ts_min is not None:
+            ok &= ts[pos] >= ts_min
+        if ts_max is not None:
+            ok &= ts[pos] <= ts_max
+        return ok
+
+    # vectorized path is used when the candidate postings fit this budget;
+    # beyond it Block-Max WAND's skipping wins (and bounds memory)
+    VECTORIZED_POSTINGS_LIMIT = 2_000_000
+
     # ------------------------------------------------------------------
     def search(
         self,
@@ -182,24 +214,79 @@ class IndexReader:
         ts_min: int | None = None,
         ts_max: int | None = None,
         prior_weight: float = 0.0,
+        method: str = "auto",
     ) -> list[tuple[int, float]]:
         """BM25 top-k -> [(doc_id, score)], best first. Rank-identical to
-        OracleIndex.search."""
+        OracleIndex.search with either method:
+
+        - "bmw": Block-Max WAND document-at-a-time with a bounded heap —
+          the scale path (skips whole blocks; memory ~ O(k + cursors)).
+        - "vectorized": exhaustive term-at-a-time in numpy with the SAME
+          per-doc summation order as the oracle — faster when the candidate
+          set fits in memory (common for selective queries).
+        - "auto": vectorized below VECTORIZED_POSTINGS_LIMIT, else bmw.
+        """
         terms = sorted(set(tokenize(query_text)))
-        cursors: list[_Cursor] = []
+        term_chunks: list[tuple[str, float, list]] = []
+        total_postings = 0
         for t in terms:
             if self._df.get(t, 0) <= 0:
                 continue
             w = self.idf(t)
-            for ids, impacts, bl, bm in self._load_chunks(t):
-                if ids.size:
-                    cursors.append(_Cursor(t, w, ids, impacts, bl, bm))
-        allowed = self._allowed_fn(lang_filter, ts_min, ts_max)
+            chunks = [c for c in self._load_chunks(t) if c[0].size]
+            if chunks:
+                term_chunks.append((t, w, chunks))
+                total_postings += sum(c[0].size for c in chunks)
         pool = max(50, 10 * k) if prior_weight > 0.0 else k
-        top = self._bmw(cursors, pool, allowed)
+        use_vec = method == "vectorized" or (
+            method == "auto" and total_postings <= self.VECTORIZED_POSTINGS_LIMIT
+        )
+        if use_vec:
+            top = self._vectorized(
+                term_chunks, pool, lang_filter, ts_min, ts_max
+            )
+        else:
+            cursors = [
+                _Cursor(t, w, ids, impacts, bl, bm)
+                for t, w, chunks in term_chunks
+                for ids, impacts, bl, bm in chunks
+            ]
+            allowed = self._allowed_fn(lang_filter, ts_min, ts_max)
+            top = self._bmw(cursors, pool, allowed)
         if prior_weight > 0.0:
             top = self._rerank(top, prior_weight)
         return top[:k]
+
+    def _vectorized(
+        self, term_chunks, k: int, lang_filter, ts_min, ts_max
+    ) -> list[tuple[int, float]]:
+        """Exhaustive vectorized scoring, oracle-identical float64 results.
+
+        Terms are accumulated in ascending lexicographic order and each doc
+        appears in exactly one chunk per term, so every doc's score is the
+        same FP addition sequence the oracle performs."""
+        if not term_chunks:
+            return []
+        all_ids = np.unique(
+            np.concatenate(
+                [ids for _, _, chunks in term_chunks for ids, _, _, _ in chunks]
+            )
+        )
+        scores = np.zeros(all_ids.size, dtype=np.float64)
+        for _, w, chunks in term_chunks:  # term_chunks is term-sorted
+            for ids, impacts, _, _ in chunks:
+                idx = np.searchsorted(all_ids, ids)
+                scores[idx] += w * impacts
+        if lang_filter is not None or ts_min is not None or ts_max is not None:
+            keep = self._allowed_mask(all_ids, lang_filter, ts_min, ts_max)
+            all_ids, scores = all_ids[keep], scores[keep]
+        if all_ids.size == 0:
+            return []
+        kk = min(k, all_ids.size)
+        # exact ordering by (score DESC, doc_id ASC); candidate sets are
+        # small enough that a full lexsort beats a tie-careful argpartition
+        order = np.lexsort((all_ids, -scores))[:kk]
+        return [(int(d), float(s)) for d, s in zip(all_ids[order], scores[order])]
 
     def _bmw(self, cursors: list[_Cursor], k: int, allowed) -> list[tuple[int, float]]:
         """Block-Max WAND with a bounded min-heap of size k."""
@@ -281,16 +368,34 @@ class IndexReader:
         out = sorted(heap, key=lambda e: (-e[0], e[2]))
         return [(doc, score) for score, _, doc in out]
 
+    def _load_doclen(self) -> None:
+        """doc_id -> doclen from the partials (lazy, once per reader).
+
+        The partials already store doclen per (term, doc) row; reading two
+        pruned columns once is cheaper than re-tokenizing doc-store text per
+        rerank query."""
+        if self._doclen is not None:
+            return
+        t = pads.dataset(os.path.join(self.index_dir, "partials")).to_table(
+            columns=["doc_id", "doclen"]
+        )
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        dls = t["doclen"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uids, first = np.unique(ids, return_index=True)
+        self._doclen = (uids, dls[first])
+
     def _rerank(self, pool: list[tuple[int, float]], prior_weight: float):
         """Two-stage rerank (reference: streamlit_app.py:317-364 analog):
         score + prior_weight * ln(1 + doclen)."""
         if not pool:
             return pool
-        texts = self.fetch_docs([d for d, _ in pool], columns=["doc_id", "text"])
-        doclen = {r["doc_id"]: len(tokenize(r["text"])) for r in texts.to_pylist()}
-        rescored = [
-            (d, s + prior_weight * float(np.log1p(doclen.get(d, 0)))) for d, s in pool
-        ]
+        self._load_doclen()
+        uids, dls = self._doclen
+        rescored = []
+        for d, s in pool:
+            pos = int(np.searchsorted(uids, np.uint64(d)))
+            dl = int(dls[pos]) if pos < uids.size and uids[pos] == np.uint64(d) else 0
+            rescored.append((d, s + prior_weight * float(np.log1p(dl))))
         rescored.sort(key=lambda kv: (-kv[1], kv[0]))
         return rescored
 
@@ -314,7 +419,7 @@ class IndexReader:
             tbl = tbl.filter(pa.array(keep))
         return tbl
 
-    def topk_table(self, queries: pa.Table) -> pa.Table:
+    def topk_table(self, queries: pa.Table, method: str = "auto") -> pa.Table:
         """Run the fixed query set -> expected_topk-shaped table
         (query_id, rank, url, doc_id, score)."""
         qid_out, rank_out, did_out, score_out = [], [], [], []
@@ -331,6 +436,7 @@ class IndexReader:
                 ts_min=to_us(q.get("ts_min")),
                 ts_max=to_us(q.get("ts_max")),
                 prior_weight=q.get("prior_weight") or 0.0,
+                method=method,
             )
             for r, (did, score) in enumerate(res, start=1):
                 qid_out.append(q["query_id"])

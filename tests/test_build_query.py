@@ -56,13 +56,14 @@ def test_extracted_byte_identical(built_index):
         assert text == truth[url], f"byte mismatch for {url}"
 
 
-def test_topk_rank_identical(built_index):
+@pytest.mark.parametrize("method", ["bmw", "vectorized"])
+def test_topk_rank_identical(built_index, method):
     pages_dir, index_dir, _ = built_index
     pages = synth.gen_pages_table(N_DOCS)
     queries = synth.gen_queries_table(73)
     expected = expected_topk_table(pages, queries)
     reader = IndexReader(index_dir)
-    got = reader.topk_table(queries)
+    got = reader.topk_table(queries, method=method)
     assert got.num_rows == expected.num_rows, (
         f"result count mismatch: {got.num_rows} vs {expected.num_rows}"
     )
