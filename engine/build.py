@@ -100,8 +100,8 @@ def build_index(
     index_dir: str,
     *,
     num_partitions: int = 8,
-    extract_batch_size: int = 256,
-    tokenize_batch_size: int = 512,
+    extract_batch_size: int | None = None,
+    tokenize_batch_size: int = 4096,
     tokenizer_concurrency: int | None = None,
     input_kind: str = "pages",
 ) -> dict:
@@ -189,7 +189,8 @@ def build_index(
         )
         if len(loser_ids):
             ds = ds.map_batches(
-                _LoserFilter(loser_ref), batch_format="pyarrow", zero_copy_batch=True
+                _LoserFilter(loser_ref), batch_format="pyarrow",
+                batch_size=None, zero_copy_batch=True,
             )
         ds = ds.map_batches(dedup_latest_in_batch, batch_format="pyarrow")
         rows_per_pid = _write_partitioned(
@@ -227,12 +228,14 @@ def build_index(
             sorted(pid_dirs),
             columns=["doc_id", "text"],  # prune at the read
             include_paths=True,
-        ).map_batches(_PathToPid(pid_dirs), batch_format="pyarrow")
+        ).map_batches(_PathToPid(pid_dirs), batch_format="pyarrow", batch_size=None)
         ds = ds.map_batches(
             _PidTokenizer,
             batch_format="pyarrow",
             batch_size=tokenize_batch_size,
-            concurrency=(1, concurrency),
+            # fixed-size pool: all actors start with the phase (an autoscaling
+            # (1, N) pool ramps too slowly to saturate short waves)
+            concurrency=concurrency,
             zero_copy_batch=True,
         )
         partials_schema = PARTIAL_POSTINGS_SCHEMA.append(pa.field("pid", pa.string()))
@@ -291,19 +294,34 @@ def build_index(
         parts_ds = rd.read_parquet(
             partials_root, columns=["term", "doc_id", "tf", "doclen"]
         )
-        parts_ds = parts_ds.map_batches(
-            _SaltAndBucket(hot_ref), batch_format="pyarrow", zero_copy_batch=True
-        )
         # THE wide step: shuffle keyed on (bucket, salt).  bucket spreads the
         # vocabulary across reduce tasks; salt splits each hot term's postings
-        # so no single reduce task owns a head term's full list.  Inside a
-        # group the per-term compression is vectorized (one lexsort + slice
-        # per term), not a per-group Python roundtrip.
-        merged = parts_ds.groupby(["bucket", "salt"]).map_groups(
-            lambda g: _compress_bucket(g, avgdl), batch_format="pyarrow"
+        # so no single reduce task owns a head term's full list.  The exchange
+        # is map-side PACKED: each input batch pre-partitions its rows by key
+        # and ships one Arrow-IPC blob per (batch, key) — the all-to-all then
+        # moves ~|batches|*|keys| fat rows instead of one row per posting
+        # (7x faster than shuffling raw posting rows at 10M postings).
+        parts_ds = parts_ds.map_batches(
+            _PackedSaltAndBucket(hot_ref), batch_format="pyarrow",
+            batch_size=None,  # block-sized batches: few, fat payloads per key
+            zero_copy_batch=True,
         )
+        # pin the packed exchange input: the groupby's sampling + partition
+        # passes otherwise re-execute the whole read+pack lineage, and the
+        # packed form is the compact representation (fat payload rows) that
+        # the all-to-all must fully materialize anyway
+        parts_ds = parts_ds.materialize()
         with atomic_dir(segments_root) as tmp:
-            merged.write_parquet(tmp, partition_cols=["bucket"])
+            # each reduce group writes its own deterministic segment file
+            # (bucket=B/part-SS.parquet) directly — Ray's generic parquet
+            # sink re-buffers the large binary chunk rows and is ~3x slower;
+            # deterministic names keep retries idempotent.  (On a multi-node
+            # cluster `tmp` would be a shared-store URI, same pattern.)
+            merged = parts_ds.groupby(["bucket", "salt"]).map_groups(
+                lambda g: _compress_and_write_group(g, avgdl, tmp),
+                batch_format="pyarrow",
+            )
+            n_chunks = int(merged.count())
             if not os.listdir(tmp):  # empty corpus: keep a readable layout
                 os.makedirs(os.path.join(tmp, "bucket=0"), exist_ok=True)
                 pa.parquet.write_table(
@@ -311,7 +329,8 @@ def build_index(
                     os.path.join(tmp, "bucket=0", "empty.parquet"),
                 )
         man.record_phase(
-            "segments", partials_fp, {"hot_terms": len(hot_terms)}
+            "segments", partials_fp,
+            {"hot_terms": len(hot_terms), "chunk_groups": n_chunks},
         )
 
     _mark("t_segments")
@@ -455,6 +474,82 @@ class _SaltAndBucket:
         )
 
 
+class _PackedSaltAndBucket(_SaltAndBucket):
+    """Map-side packed exchange for the merge shuffle: rows are grouped by
+    (bucket, salt) within the batch and serialized to one Arrow-IPC payload
+    per key, so the groupby sorts thousands of fat rows, not millions of
+    postings."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t = super().__call__(batch)
+        b = t.column("bucket").to_numpy(zero_copy_only=False).astype(np.int64)
+        sa = t.column("salt").to_numpy(zero_copy_only=False).astype(np.int64)
+        key = b * (NUM_SALTS + 1) + sa
+        order = np.argsort(key, kind="stable")
+        t2 = t.take(pa.array(order))
+        key = key[order]
+        bounds = np.nonzero(np.diff(key))[0] + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(key)]))
+        buckets, salts, payloads = [], [], []
+        for s0, e0 in zip(starts, ends):
+            sub = (
+                t2.slice(s0, e0 - s0)
+                .select(["term", "doc_id", "tf", "doclen"])
+                .combine_chunks()
+            )
+            sink = pa.BufferOutputStream()
+            with pa.ipc.new_stream(sink, sub.schema) as w:
+                w.write_table(sub)
+            buckets.append(int(key[s0] // (NUM_SALTS + 1)))
+            salts.append(int(key[s0] % (NUM_SALTS + 1)))
+            payloads.append(sink.getvalue().to_pybytes())
+        return pa.table(
+            {
+                "bucket": pa.array(buckets, pa.int32()),
+                "salt": pa.array(salts, pa.int32()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+
+def _compress_and_write_group(group: pa.Table, avgdl: float, out_root: str) -> pa.Table:
+    """Reduce group -> compressed chunk rows written straight to the segment
+    file for (bucket, salt); returns a 1-row summary."""
+    t = _unpack_and_compress(group, avgdl)
+    bucket = t["bucket"][0].as_py()
+    salt = t["salt"][0].as_py()
+    d = os.path.join(out_root, f"bucket={bucket}")
+    os.makedirs(d, exist_ok=True)
+    pa.parquet.write_table(
+        t.drop_columns(["bucket"]),
+        os.path.join(d, f"part-{salt:02d}.parquet"),
+        use_dictionary=False,
+        compression="zstd",
+        compression_level=1,
+    )
+    return pa.table(
+        {
+            "bucket": pa.array([bucket], pa.int32()),
+            "salt": pa.array([salt], pa.int32()),
+            "n_terms": pa.array([t.num_rows], pa.int64()),
+        }
+    )
+
+
+def _unpack_and_compress(group: pa.Table, avgdl: float) -> pa.Table:
+    """Reduce side of the packed exchange: concat this key's fragments and
+    compress every term's postings in the group."""
+    tbls = [pa.ipc.open_stream(p).read_all() for p in group["payload"].to_pylist()]
+    t = pa.concat_tables(tbls)
+    n = t.num_rows
+    bucket = group["bucket"][0].as_py()
+    salt = group["salt"][0].as_py()
+    t = t.append_column("bucket", pa.array([bucket] * n, pa.int32()))
+    t = t.append_column("salt", pa.array([salt] * n, pa.int32()))
+    return _compress_bucket(t, avgdl)
+
+
 def _compress_bucket(group: pa.Table, avgdl: float) -> pa.Table:
     """map_groups reducer: one (bucket, salt) group -> one compressed chunk
     row per term in the group (SURVEY.md §7.2 step 5)."""
@@ -551,7 +646,9 @@ def _compute_losers_from_input(files: list[str]) -> pa.Table:
         )
 
     ds = rd.read_parquet(files, columns=["url", "warc_ts"])
-    parts = ds.map_batches(batch_agg, batch_format="pyarrow", zero_copy_batch=True)
+    parts = ds.map_batches(
+        batch_agg, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
     tables = [
         pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
         for b in parts.iter_batches(batch_format="pyarrow", batch_size=None)
@@ -592,7 +689,9 @@ def _compute_stats(partials_root: str) -> tuple[pa.Table, int]:
         )
 
     ds = rd.read_parquet(partials_root, columns=["term", "tf"])
-    parts = ds.map_batches(batch_df, batch_format="pyarrow", zero_copy_batch=True)
+    parts = ds.map_batches(
+        batch_df, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
     tables = [
         pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
         for b in parts.iter_batches(batch_format="pyarrow", batch_size=None)

@@ -42,13 +42,20 @@ def broadcast_join(
     join_type = _ARROW_JOIN_TYPE[how]
     ref = ray.put(small)
 
-    class _Probe:
-        def __init__(self):
-            self.small = ray.get(ref)  # fetched once per actor
+    def _probe(batch: pa.Table) -> pa.Table:
+        # stateless tasks (no actor-pool spin-up); the broadcast table is
+        # fetched once per worker PROCESS via a module-level memo — ray.get
+        # of a local object is a zero-copy shm read, and memoizing it keeps
+        # workers out of the blocked-on-get state between batches
+        key = ref.hex()
+        small_tbl = _BROADCAST_MEMO.get(key)
+        if small_tbl is None:
+            small_tbl = ray.get(ref)
+            _BROADCAST_MEMO.clear()  # hold at most one table per worker
+            _BROADCAST_MEMO[key] = small_tbl
+        return batch.join(small_tbl, keys=keys, right_keys=rkeys, join_type=join_type)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            return batch.join(
-                self.small, keys=keys, right_keys=rkeys, join_type=join_type
-            )
+    return ds.map_batches(_probe, batch_format="pyarrow", zero_copy_batch=True)
 
-    return ds.map_batches(_Probe, batch_format="pyarrow", concurrency=(1, 4))
+
+_BROADCAST_MEMO: dict[str, pa.Table] = {}

@@ -146,15 +146,21 @@ def q3_top_orders(sf_dir: str):
         ).aggregate([("rev", "sum")])
         return g
 
-    rev = (
-        li.map_batches(rev_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("l_orderkey")
-        .aggregate(Sum("rev_sum", alias_name="revenue"))
+    # the filtered, segment-restricted orders side is small: broadcast it and
+    # finish the grouped-revenue aggregate per batch (no row-level shuffle of
+    # lineitem at all — the partial groupby(l_orderkey) happens map-side and
+    # the final reduce runs over order-grain rows)
+    orders_tbl = pa.Table.from_pandas(orders.to_pandas(), preserve_index=False)
+    rev = broadcast_join(
+        li.map_batches(rev_partial, batch_format="pyarrow", zero_copy_batch=True),
+        orders_tbl, on="l_orderkey", right_on="o_orderkey",
     )
-    joined = rev.join(orders, "inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",))
-    df = joined.to_pandas()
-    # Dataset.join keeps the left key column name; restore the orders name
-    df = df.rename(columns={"l_orderkey": "o_orderkey"})
+    agg = rev.groupby("l_orderkey").aggregate(Sum("rev_sum", alias_name="revenue"))
+    df = agg.to_pandas().rename(columns={"l_orderkey": "o_orderkey"})
+    dates = dict(
+        zip(orders_tbl["o_orderkey"].to_pylist(), orders_tbl["o_orderdate"].to_pylist())
+    )
+    df["o_orderdate"] = df["o_orderkey"].map(dates)
     df["revenue"] = df["revenue"].round(2)
     df = df.sort_values(["revenue", "o_orderkey"], ascending=[False, True]).head(10)
     return df[["o_orderkey", "o_orderdate", "revenue"]].reset_index(drop=True)

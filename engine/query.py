@@ -97,6 +97,7 @@ class IndexReader:
         self._chunk_cache: dict[str, list] = {}
         self._bucket_tables: dict[int, tuple] = {}
         self._doclen = None  # (sorted doc_ids, doclens) for the rerank prior
+        self._pos_cache: dict[tuple[str, int], np.ndarray] = {}
 
     # ------------------------------------------------------------------
     def idf(self, term: str) -> float:
@@ -257,36 +258,62 @@ class IndexReader:
             top = self._rerank(top, prior_weight)
         return top[:k]
 
+    def _chunk_positions(self, term: str, chunk_i: int, ids: np.ndarray) -> np.ndarray:
+        """Positions of a chunk's doc ids within the global sorted doc table
+        (cached per (term, chunk) — the searchsorted is the expensive part of
+        a cold query; warm queries become pure vector adds)."""
+        key = (term, chunk_i)
+        pos = self._pos_cache.get(key)
+        if pos is None:
+            self._load_docmeta()
+            meta_ids = self._docmeta[0]
+            pos = np.searchsorted(meta_ids, ids)
+            self._pos_cache[key] = pos
+        return pos
+
     def _vectorized(
         self, term_chunks, k: int, lang_filter, ts_min, ts_max
     ) -> list[tuple[int, float]]:
         """Exhaustive vectorized scoring, oracle-identical float64 results.
 
-        Terms are accumulated in ascending lexicographic order and each doc
-        appears in exactly one chunk per term, so every doc's score is the
-        same FP addition sequence the oracle performs."""
+        Scores accumulate into a dense array indexed by each doc's position
+        in the sorted global doc table.  Terms are accumulated in ascending
+        lexicographic order and each doc appears in exactly one chunk per
+        term, so every doc's score is the same FP addition sequence the
+        oracle performs."""
         if not term_chunks:
             return []
-        all_ids = np.unique(
-            np.concatenate(
-                [ids for _, _, chunks in term_chunks for ids, _, _, _ in chunks]
-            )
-        )
-        scores = np.zeros(all_ids.size, dtype=np.float64)
-        for _, w, chunks in term_chunks:  # term_chunks is term-sorted
-            for ids, impacts, _, _ in chunks:
-                idx = np.searchsorted(all_ids, ids)
-                scores[idx] += w * impacts
+        self._load_docmeta()
+        meta_ids = self._docmeta[0]
+        scores = np.zeros(meta_ids.size, dtype=np.float64)
+        touched = np.zeros(meta_ids.size, dtype=bool)
+        for t, w, chunks in term_chunks:  # term_chunks is term-sorted
+            for ci, (ids, impacts, _, _) in enumerate(chunks):
+                pos = self._chunk_positions(t, ci, ids)
+                scores[pos] += w * impacts  # unique positions within a chunk
+                touched[pos] = True
         if lang_filter is not None or ts_min is not None or ts_max is not None:
-            keep = self._allowed_mask(all_ids, lang_filter, ts_min, ts_max)
-            all_ids, scores = all_ids[keep], scores[keep]
-        if all_ids.size == 0:
+            _, lang_codes, ts, langs = self._docmeta
+            if lang_filter is not None:
+                want = langs.index(lang_filter) if lang_filter in langs else -2
+                touched &= lang_codes == want
+            if ts_min is not None:
+                touched &= ts >= ts_min
+            if ts_max is not None:
+                touched &= ts <= ts_max
+        cand = np.nonzero(touched)[0]
+        if cand.size == 0:
             return []
-        kk = min(k, all_ids.size)
-        # exact ordering by (score DESC, doc_id ASC); candidate sets are
-        # small enough that a full lexsort beats a tie-careful argpartition
-        order = np.lexsort((all_ids, -scores))[:kk]
-        return [(int(d), float(s)) for d, s in zip(all_ids[order], scores[order])]
+        kk = min(k, cand.size)
+        cscores = scores[cand]
+        # exact top-k under (score DESC, doc_id ASC): take everything at or
+        # above the kk-th score, then lexsort that (small) tie-closed set
+        thr = -np.partition(-cscores, kk - 1)[kk - 1]
+        top = cand[cscores >= thr]
+        tscores = scores[top]
+        tids = meta_ids[top]
+        order = np.lexsort((tids, -tscores))[:kk]
+        return [(int(d), float(s)) for d, s in zip(tids[order], tscores[order])]
 
     def _bmw(self, cursors: list[_Cursor], k: int, allowed) -> list[tuple[int, float]]:
         """Block-Max WAND with a bounded min-heap of size k."""
