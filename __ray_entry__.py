@@ -25,7 +25,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from engine.ops import ann, dedup, docsearch, relational, textops
+    from engine.ops import ann, dedup, docsearch, enrich, multimodal, relational, textops
 
     return {
         # flagship: full index build + BM25 top-k (SURVEY.md §3, K1/K2)
@@ -39,6 +39,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_latest_per_user": relational.events_latest_per_user,
         "events_pivot": relational.events_pivot,
         "events_tumbling_daily": relational.events_tumbling_daily,
+        "events_page3": relational.events_page3,
+        "events_sample_stats": relational.events_sample_stats,
         "customers_without_recent_orders": relational.customers_without_recent_orders,
         "orders_semi_building": relational.orders_semi_building,
         "orders_topk": relational.orders_topk,
@@ -61,6 +63,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_topk": ann.knn_topk,
         "lsh_knn_topk": ann.lsh_knn_topk,  # approx: rows-only
         "cosine_dup_pairs": ann.cosine_dup_pairs,
+        # enrichment + multimodal stages (stubbed externals: rows-only)
+        "enrich_documents": enrich.enrich_documents,
+        "media_features": multimodal.media_features,
     }
 
 
@@ -77,6 +82,8 @@ def oracle_sql() -> dict[str, str]:
         "events_latest_per_user": relational.EVENTS_LATEST_SQL,
         "events_pivot": relational.EVENTS_PIVOT_SQL,
         "events_tumbling_daily": relational.EVENTS_TUMBLING_SQL,
+        "events_page3": relational.EVENTS_PAGE3_SQL,
+        "events_sample_stats": relational.EVENTS_SAMPLE_STATS_SQL,
         "customers_without_recent_orders": relational.CUSTOMERS_ANTI_SQL,
         "orders_semi_building": relational.ORDERS_SEMI_SQL,
         "orders_topk": relational.ORDERS_TOPK_SQL,

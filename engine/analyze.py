@@ -20,6 +20,7 @@ stays inside an Arrow dictionary).
 from __future__ import annotations
 
 import re
+from dataclasses import dataclass, field
 
 import numpy as np
 import pyarrow as pa
@@ -31,13 +32,45 @@ SPLIT_PATTERN = "[^a-z0-9]+"
 _PY_TOKEN_RE = re.compile(TOKEN_PATTERN)
 
 
-def tokenize(text: str) -> list[str]:
+@dataclass(frozen=True)
+class AnalyzerConfig:
+    """User-extension surface (SURVEY.md §2.10): declarative analyzer config
+    (the reference's prompt-file/registry pattern,
+    ec2/generate_slogans/__main__.py:41-53).  The default config keeps every
+    token so the conformance corpus stays byte-for-byte comparable."""
+
+    stopwords: frozenset[str] = field(default_factory=frozenset)
+    min_len: int = 1
+
+    def to_json(self) -> dict:
+        return {"stopwords": sorted(self.stopwords), "min_len": self.min_len}
+
+    @classmethod
+    def from_json(cls, d: dict | None) -> "AnalyzerConfig":
+        if not d:
+            return cls()
+        return cls(
+            stopwords=frozenset(d.get("stopwords", ())),
+            min_len=int(d.get("min_len", 1)),
+        )
+
+
+DEFAULT_ANALYZER = AnalyzerConfig()
+
+
+def tokenize(text: str, cfg: AnalyzerConfig = DEFAULT_ANALYZER) -> list[str]:
     """Reference (oracle-side) tokenizer. Must match Tokenizer exactly."""
-    return _PY_TOKEN_RE.findall(text.lower())
+    toks = _PY_TOKEN_RE.findall(text.lower())
+    if cfg.min_len > 1 or cfg.stopwords:
+        toks = [
+            t for t in toks if len(t) >= cfg.min_len and t not in cfg.stopwords
+        ]
+    return toks
 
 
 def tokenize_counts_arrow(
     texts: pa.ChunkedArray | pa.Array,
+    cfg: AnalyzerConfig = DEFAULT_ANALYZER,
 ) -> tuple[np.ndarray, pa.Array, np.ndarray, np.ndarray]:
     """Vectorized per-doc term counting.
 
@@ -68,10 +101,23 @@ def tokenize_counts_arrow(
         de = de.combine_chunks()
     codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     vocab = de.dictionary
-    # the split leaves "" tokens at string boundaries; drop that dict code
+    # the split leaves "" tokens at string boundaries; drop that dict code,
+    # plus any analyzer-filtered codes (stopwords / min_len) — all decided
+    # once per dictionary entry, then applied vectorized over the codes
+    drop = np.zeros(len(vocab), dtype=bool)
     empty_code = pc.index(vocab, "").as_py()
     if empty_code >= 0:
-        keep = codes != empty_code
+        drop[empty_code] = True
+    if cfg.min_len > 1:
+        lens = pc.utf8_length(vocab).to_numpy(zero_copy_only=False)
+        drop |= lens < cfg.min_len
+    if cfg.stopwords:
+        is_stop = pc.is_in(
+            vocab, value_set=pa.array(sorted(cfg.stopwords))
+        ).to_numpy(zero_copy_only=False)
+        drop |= is_stop
+    if drop.any():
+        keep = ~drop[codes]
         codes = codes[keep]
         parents = parents[keep]
     doclens = np.bincount(parents, minlength=n_docs).astype(np.int32)
@@ -94,14 +140,17 @@ class Tokenizer:
     per-token rows ever hit the shuffle).
     """
 
-    def __init__(self) -> None:
+    def __init__(self, cfg: AnalyzerConfig = DEFAULT_ANALYZER) -> None:
         # analyzer state built once per actor (RE2 pattern compilation warms
         # on first call; do it here, not per batch)
+        self.cfg = cfg
         pc.split_pattern_regex(pa.array(["warm up 1"]), pattern=SPLIT_PATTERN)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        doc_idx, terms, tfs, doclens = tokenize_counts_arrow(batch.column("text"))
+        doc_idx, terms, tfs, doclens = tokenize_counts_arrow(
+            batch.column("text"), self.cfg
+        )
         return pa.table(
             {
                 "term": terms.cast(pa.string()),

@@ -37,7 +37,7 @@ import ray.data as rd
 from ray.data.aggregate import Max, Sum
 
 from . import codec
-from .analyze import Tokenizer
+from .analyze import DEFAULT_ANALYZER, AnalyzerConfig, Tokenizer
 from .checkpoint import BuildManifest, atomic_dir, fingerprint_files
 from .extract import dedup_latest_in_batch, extract_batch
 from .schema import doc_ids_of_urls
@@ -61,6 +61,14 @@ def _ensure_nonempty(out_dir: str, schema: pa.Schema) -> None:
         pa.parquet.write_table(
             schema.empty_table(), os.path.join(out_dir, "empty.parquet")
         )
+
+
+def _hash_analyzer(cfg: AnalyzerConfig) -> str:
+    import hashlib as _h
+
+    return _h.blake2b(
+        json.dumps(cfg.to_json(), sort_keys=True).encode(), digest_size=6
+    ).hexdigest()
 
 
 def _partition_inputs(input_files: list[str], num_partitions: int) -> dict[str, list[str]]:
@@ -101,9 +109,10 @@ def build_index(
     *,
     num_partitions: int = 8,
     extract_batch_size: int | None = None,
-    tokenize_batch_size: int = 4096,
+    tokenize_batch_size: int | None = None,
     tokenizer_concurrency: int | None = None,
     input_kind: str = "pages",
+    analyzer: AnalyzerConfig = DEFAULT_ANALYZER,
 ) -> dict:
     """Build (or resume) the full index under ``index_dir``. Returns metrics."""
     if isinstance(input_path, str):
@@ -212,7 +221,10 @@ def build_index(
     todo = []
     for pid in parts:
         out_dir = os.path.join(partials_root, f"pid={pid}")
-        fp = man.data["partitions"][pid]["phase"]["extract"]["fingerprint"]
+        fp = (
+            man.data["partitions"][pid]["phase"]["extract"]["fingerprint"]
+            + "+A" + _hash_analyzer(analyzer)
+        )
         if man.partition_done(pid, "postings", fp, out_dir):
             metrics["skipped_postings"] += 1
         else:
@@ -231,6 +243,7 @@ def build_index(
         ).map_batches(_PathToPid(pid_dirs), batch_format="pyarrow", batch_size=None)
         ds = ds.map_batches(
             _PidTokenizer,
+            fn_constructor_args=(analyzer,),
             batch_format="pyarrow",
             batch_size=tokenize_batch_size,
             # fixed-size pool: all actors start with the phase (an autoscaling
@@ -239,7 +252,11 @@ def build_index(
             zero_copy_batch=True,
         )
         partials_schema = PARTIAL_POSTINGS_SCHEMA.append(pa.field("pid", pa.string()))
-        _write_partitioned(ds, partials_root, [pid for pid, _ in todo], partials_schema)
+        _write_partitioned(
+            ds, partials_root, [pid for pid, _ in todo], partials_schema,
+            use_dictionary=["term"],  # terms dict-encode well; ids/tfs don't
+            compression="zstd", compression_level=1,
+        )
         for pid, fp in todo:
             man.record_partition(pid, "postings", fp, [], {})
     _mark("t_postings")
@@ -272,6 +289,7 @@ def build_index(
             "b": B,
             "num_salts": NUM_SALTS,
             "num_buckets": NUM_TERM_BUCKETS,
+            "analyzer": analyzer.to_json(),
         }
         with open(stats_path + ".tmp", "w") as f:
             json.dump(stats, f, indent=1)
@@ -353,8 +371,10 @@ class _PathToPid:
         if isinstance(de, pa.ChunkedArray):
             de = de.combine_chunks()
         pid_of = [self.path_to_pid[p] for p in de.dictionary.to_pylist()]
-        codes = de.indices.to_numpy(zero_copy_only=False)
-        return pa.array(np.asarray(pid_of, dtype=object)[codes], pa.string())
+        codes = de.indices.cast(pa.int32())
+        # dictionary-encoded pid: 4 bytes/row through the pipeline, not a
+        # python string per row (148M rows at 1.5M docs)
+        return pa.DictionaryArray.from_arrays(codes, pa.array(pid_of, pa.string()))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         pid = self.pid_array(batch)
@@ -376,22 +396,32 @@ class _ExtractWithPid(_PathToPid):
 
 class _PidTokenizer(Tokenizer):
     """Tokenizer that forwards each doc's pid onto its posting rows (batches
-    after a union may mix partitions, so pid is carried per row)."""
+    after a union may mix partitions, so pid is carried per row, dictionary-
+    encoded)."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = super().__call__(batch)
-        pids = batch.column("pid").to_numpy(zero_copy_only=False)
+        pid_col = batch.column("pid")
+        if isinstance(pid_col, pa.ChunkedArray):
+            pid_col = pid_col.combine_chunks()
+        if not pa.types.is_dictionary(pid_col.type):
+            pid_col = pid_col.dictionary_encode()
+        pid_codes = pid_col.indices.to_numpy(zero_copy_only=False)
         doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         # map each posting row back to its doc's position in this batch
         order = np.argsort(doc_ids, kind="stable")
         pos = order[
             np.searchsorted(doc_ids[order], out.column("doc_id").to_numpy(zero_copy_only=False))
         ]
-        return out.append_column("pid", pa.array(pids[pos], pa.string()))
+        pid_out = pa.DictionaryArray.from_arrays(
+            pa.array(pid_codes[pos].astype(np.int32)), pid_col.dictionary
+        )
+        return out.append_column("pid", pid_out)
 
 
 def _write_partitioned(
-    ds: rd.Dataset, final_root: str, pids: list[str], schema: pa.Schema
+    ds: rd.Dataset, final_root: str, pids: list[str], schema: pa.Schema,
+    **write_args,
 ) -> dict[str, int]:
     """Write a pid-tagged dataset as hive dirs, then promote each pid dir
     into `final_root` atomically; returns written row count per pid."""
@@ -402,7 +432,7 @@ def _write_partitioned(
     tmp = tempfile.mkdtemp(prefix=os.path.basename(final_root) + ".wave.", dir=parent)
     rows: dict[str, int] = {}
     try:
-        ds.write_parquet(tmp, partition_cols=["pid"])
+        ds.write_parquet(tmp, partition_cols=["pid"], **write_args)
         no_pid_schema = pa.schema([f for f in schema if f.name != "pid"])
         for pid in pids:
             pdir = os.path.join(tmp, f"pid={pid}")

@@ -589,3 +589,89 @@ JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name
 """
+
+
+# K4 analog: keyset-paginated ordered scan (ec2/rds/paginate.py:5-68).
+# The engine equivalent of OFFSET pagination is a deterministic sort with a
+# keyset cursor; the oracle uses LIMIT/OFFSET over the same total order.
+def events_page3(sf_dir: str, page_size: int = 100):
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        idx = pc.select_k_unstable(
+            t, k=3 * page_size,
+            sort_keys=[("ts", "ascending"), ("event_id", "ascending")],
+        )
+        return t.take(idx)
+
+    # per-batch local head keeps the driver merge tiny (pages are read from
+    # the front of the (ts, event_id) order)
+    head = ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+    df = head.to_pandas().sort_values(["ts", "event_id"]).head(3 * page_size)
+    return df.iloc[2 * page_size : 3 * page_size].reset_index(drop=True)
+
+
+EVENTS_PAGE3_SQL = """
+SELECT event_id, ts, user_id, event_type FROM events
+ORDER BY ts, event_id LIMIT 100 OFFSET 200
+"""
+
+
+# K5/A7 analog: deterministic hash sampling + statistical estimate
+# (ORDER BY RANDOM() at ec2/rds/query.py:35-37; p-hat +/- 1.96*sigma at
+# ec2/tests/arxiv_s3_v_diff/__main__.py:66-127).  Randomness is replaced by
+# a content hash so engine and oracle draw the identical sample.
+def events_sample_stats(sf_dir: str):
+    import hashlib
+
+    ds = _read(sf_dir, "events", columns=["event_id", "value"])
+
+    def sample(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_pylist()
+        keep = [
+            hashlib.md5(str(i).encode()).hexdigest()[:2] < "20" for i in ids
+        ]  # ~12.5% sample
+        return t.filter(pa.array(keep))
+
+    sampled = ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "n": pa.array([len(v)], pa.int64()),
+                "s": pa.array([float(v.sum())], pa.float64()),
+                "s2": pa.array([float((v * v).sum())], pa.float64()),
+            }
+        )
+
+    parts = sampled.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n = int(parts["n"].sum())
+    s = float(parts["s"].sum())
+    s2 = float(parts["s2"].sum())
+    mean = s / n
+    var = s2 / n - mean * mean
+    half = 1.96 * (var / n) ** 0.5
+    return pd.DataFrame(
+        {
+            "n": [n],
+            "mean_value": [round(mean, 6)],
+            "ci_low": [round(mean - half, 6)],
+            "ci_high": [round(mean + half, 6)],
+        }
+    )
+
+
+EVENTS_SAMPLE_STATS_SQL = """
+WITH s AS (
+  SELECT value FROM events WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2) < '20'
+),
+agg AS (
+  SELECT count(*) AS n, sum(value) AS sv, sum(value * value) AS sv2 FROM s
+)
+SELECT n,
+  round(sv / n, 6) AS mean_value,
+  round(sv / n - 1.96 * sqrt((sv2 / n - (sv / n) * (sv / n)) / n), 6) AS ci_low,
+  round(sv / n + 1.96 * sqrt((sv2 / n - (sv / n) * (sv / n)) / n), 6) AS ci_high
+FROM agg
+"""

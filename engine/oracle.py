@@ -23,7 +23,7 @@ from dataclasses import dataclass, field
 import numpy as np
 import pyarrow as pa
 
-from .analyze import tokenize
+from .analyze import DEFAULT_ANALYZER, AnalyzerConfig, tokenize
 from .extract import extract_text
 from .schema import B, K1, doc_id_of_url
 
@@ -42,7 +42,8 @@ class OracleDoc:
 class OracleIndex:
     """In-memory exhaustive index over a pages table."""
 
-    def __init__(self, pages: pa.Table):
+    def __init__(self, pages: pa.Table, analyzer: AnalyzerConfig = DEFAULT_ANALYZER):
+        self.analyzer = analyzer
         rows = pages.to_pylist()
         # keep-latest dedup per url: max (warc_ts, row order) wins
         by_url: dict[str, tuple] = {}
@@ -60,7 +61,7 @@ class OracleIndex:
         for _, r, ts_us in by_url.values():
             text = extract_text(r["html"])
             did = doc_id_of_url(r["url"])
-            toks = tokenize(text)
+            toks = tokenize(text, analyzer)
             doc = OracleDoc(did, r["url"], ts_us, r["lang"], text, len(toks))
             for t in toks:
                 doc.tf[t] = doc.tf.get(t, 0) + 1
@@ -100,7 +101,7 @@ class OracleIndex:
         pool = max(50, 10k) BM25 candidates, rescored with
         score + prior_weight * ln(1 + doclen).
         """
-        terms = sorted(set(tokenize(query_text)))
+        terms = sorted(set(tokenize(query_text, self.analyzer)))
         scores: dict[int, float] = {}
         for t in terms:  # ascending term order == engine's summation order
             plist = self.postings.get(t)

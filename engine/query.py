@@ -35,7 +35,7 @@ import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 
 from . import codec
-from .analyze import tokenize
+from .analyze import AnalyzerConfig, tokenize
 from .schema import term_bucket
 
 
@@ -85,6 +85,7 @@ class IndexReader:
             self.stats = json.load(f)
         self.n_docs = self.stats["n_docs"]
         self.avgdl = self.stats["avgdl"]
+        self.analyzer = AnalyzerConfig.from_json(self.stats.get("analyzer"))
         df_tbl = pq.read_table(os.path.join(index_dir, "dfs.parquet"))
         self._df = dict(
             zip(df_tbl["term"].to_pylist(), df_tbl["df"].to_pylist())
@@ -227,7 +228,7 @@ class IndexReader:
           set fits in memory (common for selective queries).
         - "auto": vectorized below VECTORIZED_POSTINGS_LIMIT, else bmw.
         """
-        terms = sorted(set(tokenize(query_text)))
+        terms = sorted(set(tokenize(query_text, self.analyzer)))
         term_chunks: list[tuple[str, float, list]] = []
         total_postings = 0
         for t in terms:
