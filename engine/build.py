@@ -54,6 +54,10 @@ from .schema import (
 )
 
 
+# bump when the on-disk layout or scoring-relevant semantics change
+FORMAT_VERSION = 2
+
+
 def _ensure_nonempty(out_dir: str, schema: pa.Schema) -> None:
     """Zero-row stages must still leave a schema-bearing parquet file so
     downstream column-pruned reads work (empty-corpus / empty-partition)."""
@@ -130,6 +134,15 @@ def build_index(
 
     os.makedirs(index_dir, exist_ok=True)
     man = BuildManifest(index_dir)
+    # a format bump invalidates every checkpoint (segment/partials layout or
+    # scoring semantics changed); input fingerprints alone can't see that
+    if man.data.get("config", {}).get("format_version") != FORMAT_VERSION:
+        if man.data.get("partitions") or man.data.get("phases"):
+            shutil.rmtree(index_dir)
+            os.makedirs(index_dir, exist_ok=True)
+            man = BuildManifest(index_dir)
+        man.data.setdefault("config", {})["format_version"] = FORMAT_VERSION
+        man.save()
     parts = _partition_inputs(files, num_partitions)
     concurrency = tokenizer_concurrency or _default_concurrency()
     metrics: dict = {"partitions": len(parts), "skipped_extract": 0, "skipped_postings": 0}
