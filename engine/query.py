@@ -203,9 +203,10 @@ class IndexReader:
             ok &= ts[pos] <= ts_max
         return ok
 
-    # vectorized path is used when the candidate postings fit this budget;
-    # beyond it Block-Max WAND's skipping wins (and bounds memory)
-    VECTORIZED_POSTINGS_LIMIT = 2_000_000
+    # vectorized path is used when the candidate postings fit this budget
+    # (cost is O(n_docs + postings) with a dense f64 score array); beyond it
+    # Block-Max WAND's skipping wins and bounds memory to O(k + cursors)
+    VECTORIZED_POSTINGS_LIMIT = 20_000_000
 
     # ------------------------------------------------------------------
     def search(
