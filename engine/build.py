@@ -34,15 +34,14 @@ import pyarrow as pa
 import pyarrow.parquet  # noqa: F401  (enables pa.parquet.*)
 import ray
 import ray.data as rd
-from ray.data.aggregate import Max, Sum
 
 from . import codec
 from .analyze import DEFAULT_ANALYZER, AnalyzerConfig, Tokenizer
 from .checkpoint import BuildManifest, atomic_dir, fingerprint_files
 from .extract import dedup_latest_in_batch, extract_batch
-from .schema import doc_ids_of_urls
 from .schema import (
     B,
+    doc_ids_of_urls,
     EXTRACTED_SCHEMA,
     HOT_TERM_DF_FRACTION,
     K1,
