@@ -215,7 +215,9 @@ def build_index(
             )
         ds = ds.map_batches(dedup_latest_in_batch, batch_format="pyarrow")
         rows_per_pid = _write_partitioned(
-            ds, extracted_root, [pid for pid, _, _ in todo], EXTRACTED_SCHEMA
+            ds, extracted_root, [pid for pid, _, _ in todo], EXTRACTED_SCHEMA,
+            compression="zstd", compression_level=1,  # doc store is write-
+            # heavy and disk-bound; zstd-1 halves bytes at ~snappy speed
         )
         for pid, pfiles, fp in todo:
             man.record_partition(
