@@ -54,7 +54,7 @@ from .schema import (
 
 
 # bump when the on-disk layout or scoring-relevant semantics change
-FORMAT_VERSION = 2
+FORMAT_VERSION = 3
 
 
 def _ensure_nonempty(out_dir: str, schema: pa.Schema) -> None:
@@ -143,6 +143,7 @@ def build_index(
         man.data.setdefault("config", {})["format_version"] = FORMAT_VERSION
         man.save()
     parts = _partition_inputs(files, num_partitions)
+    _prune_stale_partitions(index_dir, man, set(parts))
     concurrency = tokenizer_concurrency or _default_concurrency()
     metrics: dict = {"partitions": len(parts), "skipped_extract": 0, "skipped_postings": 0}
     _t = _time.perf_counter()
@@ -161,9 +162,10 @@ def build_index(
     losers_path = os.path.join(index_dir, "losers.parquet")
     all_input_fp = fingerprint_files(files) if files else "empty"
     losers_fp = "input:" + all_input_fp
+    rank_of_path = {f: i for i, f in enumerate(sorted(files))}
     if not man.phase_done("losers", losers_fp, losers_path):
         if input_kind == "pages" and files:
-            losers_tbl = _compute_losers_from_input(files)
+            losers_tbl = _compute_losers_from_input(files, rank_of_path)
         else:  # documents tables carry a unique doc_id — no recrawls
             losers_tbl = _EMPTY_LOSERS
         pa.parquet.write_table(losers_tbl, losers_path + ".tmp")
@@ -176,8 +178,11 @@ def build_index(
     losers_tbl = pa.parquet.read_table(losers_path)
     loser_ids = losers_tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
     loser_max_ts = losers_tbl["max_ts"].to_numpy(zero_copy_only=False).astype(np.int64)
+    loser_win_rank = losers_tbl["win_rank"].to_numpy(zero_copy_only=False).astype(np.int32)
     loser_order = np.argsort(loser_ids)
-    loser_ref = ray.put((loser_ids[loser_order], loser_max_ts[loser_order]))
+    loser_ref = ray.put(
+        (loser_ids[loser_order], loser_max_ts[loser_order], loser_win_rank[loser_order])
+    )
     # content hash of the loser set: extract partitions are invalidated only
     # when the DEDUP OUTCOME changes, not whenever any input file changes
     import hashlib as _hashlib
@@ -185,6 +190,7 @@ def build_index(
     _lh = _hashlib.blake2b(digest_size=8)
     _lh.update(loser_ids[loser_order].tobytes())
     _lh.update(loser_max_ts[loser_order].tobytes())
+    _lh.update(loser_win_rank[loser_order].tobytes())
     loser_content_fp = _lh.hexdigest()
     _mark("t_losers")
 
@@ -204,7 +210,10 @@ def build_index(
         path_to_pid = {f: pid for pid, pfiles, _ in todo for f in pfiles}
         ds = rd.read_parquet(sorted(path_to_pid), include_paths=True)
         ds = ds.map_batches(
-            _ExtractWithPid(extract_fn, path_to_pid),
+            _ExtractWithPid(
+                extract_fn, path_to_pid,
+                rank_of_path if len(loser_ids) else None,
+            ),
             batch_format="pyarrow", batch_size=extract_batch_size,
             zero_copy_batch=True,
         )
@@ -371,6 +380,34 @@ def build_index(
     return metrics
 
 
+def _prune_stale_partitions(
+    index_dir: str, man: BuildManifest, live_pids: set[str]
+) -> None:
+    """Delete extracted/partials pid dirs (and manifest entries) whose pid is
+    not in the current partition map.
+
+    Rebuilding into the same index_dir with fewer --partitions (or after an
+    input file was removed) would otherwise leave stale pid=* dirs whose rows
+    the stats/segments phases re-read alongside the live data — duplicated
+    df/postings with no error.  Stale pids also invalidate downstream phases
+    via partials_fingerprint() once their manifest entries are dropped.
+    """
+    stale = set()
+    for sub in ("extracted", "partials"):
+        root = os.path.join(index_dir, sub)
+        if not os.path.isdir(root):
+            continue
+        for d in os.listdir(root):
+            if d.startswith("pid=") and d[4:] not in live_pids:
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+                stale.add(d[4:])
+    dropped = [pid for pid in man.data["partitions"] if pid not in live_pids]
+    for pid in dropped:
+        del man.data["partitions"][pid]
+    if dropped:
+        man.save()
+
+
 class _PathToPid:
     """Map each row's source-file path to its checkpoint-partition id and
     drop the path column (vectorized via per-batch unique paths)."""
@@ -396,16 +433,35 @@ class _PathToPid:
 
 
 class _ExtractWithPid(_PathToPid):
-    """Fused path->pid + extraction stage (one map over the input wave)."""
+    """Fused path->pid + extraction stage (one map over the input wave).
 
-    def __init__(self, extract_fn, path_to_pid: dict[str, str]):
+    When a loser set exists, each row also carries `frank` — the global rank
+    of its source file among all sorted input files — so `_LoserFilter` can
+    apply the deterministic (warc_ts, file_rank) winner tie-break.
+    """
+
+    def __init__(self, extract_fn, path_to_pid: dict[str, str],
+                 rank_of_path: dict[str, int] | None = None):
         super().__init__(path_to_pid)
         self.extract_fn = extract_fn
+        self.rank_of_path = rank_of_path
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         pid = self.pid_array(batch)
-        out = self.extract_fn(batch.drop_columns(["path"]))
-        return out.append_column("pid", pid)
+        out = self.extract_fn(batch.drop_columns(["path"])).append_column("pid", pid)
+        if self.rank_of_path is not None:
+            paths = batch.column("path")
+            de = paths.combine_chunks() if isinstance(paths, pa.ChunkedArray) else paths
+            de = de.dictionary_encode()
+            if isinstance(de, pa.ChunkedArray):
+                de = de.combine_chunks()
+            rank_of = np.array(
+                [self.rank_of_path[p] for p in de.dictionary.to_pylist()],
+                dtype=np.int32,
+            )
+            codes = de.indices.to_numpy(zero_copy_only=False)
+            out = out.append_column("frank", pa.array(rank_of[codes], pa.int32()))
+        return out
 
 
 class _PidTokenizer(Tokenizer):
@@ -467,24 +523,33 @@ def _write_partitioned(
 
 
 class _LoserFilter:
-    """Drop rows of duplicate urls that are not the latest crawl.
+    """Drop rows of duplicate urls that are not the winning crawl.
 
     Broadcast-small-side anti-join (SURVEY.md §2.4 J5 pattern): the loser set
     lives in the object store once (ray.put), fetched per actor, probed with
     np.searchsorted per batch — no shuffle of the documents.
+
+    The winner per duplicate url is the unique max (warc_ts, file_rank) row —
+    equal-timestamp recrawls in different input files resolve
+    deterministically regardless of partition layout, mirroring the oracle's
+    last-writer-wins order over file-rank-ordered rows.  (Equal-ts duplicates
+    within ONE file are resolved last-row-wins by dedup_latest_in_batch; an
+    exact-duplicate row split across blocks of the same file additionally
+    hits the duplicate-(term,doc) guard in _compress_bucket.)
     """
 
     def __init__(self, loser_ref):
-        self.ids, self.max_ts = ray.get(loser_ref)
+        self.ids, self.max_ts, self.win_rank = ray.get(loser_ref)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
         ts = batch.column("warc_ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        frank = batch.column("frank").to_numpy(zero_copy_only=False)
         pos = np.searchsorted(self.ids, ids)
         pos = np.minimum(pos, len(self.ids) - 1)
         is_dup = self.ids[pos] == ids
-        keep = ~is_dup | (ts == self.max_ts[pos])
-        return batch.filter(pa.array(keep))
+        keep = ~is_dup | ((ts == self.max_ts[pos]) & (frank == self.win_rank[pos]))
+        return batch.filter(pa.array(keep)).drop_columns(["frank"])
 
 
 class _SaltAndBucket:
@@ -614,6 +679,15 @@ def _compress_bucket(group: pa.Table, avgdl: float) -> pa.Table:
     order = np.lexsort((doc_ids, codes))
     codes, doc_ids = codes[order], doc_ids[order]
     tfs, impacts = tfs[order], impacts[order]
+    # guard: an exact-duplicate input row split across blocks of one file can
+    # emit the same (term, doc) twice; a doc lives in exactly one salt group
+    # per term, so the duplicates are adjacent here — keep the first
+    if len(codes) > 1:
+        uniq = np.ones(len(codes), dtype=bool)
+        uniq[1:] = (codes[1:] != codes[:-1]) | (doc_ids[1:] != doc_ids[:-1])
+        if not uniq.all():
+            codes, doc_ids = codes[uniq], doc_ids[uniq]
+            tfs, impacts = tfs[uniq], impacts[uniq]
     bounds = np.nonzero(np.diff(codes))[0] + 1
     starts = np.concatenate(([0], bounds))
     ends = np.concatenate((bounds, [len(codes)]))
@@ -654,42 +728,81 @@ _EMPTY_LOSERS = pa.table(
     {
         "doc_id": pa.array([], pa.uint64()),
         "max_ts": pa.array([], pa.int64()),
+        "win_rank": pa.array([], pa.int32()),
         "extra": pa.array([], pa.int64()),
     }
 )
 
 
-def _compute_losers_from_input(files: list[str]) -> pa.Table:
-    """Find urls crawled more than once; return (doc_id, max_ts, extra).
+def _reduce_loser_partials(
+    ids: np.ndarray, cnt: np.ndarray, ts: np.ndarray, rank: np.ndarray
+) -> pa.Table:
+    """(doc_id, cnt, ts, rank) partial rows -> one winner row per dup url.
+
+    Winner = max (ts, rank) pair; lexsort keeps the pair intact (a plain
+    per-column max would combine one row's ts with another's rank)."""
+    order = np.lexsort((rank, ts, ids))
+    sids, scnt = ids[order], cnt[order]
+    sts, srank = ts[order], rank[order]
+    boundary = np.ones(len(sids), dtype=bool)
+    if len(sids) > 1:
+        boundary[1:] = sids[1:] != sids[:-1]
+    group_id = np.cumsum(boundary) - 1
+    cnt_sum = np.bincount(group_id, weights=scnt).astype(np.int64)
+    last = np.nonzero(np.concatenate((boundary[1:], [True])))[0]  # winner row
+    dup = cnt_sum > 1
+    return pa.table(
+        {
+            "doc_id": pa.array(sids[boundary][dup], pa.uint64()),
+            "max_ts": pa.array(sts[last][dup], pa.int64()),
+            "win_rank": pa.array(srank[last][dup], pa.int32()),
+            "extra": pa.array(cnt_sum[dup] - 1, pa.int64()),
+        }
+    )
+
+
+def _compute_losers_from_input(files: list[str], rank_of_path: dict[str, int]) -> pa.Table:
+    """Find urls crawled more than once; return (doc_id, max_ts, win_rank,
+    extra) where (max_ts, win_rank) identifies the unique winning row.
 
     Column-pruned read of (url, warc_ts) only; per-batch pre-aggregation to
-    one (doc_id, cnt, max_ts) row per distinct url per batch.  The final
-    reduce is driver-side Arrow C++ here (rows ~= |distinct urls| per batch);
-    at 10^12-doc scale the same partial rows feed groupby(doc_id).aggregate
-    instead — identical dataflow, reducer placed on the cluster.
+    one (doc_id, cnt, max_ts, rank) row per distinct url per batch.  The
+    final reduce is driver-side numpy here (rows ~= |distinct urls| per
+    batch); at 10^12-doc scale the same partial rows feed a Ray
+    groupby(doc_id).map_groups instead — identical dataflow, reducer placed
+    on the cluster.
     """
 
     def batch_agg(t: pa.Table) -> pa.Table:
         ids = doc_ids_of_urls(t.column("url").to_pylist())
         ts = t.column("warc_ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        order = np.argsort(ids, kind="stable")
-        sids, sts = ids[order], ts[order]
+        paths = t.column("path")
+        de = paths.combine_chunks() if isinstance(paths, pa.ChunkedArray) else paths
+        de = de.dictionary_encode()
+        if isinstance(de, pa.ChunkedArray):
+            de = de.combine_chunks()
+        rank_of = np.array(
+            [rank_of_path[p] for p in de.dictionary.to_pylist()], dtype=np.int32
+        )
+        ranks = rank_of[de.indices.to_numpy(zero_copy_only=False)]
+        order = np.lexsort((ranks, ts, ids))
+        sids, sts, srank = ids[order], ts[order], ranks[order]
         boundary = np.ones(len(sids), dtype=bool)
         if len(sids) > 1:
             boundary[1:] = sids[1:] != sids[:-1]
         group_id = np.cumsum(boundary) - 1
         cnt = np.bincount(group_id)
-        max_ts = np.full(cnt.size, np.iinfo(np.int64).min, dtype=np.int64)
-        np.maximum.at(max_ts, group_id, sts)
+        last = np.nonzero(np.concatenate((boundary[1:], [True])))[0]
         return pa.table(
             {
                 "doc_id": pa.array(sids[boundary], pa.uint64()),
                 "cnt": pa.array(cnt, pa.int64()),
-                "max_ts": pa.array(max_ts, pa.int64()),
+                "max_ts": pa.array(sts[last], pa.int64()),
+                "rank": pa.array(srank[last], pa.int32()),
             }
         )
 
-    ds = rd.read_parquet(files, columns=["url", "warc_ts"])
+    ds = rd.read_parquet(files, columns=["url", "warc_ts"], include_paths=True)
     parts = ds.map_batches(
         batch_agg, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
@@ -701,14 +814,11 @@ def _compute_losers_from_input(files: list[str]) -> pa.Table:
     if not tables:
         return _EMPTY_LOSERS
     allp = pa.concat_tables(tables)
-    g = allp.group_by("doc_id").aggregate([("cnt", "sum"), ("max_ts", "max")])
-    dup = g.filter(pa.compute.greater(g["cnt_sum"], pa.scalar(1)))
-    return pa.table(
-        {
-            "doc_id": dup["doc_id"].cast(pa.uint64()),
-            "max_ts": dup["max_ts_max"].cast(pa.int64()),
-            "extra": pa.compute.subtract(dup["cnt_sum"], pa.scalar(1)).cast(pa.int64()),
-        }
+    return _reduce_loser_partials(
+        allp["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64),
+        allp["cnt"].to_numpy(zero_copy_only=False).astype(np.int64),
+        allp["max_ts"].to_numpy(zero_copy_only=False).astype(np.int64),
+        allp["rank"].to_numpy(zero_copy_only=False).astype(np.int32),
     )
 
 

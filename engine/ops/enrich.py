@@ -56,21 +56,23 @@ class Enricher:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
         texts = batch.column("text").to_pylist()
-        out: dict[int, str | None] = {i: None for i in ids}
+        # keyed by ROW POSITION, not doc_id: duplicate ids in a batch each get
+        # their own result, and the retry scan is O(n) per round
+        out: list[str | None] = [None] * len(ids)
         for _round in range(MAX_RETRIES):
-            missing = [i for i, v in out.items() if v is None]
+            missing = [p for p, v in enumerate(out) if v is None]
             if not missing:
                 break
-            for i in missing:
+            for p in missing:
                 try:
-                    out[i] = self.model(str(i), texts[ids.index(i)])
+                    out[p] = self.model(str(ids[p]), texts[p])
                 except TimeoutError:
                     pass  # retried next round
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
-                "summary": pa.array([out[i] for i in ids], pa.string()),
-                "enrich_ok": pa.array([out[i] is not None for i in ids], pa.bool_()),
+                "summary": pa.array(out, pa.string()),
+                "enrich_ok": pa.array([v is not None for v in out], pa.bool_()),
             }
         )
 

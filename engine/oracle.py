@@ -25,7 +25,7 @@ import pyarrow as pa
 
 from .analyze import DEFAULT_ANALYZER, AnalyzerConfig, tokenize
 from .extract import extract_text
-from .schema import B, K1, doc_id_of_url
+from .schema import B, K1, doc_id_of_url, ts_to_us
 
 
 @dataclass
@@ -48,10 +48,7 @@ class OracleIndex:
         # keep-latest dedup per url: max (warc_ts, row order) wins
         by_url: dict[str, tuple] = {}
         for order, r in enumerate(rows):
-            ts = r["warc_ts"]
-            ts_us = (
-                int(ts.timestamp() * 1e6) if hasattr(ts, "timestamp") else int(ts)
-            )
+            ts_us = ts_to_us(r["warc_ts"])
             key = (ts_us, order)
             if r["url"] not in by_url or key > by_url[r["url"]][0]:
                 by_url[r["url"]] = (key, r, ts_us)
@@ -133,19 +130,12 @@ def expected_topk_table(pages: pa.Table, queries: pa.Table) -> pa.Table:
     idx = OracleIndex(pages)
     qid_out, rank_out, url_out, did_out, score_out = [], [], [], [], []
     for q in queries.to_pylist():
-        ts_min = q.get("ts_min")
-        ts_max = q.get("ts_max")
-        to_us = lambda v: (
-            None
-            if v is None
-            else int(v.timestamp() * 1e6) if hasattr(v, "timestamp") else int(v)
-        )
         res = idx.search(
             q["query_text"],
             k=q["k"],
             lang_filter=q.get("lang_filter"),
-            ts_min=to_us(ts_min),
-            ts_max=to_us(ts_max),
+            ts_min=ts_to_us(q.get("ts_min")),
+            ts_max=ts_to_us(q.get("ts_max")),
             prior_weight=q.get("prior_weight") or 0.0,
         )
         for r, (did, score) in enumerate(res, start=1):

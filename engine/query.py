@@ -36,7 +36,34 @@ import pyarrow.parquet as pq
 
 from . import codec
 from .analyze import AnalyzerConfig, tokenize
-from .schema import term_bucket
+from .schema import term_bucket, ts_to_us
+
+
+class _LRU(dict):
+    """Minimal LRU map: a serving actor holds one IndexReader for its whole
+    lifetime, so per-term/bucket caches must be bounded or a diverse query
+    stream grows them without limit (ADVICE round 1)."""
+
+    def __init__(self, cap: int):
+        super().__init__()
+        self.cap = cap
+
+    def __getitem__(self, key):
+        val = super().pop(key)  # re-insert -> most recently used
+        super().__setitem__(key, val)
+        return val
+
+    def get(self, key, default=None):
+        if key in self:
+            return self[key]
+        return default
+
+    def __setitem__(self, key, val):
+        if key in self:
+            super().pop(key)
+        super().__setitem__(key, val)
+        while len(self) > self.cap:
+            super().pop(next(iter(self)))
 
 
 class _Cursor:
@@ -95,10 +122,10 @@ class IndexReader:
         )
         self._extracted = pads.dataset(os.path.join(index_dir, "extracted"))
         self._docmeta = None  # (sorted doc_ids, lang codes, ts, langs list)
-        self._chunk_cache: dict[str, list] = {}
-        self._bucket_tables: dict[int, tuple] = {}
+        self._chunk_cache: _LRU = _LRU(cap=4096)  # term -> decoded chunks
+        self._bucket_tables: _LRU = _LRU(cap=8)  # bucket -> (table, term index)
         self._doclen = None  # (sorted doc_ids, doclens) for the rerank prior
-        self._pos_cache: dict[tuple[str, int], np.ndarray] = {}
+        self._pos_cache: _LRU = _LRU(cap=4096)  # (term, chunk) -> positions
 
     # ------------------------------------------------------------------
     def idf(self, term: str) -> float:
@@ -186,22 +213,6 @@ class IndexReader:
             return True
 
         return allowed
-
-    def _allowed_mask(self, ids: np.ndarray, lang_filter, ts_min, ts_max) -> np.ndarray:
-        """Vectorized metadata predicate over candidate doc ids."""
-        self._load_docmeta()
-        meta_ids, lang_codes, ts, langs = self._docmeta
-        pos = np.searchsorted(meta_ids, ids)
-        pos = np.minimum(pos, max(meta_ids.size - 1, 0))
-        ok = (meta_ids.size > 0) & (meta_ids[pos] == ids)
-        if lang_filter is not None:
-            want = langs.index(lang_filter) if lang_filter in langs else -2
-            ok &= lang_codes[pos] == want
-        if ts_min is not None:
-            ok &= ts[pos] >= ts_min
-        if ts_max is not None:
-            ok &= ts[pos] <= ts_max
-        return ok
 
     # vectorized path is used when the candidate postings fit this budget
     # (cost is O(n_docs + postings) with a dense f64 score array); beyond it
@@ -453,17 +464,12 @@ class IndexReader:
         (query_id, rank, url, doc_id, score)."""
         qid_out, rank_out, did_out, score_out = [], [], [], []
         for q in queries.to_pylist():
-            def to_us(v):
-                if v is None:
-                    return None
-                return int(v.timestamp() * 1e6) if hasattr(v, "timestamp") else int(v)
-
             res = self.search(
                 q["query_text"],
                 k=q["k"],
                 lang_filter=q.get("lang_filter"),
-                ts_min=to_us(q.get("ts_min")),
-                ts_max=to_us(q.get("ts_max")),
+                ts_min=ts_to_us(q.get("ts_min")),
+                ts_max=ts_to_us(q.get("ts_max")),
                 prior_weight=q.get("prior_weight") or 0.0,
                 method=method,
             )

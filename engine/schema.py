@@ -90,6 +90,27 @@ SEGMENT_SCHEMA = pa.schema(
 )
 
 
+def ts_to_us(v) -> int | None:
+    """Timestamp-like -> int64 microseconds since epoch, timezone-independent.
+
+    datetime.timestamp() interprets naive datetimes in the HOST's local zone,
+    which would shift filter windows on non-UTC machines; stored warc_ts
+    values are naive-UTC int64 microseconds, so both sides of every
+    comparison must use the same wall-clock arithmetic.
+    """
+    if v is None:
+        return None
+    if isinstance(v, (int, np.integer)):
+        return int(v)
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return (v - _dt.datetime(1970, 1, 1)) // _dt.timedelta(microseconds=1)
+    return int(v)
+
+
 def doc_id_of_url(url: str) -> int:
     """Stable 63-bit docID from the url (FIXTURES.md §3).
 
