@@ -57,12 +57,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "token_counts": textops.token_counts,
         "quality_scores": textops.quality_scores,
-        "lang_id": textops.lang_id,  # heuristic: rows-only
+        "lang_id": textops.lang_id,
         "fingerprints": textops.fingerprints,  # rows-only
         # similarity search over embeddings
         "knn_topk": ann.knn_topk,
         "lsh_knn_topk": ann.lsh_knn_topk,  # approx: rows-only
         "cosine_dup_pairs": ann.cosine_dup_pairs,
+        "lsh_cosine_dup_pairs": ann.lsh_cosine_dup_pairs,  # approx: rows-only
         # enrichment + multimodal stages (stubbed externals: rows-only)
         "enrich_documents": enrich.enrich_documents,
         "media_features": multimodal.media_features,
@@ -96,6 +97,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": dedup.NGRAM_JACCARD_SQL,
         "token_counts": textops.TOKEN_COUNTS_SQL,
         "quality_scores": textops.QUALITY_SCORES_SQL,
+        "lang_id": textops.LANG_ID_SQL,
         "knn_topk": ann.KNN_TOPK_SQL,
         "cosine_dup_pairs": ann.COSINE_DUP_SQL,
     }

@@ -42,6 +42,7 @@ from .extract import dedup_latest_in_batch, extract_batch
 from .schema import (
     B,
     doc_ids_of_urls,
+    DOCMETA_SCHEMA,
     EXTRACTED_SCHEMA,
     HOT_TERM_DF_FRACTION,
     K1,
@@ -240,15 +241,29 @@ def build_index(
     )
 
     # ---- phase postings (same wave pattern; input already deduped) -------
+    # ONE fused actor-pool pass per partition: tokenize, write partials
+    # SHARDED BY TERM-BUCKET GROUP (pid=P/bg=K/...), and write the compact
+    # per-doc docmeta table (doc_id, url, warc_ts, lang, doclen).  The
+    # sharded partials are the map side of a filesystem exchange — the
+    # segments phase schedules one independent reduce task per bucket group
+    # that reads only its own files, so the "shuffle" is partitioned
+    # parallel reads with no all-to-all operator at all (the classic
+    # external-shuffle layout; on a multi-node cluster the same files live
+    # in the shared store).  Docmeta feeds query-time metadata filters and
+    # the rerank prior without ever re-reading doc text or postings.
     partials_root = os.path.join(index_dir, "partials")
+    docmeta_root = os.path.join(index_dir, "docmeta")
+    n_bg = _num_bucket_groups()
     todo = []
     for pid in parts:
         out_dir = os.path.join(partials_root, f"pid={pid}")
+        meta_dir = os.path.join(docmeta_root, f"pid={pid}")
         fp = (
             man.data["partitions"][pid]["phase"]["extract"]["fingerprint"]
             + "+A" + _hash_analyzer(analyzer)
+            + f"+G{n_bg}"  # exchange layout is part of the lineage
         )
-        if man.partition_done(pid, "postings", fp, out_dir):
+        if man.partition_done(pid, "postings", fp, out_dir) and os.path.isdir(meta_dir):
             metrics["skipped_postings"] += 1
         else:
             todo.append((pid, fp))
@@ -261,53 +276,42 @@ def build_index(
                     pid_dirs[os.path.join(d, f)] = pid
         ds = rd.read_parquet(
             sorted(pid_dirs),
-            columns=["doc_id", "text"],  # prune at the read
+            columns=["doc_id", "url", "warc_ts", "lang", "text"],
             include_paths=True,
         ).map_batches(_PathToPid(pid_dirs), batch_format="pyarrow", batch_size=None)
-        ds = ds.map_batches(
-            _PidTokenizer,
-            fn_constructor_args=(analyzer,),
-            batch_format="pyarrow",
-            batch_size=tokenize_batch_size,
-            # fixed-size pool: all actors start with the phase (an autoscaling
-            # (1, N) pool ramps too slowly to saturate short waves)
-            concurrency=concurrency,
-            zero_copy_batch=True,
-        )
-        partials_schema = PARTIAL_POSTINGS_SCHEMA.append(pa.field("pid", pa.string()))
-        _write_partitioned(
-            ds, partials_root, [pid for pid, _ in todo], partials_schema,
-            use_dictionary=["term"],  # terms dict-encode well; ids/tfs don't
-            compression="zstd", compression_level=1,
+        tf_sums = _run_postings_wave(
+            ds, partials_root, docmeta_root, [pid for pid, _ in todo], n_bg,
+            analyzer, tokenize_batch_size, concurrency,
         )
         for pid, fp in todo:
-            man.record_partition(pid, "postings", fp, [], {})
+            man.record_partition(
+                pid, "postings", fp, [],
+                {"tf_sum": tf_sums.get(pid, 0)},
+            )
     _mark("t_postings")
 
-    # ---- phase stats -----------------------------------------------------
+    # ---- phase stats (pure metadata: no data re-read) --------------------
+    # total_tokens comes from the postings wave's per-shard tf sums; per-term
+    # df is computed exactly inside each segments reduce task (a term's
+    # postings all live in one bucket group) and written as the partitioned
+    # dfs/ table there — the round-1 stats phase re-read every partials file
+    # and reduced on the driver, which scaled NEGATIVELY with more shards.
     stats_path = os.path.join(index_dir, "stats.json")
-    dfs_path = os.path.join(index_dir, "dfs.parquet")
+    dfs_root = os.path.join(index_dir, "dfs")
     partials_fp = man.partials_fingerprint()
     n_docs = total_extracted
     if not man.phase_done("stats", partials_fp, stats_path):
-        df_tbl, total_tokens = _compute_stats(partials_root)
-        pa.parquet.write_table(df_tbl, dfs_path + ".tmp")
-        os.replace(dfs_path + ".tmp", dfs_path)
+        total_tokens = sum(
+            man.data["partitions"][pid]["phase"]["postings"]["metrics"].get("tf_sum", 0)
+            for pid in parts
+        )
         avgdl = float(total_tokens) / n_docs if n_docs else 0.0
         hot_threshold = max(2.0, HOT_TERM_DF_FRACTION * n_docs)
-        n_hot = int(
-            pa.compute.sum(
-                pa.compute.greater(df_tbl["df"], pa.scalar(hot_threshold))
-            ).as_py()
-            or 0
-        )
         stats = {
             "n_docs": n_docs,
             "total_tokens": int(total_tokens),
             "avgdl": avgdl,
-            "n_terms": df_tbl.num_rows,
             "hot_df_threshold": hot_threshold,
-            "n_hot_terms": n_hot,
             "k1": K1,
             "b": B,
             "num_salts": NUM_SALTS,
@@ -322,56 +326,80 @@ def build_index(
         stats = json.load(f)
     _mark("t_stats")
 
-    # ---- phase segments (THE salted wide shuffle) ------------------------
+    # ---- phase segments (the reduce side of the filesystem exchange) -----
+    # One independent task per bucket group: read ONLY partials/*/bg=K
+    # (column-pruned), assign (bucket, salt) per term — hot terms (Zipf head,
+    # SURVEY.md §4 "Skew") split by doc_id % NUM_SALTS so no single chunk
+    # owns a head term's full list — then delta+varint compress and write
+    # each (bucket, salt) segment file directly.  No all-to-all operator:
+    # reduce parallelism = n_bg tasks sized to the cluster (round 1 used a
+    # sort-based groupby whose reduce was pinned to ~32 fat blocks and
+    # scaled 1.5x from 8->32 cpus; partitioned reads scale with the cores).
     segments_root = os.path.join(index_dir, "segments")
     if not man.phase_done("segments", partials_fp, segments_root):
-        df_tbl = pa.parquet.read_table(dfs_path)
-        hot = df_tbl.filter(
-            pa.compute.greater(df_tbl["df"], pa.scalar(stats["hot_df_threshold"]))
-        )
-        hot_terms = frozenset(hot["term"].to_pylist())
-        hot_ref = ray.put(hot_terms)
         avgdl = stats["avgdl"]
-        parts_ds = rd.read_parquet(
-            partials_root, columns=["term", "doc_id", "tf", "doclen"]
-        )
-        # THE wide step: shuffle keyed on (bucket, salt).  bucket spreads the
-        # vocabulary across reduce tasks; salt splits each hot term's postings
-        # so no single reduce task owns a head term's full list.  The exchange
-        # is map-side PACKED: each input batch pre-partitions its rows by key
-        # and ships one Arrow-IPC blob per (batch, key) — the all-to-all then
-        # moves ~|batches|*|keys| fat rows instead of one row per posting
-        # (7x faster than shuffling raw posting rows at 10M postings).
-        parts_ds = parts_ds.map_batches(
-            _PackedSaltAndBucket(hot_ref), batch_format="pyarrow",
-            batch_size=None,  # block-sized batches: few, fat payloads per key
-            zero_copy_batch=True,
-        )
-        # pin the packed exchange input: the groupby's sampling + partition
-        # passes otherwise re-execute the whole read+pack lineage, and the
-        # packed form is the compact representation (fat payload rows) that
-        # the all-to-all must fully materialize anyway
-        parts_ds = parts_ds.materialize()
+        bg_files: dict[int, list[str]] = {}
+        for pid in parts:
+            pdir = os.path.join(partials_root, f"pid={pid}")
+            for bgd in os.listdir(pdir):
+                if not bgd.startswith("bg="):
+                    continue
+                bg = int(bgd[3:])
+                for f in os.listdir(os.path.join(pdir, bgd)):
+                    if f.endswith(".parquet"):
+                        bg_files.setdefault(bg, []).append(
+                            os.path.join(pdir, bgd, f)
+                        )
         with atomic_dir(segments_root) as tmp:
-            # each reduce group writes its own deterministic segment file
-            # (bucket=B/part-SS.parquet) directly — Ray's generic parquet
-            # sink re-buffers the large binary chunk rows and is ~3x slower;
-            # deterministic names keep retries idempotent.  (On a multi-node
-            # cluster `tmp` would be a shared-store URI, same pattern.)
-            merged = parts_ds.groupby(["bucket", "salt"]).map_groups(
-                lambda g: _compress_and_write_group(g, avgdl, tmp),
-                batch_format="pyarrow",
-            )
-            n_chunks = int(merged.count())
+            dfs_tmp = os.path.join(tmp, "_dfs")
+            os.makedirs(dfs_tmp, exist_ok=True)
+            n_chunks = 0
+            n_terms = 0
+            n_hot = 0
+            if bg_files:
+                work = rd.from_items(
+                    [
+                        {"bg": bg, "files": sorted(fs)}
+                        for bg, fs in sorted(bg_files.items())
+                    ],
+                    override_num_blocks=len(bg_files),
+                )
+                merged = work.map_batches(
+                    _MergeBucketGroup(
+                        avgdl, stats["hot_df_threshold"], tmp, dfs_tmp
+                    ),
+                    batch_format="pyarrow", batch_size=None,
+                )
+                summary = merged.to_pandas()
+                n_chunks = int(summary["n_chunks"].sum())
+                n_terms = int(summary["n_terms"].sum())
+                n_hot = int(summary["n_hot"].sum())
+            if not os.listdir(dfs_tmp):
+                pa.parquet.write_table(
+                    pa.table({"term": pa.array([], pa.string()),
+                              "df": pa.array([], pa.int64())}),
+                    os.path.join(dfs_tmp, "empty.parquet"),
+                )
+            # promote the per-bucket-group df table alongside the segments
+            if os.path.isdir(dfs_root):
+                shutil.rmtree(dfs_root)
+            os.replace(dfs_tmp, dfs_root)
             if not os.listdir(tmp):  # empty corpus: keep a readable layout
                 os.makedirs(os.path.join(tmp, "bucket=0"), exist_ok=True)
                 pa.parquet.write_table(
                     SEGMENT_SCHEMA.empty_table().drop_columns(["bucket"]),
                     os.path.join(tmp, "bucket=0", "empty.parquet"),
                 )
+        # n_terms/n_hot_terms are informational; fill them into stats.json
+        # now that the merge has counted the vocabulary exactly
+        stats["n_terms"] = n_terms
+        stats["n_hot_terms"] = n_hot
+        with open(stats_path + ".tmp", "w") as f:
+            json.dump(stats, f, indent=1)
+        os.replace(stats_path + ".tmp", stats_path)
         man.record_phase(
             "segments", partials_fp,
-            {"hot_terms": len(hot_terms), "chunk_groups": n_chunks},
+            {"n_terms": n_terms, "n_hot_terms": n_hot, "chunk_groups": n_chunks},
         )
 
     _mark("t_segments")
@@ -393,7 +421,7 @@ def _prune_stale_partitions(
     via partials_fingerprint() once their manifest entries are dropped.
     """
     stale = set()
-    for sub in ("extracted", "partials"):
+    for sub in ("extracted", "partials", "docmeta"):
         root = os.path.join(index_dir, sub)
         if not os.path.isdir(root):
             continue
@@ -552,80 +580,276 @@ class _LoserFilter:
         return batch.filter(pa.array(keep)).drop_columns(["frank"])
 
 
-class _SaltAndBucket:
-    """Add (salt, bucket) keys for the merge shuffle.
+def _num_bucket_groups() -> int:
+    """Reduce-task granularity of the filesystem exchange, sized to the
+    session: ~2 tasks per core, capped at one group per term bucket.  The
+    value is part of the postings-phase lineage fingerprint, so a rebuild on
+    a different-size cluster re-shards instead of mixing layouts."""
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    return int(min(NUM_TERM_BUCKETS, max(16, 2 * cpus)))
 
-    Hot terms (df above threshold — Zipf head, SURVEY.md §4 'Skew') are salted
-    by doc_id % NUM_SALTS so no single reduce task owns a head term's full
-    posting list; cold terms use salt 0.  bucket = hash(term) % NUM_BUCKETS is
-    the segment-file partitioning key used for query-side pruning.
+
+class _TokenizeAndShard(_PidTokenizer):
+    """Fused actor-pool stage: tokenize a batch AND write its outputs.
+
+    Per batch this writes (a) one partials shard file per (pid, bucket
+    group) under partials.wave/pid=P/bg=K/, and (b) one docmeta part file
+    per pid — then returns only tiny metadata rows.  Fusing the writer into
+    the tokenizer actor keeps posting rows out of the object store entirely
+    (no second stage, no extra blocks, no actor-pool spin-up for a writer
+    stage).  File names are content-addressed (hash of the rows), so Ray
+    task retries overwrite their own output — idempotent, like the
+    deterministic segment-file names downstream.
     """
 
-    def __init__(self, hot_ref):
-        self.hot = ray.get(hot_ref)
+    def __init__(self, analyzer, partials_tmp: str, docmeta_tmp: str, n_bg: int):
+        super().__init__(analyzer)
+        self.partials_tmp = partials_tmp
+        self.docmeta_tmp = docmeta_tmp
+        self.n_bg = n_bg
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        terms = batch.column("term")
+        import hashlib as _h
+
+        meta_cols = batch.select(["doc_id", "url", "warc_ts", "lang", "pid"])
+        postings = super().__call__(batch.select(["doc_id", "text", "pid"]))
+        # per-doc doclen for docmeta: tokenizer emits doclen per (term, doc)
+        # row; recover one row per doc vectorized (first row of each doc)
+        out_pid, out_bg, out_rows, out_tf = [], [], [], []
+        pid_col = meta_cols.column("pid")
+        if isinstance(pid_col, pa.ChunkedArray):
+            pid_col = pid_col.combine_chunks()
+        if not pa.types.is_dictionary(pid_col.type):
+            pid_col = pid_col.dictionary_encode()
+        pids_vocab = pid_col.dictionary.to_pylist()
+        meta_pid_codes = pid_col.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # ---- docmeta parts (one per pid present in the batch) ------------
+        doc_ids = meta_cols.column("doc_id").to_numpy(zero_copy_only=False)
+        p_doc = postings.column("doc_id").to_numpy(zero_copy_only=False)
+        p_dl = postings.column("doclen").to_numpy(zero_copy_only=False)
+        order = np.argsort(doc_ids, kind="stable")
+        doclens = np.zeros(len(doc_ids), dtype=np.int64)
+        if len(p_doc) and len(doc_ids):
+            pos = np.searchsorted(doc_ids[order], p_doc)
+            doclens[order[pos]] = p_dl  # every posting doc exists in the batch
+        meta_tbl = pa.table(
+            {
+                "doc_id": meta_cols.column("doc_id"),
+                "url": meta_cols.column("url"),
+                "warc_ts": meta_cols.column("warc_ts"),
+                "lang": meta_cols.column("lang"),
+                "doclen": pa.array(doclens, pa.int64()),
+            }
+        )
+        for pc_ in np.unique(meta_pid_codes):
+            pid = pids_vocab[int(pc_)]
+            sub = meta_tbl.filter(pa.array(meta_pid_codes == pc_))
+            hh = _h.blake2b(digest_size=10)
+            hh.update(sub.column("doc_id").to_numpy(zero_copy_only=False).tobytes())
+            d = os.path.join(self.docmeta_tmp, f"pid={pid}")
+            os.makedirs(d, exist_ok=True)
+            pa.parquet.write_table(
+                sub, os.path.join(d, f"part-{hh.hexdigest()}.parquet"),
+                compression="zstd", compression_level=1,
+            )
+        # ---- partials shards (one per (pid, bucket group)) ---------------
+        terms = postings.column("term")
+        de = terms.combine_chunks() if isinstance(terms, pa.ChunkedArray) else terms
+        de = de.dictionary_encode()
+        if isinstance(de, pa.ChunkedArray):
+            de = de.combine_chunks()
+        codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq_bucket = np.array(
+            [term_bucket(t) for t in de.dictionary.to_pylist()], dtype=np.int64
+        )
+        p_pid = postings.column("pid")
+        if isinstance(p_pid, pa.ChunkedArray):
+            p_pid = p_pid.combine_chunks()
+        if not pa.types.is_dictionary(p_pid.type):
+            p_pid = p_pid.dictionary_encode()
+        p_pid_codes = p_pid.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        p_pids_vocab = p_pid.dictionary.to_pylist()
+        if postings.num_rows:
+            bg = uniq_bucket[codes] % self.n_bg
+            key = p_pid_codes * self.n_bg + bg
+            order = np.argsort(key, kind="stable")
+            t2 = postings.select(["term", "doc_id", "tf", "doclen"]).take(
+                pa.array(order)
+            )
+            key = key[order]
+            bounds = np.nonzero(np.diff(key))[0] + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [len(key)]))
+            for s0, e0 in zip(starts, ends):
+                sub = t2.slice(s0, e0 - s0)
+                pid = p_pids_vocab[int(key[s0] // self.n_bg)]
+                bgv = int(key[s0] % self.n_bg)
+                hh = _h.blake2b(digest_size=10)
+                hh.update(sub.column("doc_id").to_numpy(zero_copy_only=False).tobytes())
+                hh.update(sub.column("tf").to_numpy(zero_copy_only=False).tobytes())
+                d = os.path.join(self.partials_tmp, f"pid={pid}", f"bg={bgv:03d}")
+                os.makedirs(d, exist_ok=True)
+                pa.parquet.write_table(
+                    sub, os.path.join(d, f"part-{hh.hexdigest()}.parquet"),
+                    use_dictionary=["term"],  # terms dict-encode; ids don't
+                    compression="zstd", compression_level=1,
+                )
+                out_pid.append(pid)
+                out_bg.append(bgv)
+                out_rows.append(e0 - s0)
+                out_tf.append(
+                    int(sub.column("tf").to_numpy(zero_copy_only=False).sum())
+                )
+        return pa.table(
+            {
+                "pid": pa.array(out_pid, pa.string()),
+                "bg": pa.array(out_bg, pa.int32()),
+                "rows": pa.array(np.asarray(out_rows, dtype=np.int64), pa.int64()),
+                "tf_sum": pa.array(np.asarray(out_tf, dtype=np.int64), pa.int64()),
+            }
+        )
+
+
+def _run_postings_wave(
+    ds: rd.Dataset, partials_root: str, docmeta_root: str, pids: list[str],
+    n_bg: int, analyzer, tokenize_batch_size, concurrency,
+) -> dict[str, int]:
+    """Run the fused tokenize+shard wave into tmp dirs, then promote each
+    pid dir of partials/ and docmeta/ atomically; returns tf_sum per pid."""
+    os.makedirs(partials_root, exist_ok=True)
+    os.makedirs(docmeta_root, exist_ok=True)
+    parent = os.path.dirname(partials_root.rstrip("/"))
+    import tempfile
+
+    ptmp = tempfile.mkdtemp(prefix="partials.wave.", dir=parent)
+    mtmp = tempfile.mkdtemp(prefix="docmeta.wave.", dir=parent)
+    tf_sums: dict[str, int] = {pid: 0 for pid in pids}
+    try:
+        meta = ds.map_batches(
+            _TokenizeAndShard,
+            fn_constructor_args=(analyzer, ptmp, mtmp, n_bg),
+            batch_format="pyarrow",
+            batch_size=tokenize_batch_size,
+            # fixed-size pool: all actors start with the phase (an
+            # autoscaling (1, N) pool ramps too slowly for short waves)
+            concurrency=concurrency,
+            zero_copy_batch=True,
+        ).to_pandas()  # metadata rows only (one per written shard file)
+        if len(meta):
+            for pid, r in meta.groupby("pid")["tf_sum"].sum().items():
+                tf_sums[pid] = int(r)
+        for pid in pids:
+            pdir = os.path.join(ptmp, f"pid={pid}")
+            edir = os.path.join(pdir, "bg=000")
+            os.makedirs(edir, exist_ok=True)
+            _ensure_nonempty(edir, PARTIAL_POSTINGS_SCHEMA)
+            mdir = os.path.join(mtmp, f"pid={pid}")
+            os.makedirs(mdir, exist_ok=True)
+            _ensure_nonempty(mdir, DOCMETA_SCHEMA)
+            for tmp_dir, root in ((pdir, partials_root), (mdir, docmeta_root)):
+                final = os.path.join(root, f"pid={pid}")
+                if os.path.isdir(final):
+                    shutil.rmtree(final)
+                os.replace(tmp_dir, final)
+    finally:
+        shutil.rmtree(ptmp, ignore_errors=True)
+        shutil.rmtree(mtmp, ignore_errors=True)
+    return tf_sums
+
+
+class _MergeBucketGroup:
+    """Reduce task of the filesystem exchange: one bucket group's shard
+    files -> compressed (bucket, salt) segment files + this group's slice
+    of the partitioned dfs/ table.
+
+    ALL postings of a term live in exactly one bucket group, so per-term df
+    is computed exactly here — no global stats pass, no hot-set broadcast:
+    a term is hot iff its (local == global) df exceeds the threshold.  Hot
+    terms (Zipf head, SURVEY.md §4 'Skew') are salted by doc_id % NUM_SALTS
+    so no single chunk owns a head term's full posting list; cold terms use
+    salt 0.  Writes each segment file directly with a deterministic name —
+    Ray's generic parquet sink re-buffers the large binary chunk rows and
+    is ~3x slower, and deterministic names keep task retries idempotent.
+    """
+
+    def __init__(self, avgdl: float, hot_threshold: float, out_root: str,
+                 dfs_root: str):
+        self.avgdl = avgdl
+        self.hot_threshold = hot_threshold
+        self.out_root = out_root
+        self.dfs_root = dfs_root
+
+    def __call__(self, work: pa.Table) -> pa.Table:
+        out_bg, out_terms, out_chunks, out_hot = [], [], [], []
+        for item in work.to_pylist():
+            files = list(item["files"])
+            t = pa.concat_tables(
+                [pa.parquet.read_table(f) for f in files]
+            ) if files else PARTIAL_POSTINGS_SCHEMA.empty_table()
+            nt, nc, nh = self._merge_one(t, int(item["bg"]))
+            out_terms.append(nt)
+            out_chunks.append(nc)
+            out_hot.append(nh)
+            out_bg.append(int(item["bg"]))
+        return pa.table(
+            {
+                "bg": pa.array(out_bg, pa.int32()),
+                "n_terms": pa.array(np.asarray(out_terms, dtype=np.int64), pa.int64()),
+                "n_chunks": pa.array(np.asarray(out_chunks, dtype=np.int64), pa.int64()),
+                "n_hot": pa.array(np.asarray(out_hot, dtype=np.int64), pa.int64()),
+            }
+        )
+
+    def _merge_one(self, t: pa.Table, bg: int) -> tuple[int, int, int]:
+        if t.num_rows == 0:
+            return 0, 0, 0
+        terms = t.column("term")
         de = terms.combine_chunks() if isinstance(terms, pa.ChunkedArray) else terms
         de = de.dictionary_encode()
         if isinstance(de, pa.ChunkedArray):
             de = de.combine_chunks()
         codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         uniq = de.dictionary.to_pylist()
-        uniq_hot = np.array([t in self.hot for t in uniq], dtype=bool)
-        uniq_bucket = np.array([term_bucket(t) for t in uniq], dtype=np.int32)
-        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        salt = np.where(
-            uniq_hot[codes], (doc_ids % np.uint64(NUM_SALTS)).astype(np.int32), 0
-        ).astype(np.int32)
-        return batch.append_column("salt", pa.array(salt, pa.int32())).append_column(
-            "bucket", pa.array(uniq_bucket[codes], pa.int32())
+        # exact global df per term (this group owns every posting of its
+        # terms); rows are (term, doc) pre-aggregated, so df = row count
+        dfs = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        pa.parquet.write_table(
+            pa.table({"term": de.dictionary, "df": pa.array(dfs, pa.int64())}),
+            os.path.join(self.dfs_root, f"bg-{bg:03d}.parquet"),
+            compression="zstd", compression_level=1,
         )
-
-
-class _PackedSaltAndBucket(_SaltAndBucket):
-    """Map-side packed exchange for the merge shuffle: rows are grouped by
-    (bucket, salt) within the batch and serialized to one Arrow-IPC payload
-    per key, so the groupby sorts thousands of fat rows, not millions of
-    postings."""
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        t = super().__call__(batch)
-        b = t.column("bucket").to_numpy(zero_copy_only=False).astype(np.int64)
-        sa = t.column("salt").to_numpy(zero_copy_only=False).astype(np.int64)
-        key = b * (NUM_SALTS + 1) + sa
+        uniq_hot = dfs > self.hot_threshold
+        uniq_bucket = np.array([term_bucket(tm) for tm in uniq], dtype=np.int64)
+        doc_ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        salt = np.where(
+            uniq_hot[codes], (doc_ids % np.uint64(NUM_SALTS)).astype(np.int64), 0
+        )
+        key = uniq_bucket[codes] * (NUM_SALTS + 1) + salt
         order = np.argsort(key, kind="stable")
         t2 = t.take(pa.array(order))
         key = key[order]
         bounds = np.nonzero(np.diff(key))[0] + 1
         starts = np.concatenate(([0], bounds))
         ends = np.concatenate((bounds, [len(key)]))
-        buckets, salts, payloads = [], [], []
+        n_chunks = 0
         for s0, e0 in zip(starts, ends):
-            sub = (
-                t2.slice(s0, e0 - s0)
-                .select(["term", "doc_id", "tf", "doclen"])
-                .combine_chunks()
+            group = t2.slice(s0, e0 - s0)
+            bucket = int(key[s0] // (NUM_SALTS + 1))
+            saltv = int(key[s0] % (NUM_SALTS + 1))
+            n = group.num_rows
+            group = group.append_column(
+                "bucket", pa.array(np.full(n, bucket, dtype=np.int32), pa.int32())
+            ).append_column(
+                "salt", pa.array(np.full(n, saltv, dtype=np.int32), pa.int32())
             )
-            sink = pa.BufferOutputStream()
-            with pa.ipc.new_stream(sink, sub.schema) as w:
-                w.write_table(sub)
-            buckets.append(int(key[s0] // (NUM_SALTS + 1)))
-            salts.append(int(key[s0] % (NUM_SALTS + 1)))
-            payloads.append(sink.getvalue().to_pybytes())
-        return pa.table(
-            {
-                "bucket": pa.array(buckets, pa.int32()),
-                "salt": pa.array(salts, pa.int32()),
-                "payload": pa.array(payloads, pa.binary()),
-            }
-        )
+            n_chunks += _compress_and_write_group(group, self.avgdl, self.out_root)
+        return len(uniq), n_chunks, int(uniq_hot.sum())
 
 
-def _compress_and_write_group(group: pa.Table, avgdl: float, out_root: str) -> pa.Table:
-    """Reduce group -> compressed chunk rows written straight to the segment
-    file for (bucket, salt); returns a 1-row summary."""
-    t = _unpack_and_compress(group, avgdl)
+def _compress_and_write_group(group: pa.Table, avgdl: float, out_root: str) -> int:
+    """One (bucket, salt) group -> compressed chunk rows written straight to
+    the segment file; returns the number of term-chunk rows written."""
+    t = _compress_bucket(group, avgdl)
     bucket = t["bucket"][0].as_py()
     salt = t["salt"][0].as_py()
     d = os.path.join(out_root, f"bucket={bucket}")
@@ -637,26 +861,7 @@ def _compress_and_write_group(group: pa.Table, avgdl: float, out_root: str) -> p
         compression="zstd",
         compression_level=1,
     )
-    return pa.table(
-        {
-            "bucket": pa.array([bucket], pa.int32()),
-            "salt": pa.array([salt], pa.int32()),
-            "n_terms": pa.array([t.num_rows], pa.int64()),
-        }
-    )
-
-
-def _unpack_and_compress(group: pa.Table, avgdl: float) -> pa.Table:
-    """Reduce side of the packed exchange: concat this key's fragments and
-    compress every term's postings in the group."""
-    tbls = [pa.ipc.open_stream(p).read_all() for p in group["payload"].to_pylist()]
-    t = pa.concat_tables(tbls)
-    n = t.num_rows
-    bucket = group["bucket"][0].as_py()
-    salt = group["salt"][0].as_py()
-    t = t.append_column("bucket", pa.array([bucket] * n, pa.int32()))
-    t = t.append_column("salt", pa.array([salt] * n, pa.int32()))
-    return _compress_bucket(t, avgdl)
+    return t.num_rows
 
 
 def _compress_bucket(group: pa.Table, avgdl: float) -> pa.Table:
@@ -820,49 +1025,3 @@ def _compute_losers_from_input(files: list[str], rank_of_path: dict[str, int]) -
         allp["max_ts"].to_numpy(zero_copy_only=False).astype(np.int64),
         allp["rank"].to_numpy(zero_copy_only=False).astype(np.int32),
     )
-
-
-def _compute_stats(partials_root: str) -> tuple[pa.Table, int]:
-    """Per-term global df + total token count.
-
-    Map-side pre-aggregation shrinks each batch to <= |batch vocab| rows; the
-    final reduce runs driver-side in Arrow C++ (the combined partials are
-    vocab-sized, tiny next to the corpus).  At web scale with an unbounded
-    noisy vocab this final reduce becomes a Ray groupby over the same partial
-    rows — same dataflow, different reducer placement.
-    """
-
-    def batch_df(t: pa.Table) -> pa.Table:
-        g = t.group_by("term").aggregate([("tf", "sum"), ("term", "count")])
-        return pa.table(
-            {
-                "term": g["term"],
-                "df_part": g["term_count"].cast(pa.int64()),
-                "tf_sum": g["tf_sum"].cast(pa.int64()),
-            }
-        )
-
-    ds = rd.read_parquet(partials_root, columns=["term", "tf"])
-    parts = ds.map_batches(
-        batch_df, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
-    )
-    tables = [
-        pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
-        for b in parts.iter_batches(batch_format="pyarrow", batch_size=None)
-    ]
-    tables = [t for t in tables if t.num_rows]
-    if not tables:
-        return (
-            pa.table({"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())}),
-            0,
-        )
-    allp = pa.concat_tables(tables)
-    g = allp.group_by("term").aggregate([("df_part", "sum"), ("tf_sum", "sum")])
-    total_tokens = int(pa.compute.sum(g["tf_sum_sum"]).as_py() or 0)
-    df_tbl = pa.table(
-        {
-            "term": g["term"],
-            "df": g["df_part_sum"].cast(pa.int64()),
-        }
-    )
-    return df_tbl, total_tokens

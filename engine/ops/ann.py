@@ -156,13 +156,64 @@ class _LshBucketer:
         )
 
 
+class _LshProbeTopK(_LshBucketer):
+    """Single-pass probe: per batch, compute each vector's LSH keys, keep
+    only vectors landing in a probed bucket, score ONLY those against the
+    broadcast query matrix, emit local top-k rows.  The candidate set never
+    leaves the workers (round 1 drained candidate ids to the driver and
+    spliced them into a filter expression)."""
+
+    def __init__(self, probe_ref, k: int, dim: int = 64, seed: int = 11):
+        super().__init__(dim=dim, seed=seed)
+        self.q_ids, qn, probe_keys = ray.get(probe_ref)
+        self.qn = qn
+        self.probe = np.sort(probe_keys)
+        self.k = k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, m = _emb_matrix(t)
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "sim": pa.array([], pa.float64()),
+            }
+        )
+        if len(ids) == 0:
+            return empty
+        keys = self.keys_of(m)  # (n, T)
+        pos = np.searchsorted(self.probe, keys)
+        pos = np.minimum(pos, self.probe.size - 1)
+        hit = (self.probe[pos] == keys).any(axis=1)
+        if not hit.any():
+            return empty
+        ids, m = ids[hit], m[hit]
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        sims = mn @ self.qn.T
+        out_q, out_v, out_s = [], [], []
+        k = min(self.k, len(ids))
+        for qi, qid in enumerate(self.q_ids):
+            s = sims[:, qi]
+            top = np.argpartition(-s, k - 1)[:k] if k < len(ids) else np.arange(len(ids))
+            out_q.extend([int(qid)] * len(top))
+            out_v.extend(ids[top].tolist())
+            out_s.extend(s[top].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
 def lsh_knn_topk(sf_dir: str, k: int = K, probe_radius: int = 1):
     """Approximate cosine top-k via multi-table LSH with hamming-radius
-    probing.  Rows-only check; tests assert recall vs knn_topk."""
+    probing, as a pure pipeline: probe keys are broadcast once, candidates
+    are filtered + scored inside map_batches, and only per-batch top-k rows
+    (result-scale) reach the final merge.  Rows-only check; tests assert
+    recall vs knn_topk."""
     b = _LshBucketer()
-    bucketed = _read_emb(sf_dir).map_batches(
-        _LshBucketer, batch_format="pyarrow", concurrency=(1, 4), zero_copy_batch=True
-    )
     q_ids, q = _load_queries(sf_dir)
     q_keys = b.keys_of(q)  # (nq, T)
     probe: set[int] = set()
@@ -172,19 +223,21 @@ def lsh_knn_topk(sf_dir: str, k: int = K, probe_radius: int = 1):
             if probe_radius >= 1:
                 for i in range(_N_PLANES):
                     probe.add(int(key) ^ (1 << i))
-    cand_ids = bucketed.filter(expr=f"bucket in {sorted(probe)}").unique("vec_id")
-    emb = _read_emb(sf_dir).filter(expr=f"vec_id in {sorted(cand_ids)}")
-    tbl = pa.Table.from_pandas(emb.to_pandas(), preserve_index=False)
-    ids, m = _emb_matrix(tbl)
     qn = q / np.linalg.norm(q, axis=1, keepdims=True)
-    mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
-    sims = mn @ qn.T
-    rows = []
-    for qi, qid in enumerate(q_ids):
-        order = np.lexsort((ids, -np.round(sims[:, qi], 6)))[:k]
-        for r, o in enumerate(order, 1):
-            rows.append((int(qid), r, int(ids[o]), float(np.round(sims[o, qi], 6))))
-    return pd.DataFrame(rows, columns=["query_id", "rank", "vec_id", "sim_r"])
+    probe_ref = ray.put((q_ids, qn, np.array(sorted(probe), dtype=np.int64)))
+    ds = _read_emb(sf_dir).map_batches(
+        _LshProbeTopK,
+        fn_constructor_args=(probe_ref, k),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        zero_copy_batch=True,
+    )
+    df = ds.to_pandas()  # tiny: n_batches * n_queries * k rows
+    df["sim_r"] = df["sim"].round(6)
+    df = df.sort_values(["query_id", "sim_r", "vec_id"], ascending=[True, False, True])
+    df = df.groupby("query_id", sort=False).head(k).reset_index(drop=True)
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    return df[["query_id", "rank", "vec_id", "sim_r"]]
 
 
 # ---------------------------------------------------------------------------
@@ -225,6 +278,92 @@ def cosine_dup_pairs(sf_dir: str, threshold: float = 0.4):
     return _read_emb(sf_dir).map_batches(
         _Pairs, batch_format="pyarrow", concurrency=(1, 4), zero_copy_batch=True
     )
+
+
+def lsh_cosine_dup_pairs(sf_dir: str, threshold: float = 0.4):
+    """Embedding near-dup pairs via LSH-bucketed pair generation — the scale
+    path (cosine_dup_pairs' broadcast all-pairs form is the oracle anchor).
+
+    Plan: each vector emits one (table, bucket) row per LSH table (the
+    shuffle carries _N_TABLES small rows per vector, never the O(N^2) pair
+    space); same-bucket vectors pair up inside groupby().map_groups; pairs
+    found in several tables dedup on a final (a, b) groupby keeping max sim.
+    Approximate (recall asserted vs the exact baseline in tests): a pair at
+    sim >= threshold appears iff the two vectors share >= 1 of the
+    _N_TABLES buckets.
+    """
+
+    class _BucketWithVec(_LshBucketer):
+        """(vec_id, bucket, embedding) rows — embeddings ride the shuffle so
+        the group can score pairs locally without a second lookup."""
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids, m = _emb_matrix(t)
+            if len(ids) == 0:
+                return pa.table(
+                    {
+                        "bucket": pa.array([], pa.int64()),
+                        "vec_id": pa.array([], pa.int64()),
+                        "emb": pa.array([], pa.list_(pa.float64())),
+                    }
+                )
+            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+            keys = self.keys_of(m)  # (n, T)
+            n, T = keys.shape
+            flat_emb = np.tile(mn, (T, 1))
+            offsets = np.arange(0, (n * T + 1) * mn.shape[1], mn.shape[1], dtype=np.int64)
+            lists = pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int64()),
+                pa.array(flat_emb.reshape(-1), pa.float64()),
+            )
+            return pa.table(
+                {
+                    "bucket": pa.array(keys.T.reshape(-1), pa.int64()),
+                    "vec_id": pa.array(np.tile(ids, T), pa.int64()),
+                    "emb": lists,
+                }
+            )
+
+    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("vec_id").sort_values("vec_id")
+        ids = g["vec_id"].to_numpy()
+        if ids.size < 2:
+            return pd.DataFrame({"a": [], "b": [], "sim": []}).astype(
+                {"a": "int64", "b": "int64", "sim": "float64"}
+            )
+        m = np.asarray([np.asarray(e) for e in g["emb"]], dtype=np.float64)
+        sims = m @ m.T
+        ai, bi = np.nonzero(np.triu(sims >= threshold, k=1))
+        return pd.DataFrame(
+            {"a": ids[ai], "b": ids[bi], "sim": sims[ai, bi]}
+        )
+
+    from ray.data.aggregate import Max
+
+    pairs = (
+        _read_emb(sf_dir)
+        .map_batches(
+            _BucketWithVec, batch_format="pyarrow", concurrency=(1, 4),
+            zero_copy_batch=True,
+        )
+        .groupby("bucket")
+        .map_groups(pairs_of_bucket, batch_format="pandas")
+        .groupby(["a", "b"])
+        .aggregate(Max("sim", alias_name="sim"))
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": t["a"],
+                "b": t["b"],
+                "sim_r": pa.array(
+                    np.round(t["sim"].to_numpy(zero_copy_only=False), 6), pa.float64()
+                ),
+            }
+        )
+
+    return pairs.map_batches(final, batch_format="pyarrow")
 
 
 COSINE_DUP_SQL = """

@@ -22,11 +22,12 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 from ray.data.aggregate import Min, Sum
 
-from ..analyze import tokenize
+from ..analyze import SPLIT_PATTERN, tokenize, tokenize_counts_arrow
 
 _MERSENNE = (1 << 61) - 1
 
@@ -174,70 +175,211 @@ WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
 # ---------------------------------------------------------------------------
 _N_PERM = 64
 _N_BANDS = 16  # 16 bands x 4 rows
+_SHINGLE_K = 3
+
+# 64-bit mixing constants (splitmix64 / xxhash finalizer family)
+_C1 = np.uint64(0x9E3779B97F4A7C15)
+_C2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_C3 = np.uint64(0x165667B19E3779F9)
 
 
-def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    toks = tokenize(text)
-    if len(toks) < k:
-        toks = toks + ["_pad"] * (k - len(toks))
-    out = set()
-    for i in range(len(toks) - k + 1):
-        h = hashlib.blake2b(" ".join(toks[i : i + k]).encode(), digest_size=8).digest()
-        out.add(int.from_bytes(h, "big") % _MERSENNE)
-    return np.fromiter(out, dtype=np.uint64, count=len(out))
+def _mix2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        x = (a ^ (b * _C1)) * _C2
+        x ^= x >> np.uint64(31)
+        x *= _C3
+        x ^= x >> np.uint64(29)
+    return x
+
+
+def _mix3(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        x = (a ^ (b * _C1) ^ (c * _C2)) * _C3
+        x ^= x >> np.uint64(31)
+        x *= _C1
+        x ^= x >> np.uint64(29)
+    return x
+
+
+def _hash_token(tok: str) -> int:
+    return int.from_bytes(
+        hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
+    )
+
+
+_PAD_HASH = np.uint64(_hash_token("_pad"))
+
+
+def _token_hash_stream(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Batch texts -> (uint64 hash per token occurrence, doc index per token),
+    in document order.  Tokenization follows the engine analyzer spec; only
+    the batch's UNIQUE tokens are hashed in Python (dictionary-encoded), the
+    occurrence stream is a vectorized gather."""
+    n_docs = len(texts)
+    empty = (np.empty(0, np.uint64), np.empty(0, np.int64))
+    if n_docs == 0:
+        return empty
+    lower = pc.utf8_lower(texts)
+    lists = pc.split_pattern_regex(lower, pattern=SPLIT_PATTERN)
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    offsets = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = lists.flatten()
+    if len(flat) == 0:
+        return empty
+    parents = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(offsets))
+    de = flat.dictionary_encode()
+    if isinstance(de, pa.ChunkedArray):
+        de = de.combine_chunks()
+    codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = de.dictionary.to_pylist()
+    vh = np.fromiter(
+        (_hash_token(t) for t in vocab), dtype=np.uint64, count=len(vocab)
+    )
+    empty_code = pc.index(de.dictionary, "").as_py()
+    if empty_code >= 0:  # split artifacts at string boundaries
+        keep = codes != empty_code
+        codes, parents = codes[keep], parents[keep]
+    return vh[codes], parents
+
+
+def _shingle_stream(texts, k: int = _SHINGLE_K) -> tuple[np.ndarray, np.ndarray]:
+    """Batch texts -> (uint64 shingle hash, doc index) for every k-gram
+    occurrence, sorted by doc.  Docs with < k tokens get one padded shingle
+    (so even empty docs carry a signature), mirroring the per-doc shingler's
+    pad semantic."""
+    th, parents = _token_hash_stream(texts)
+    n_docs = len(texts)
+    counts = (
+        np.bincount(parents, minlength=n_docs).astype(np.int64)
+        if parents.size
+        else np.zeros(n_docs, np.int64)
+    )
+    long_parts = []
+    if th.size >= k:
+        sh_main = _mix3(th[:-2], th[1:-1], th[2:])
+        valid = parents[:-2] == parents[2:]
+        long_parts = [(sh_main[valid], parents[:-2][valid])]
+    # short docs (< k tokens): exactly one shingle over the padded window
+    sids = np.nonzero(counts < k)[0]
+    if sids.size:
+        starts = np.searchsorted(parents, sids)
+        c = counts[sids]
+        pad = np.full(sids.size, _PAD_HASH, np.uint64)
+        safe = lambda idx: th[np.minimum(idx, max(th.size - 1, 0))] if th.size else pad
+        t0 = np.where(c >= 1, safe(starts), pad)
+        t1 = np.where(c >= 2, safe(starts + 1), pad)
+        long_parts.append((_mix3(t0, t1, pad), sids))
+    if not long_parts:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    sh = np.concatenate([p[0] for p in long_parts])
+    sdoc = np.concatenate([p[1] for p in long_parts])
+    order = np.argsort(sdoc, kind="stable")
+    return sh[order], sdoc[order]
 
 
 class _MinHasher:
     """Actor-pool stage: documents -> (band_id, band_hash, doc_id) rows.
 
-    Permutation parameters are derived from a fixed seed in __init__
-    (once per actor), signatures are vectorized: sig_i = min((a_i*x+b_i) mod p).
+    Permutation parameters are derived from a fixed seed in __init__ (once
+    per actor).  The whole batch is one vectorized pass: shingle hashes are
+    folded to 32 bits so the universal-hash product a*x+b stays inside
+    uint64 (a, b < 2^31, x < 2^32 => a*x+b < 2^63), then per-doc minima come
+    from one np.minimum.reduceat per permutation chunk — no Python loop over
+    shingles or permutations (round-1 kernel was object-dtype bigint modmul).
     """
 
     def __init__(self, seed: int = 7):
         rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, _MERSENNE, size=_N_PERM, dtype=np.uint64)
-        self.b = rng.integers(0, _MERSENNE, size=_N_PERM, dtype=np.uint64)
-
-    def signature(self, text: str) -> np.ndarray:
-        x = _shingle_hashes(text)
-        if x.size == 0:
-            return np.zeros(_N_PERM, dtype=np.uint64)
-        # (n_perm, n_shingles) via object->uint64 modmul in python ints is slow;
-        # use float-safe 128-bit arithmetic through np.uint64 with mersenne trick
-        prod = (
-            self.a[:, None].astype(object) * x[None, :].astype(object)
-            + self.b[:, None].astype(object)
-        ) % _MERSENNE
-        return prod.min(axis=1).astype(np.uint64)
+        self.a = rng.integers(1, 1 << 31, size=_N_PERM, dtype=np.uint64)
+        self.b = rng.integers(0, 1 << 31, size=_N_PERM, dtype=np.uint64)
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        n_docs = len(t)
+        if n_docs == 0:
+            return pa.table(
+                {
+                    "band": pa.array([], pa.int32()),
+                    "bh": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                }
+            )
+        sh, sdoc = _shingle_stream(t["text"])
+        # every doc has >= 1 shingle (pad semantic), so reduceat is total
+        x32 = (sh >> np.uint64(32)) ^ (sh & np.uint64(0xFFFFFFFF))
+        starts = np.searchsorted(sdoc, np.arange(n_docs))
+        sigs = np.empty((_N_PERM, n_docs), dtype=np.uint64)
+        step = 16  # bound the (step x n_shingles) temporary
+        for c0 in range(0, _N_PERM, step):
+            c1 = min(c0 + step, _N_PERM)
+            with np.errstate(over="ignore"):
+                v = (self.a[c0:c1, None] * x32[None, :] + self.b[c0:c1, None]) % _MERSENNE
+            sigs[c0:c1] = np.minimum.reduceat(v, starts, axis=1)
+        # fold each band's rows into one 64-bit band hash (vectorized)
         rows_per = _N_PERM // _N_BANDS
-        band_ids, band_hashes, doc_ids = [], [], []
-        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            sig = self.signature(text)
-            for b in range(_N_BANDS):
-                chunk = sig[b * rows_per : (b + 1) * rows_per]
-                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
-                band_ids.append(b)
-                band_hashes.append(int.from_bytes(h, "big") >> 1)
-                doc_ids.append(did)
+        s3 = sigs.reshape(_N_BANDS, rows_per, n_docs)
+        bh = s3[:, 0]
+        for r in range(1, rows_per):
+            bh = _mix2(bh, s3[:, r])
+        bh = (bh >> np.uint64(1)).astype(np.int64)  # int64-safe
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "band": pa.array(band_ids, pa.int32()),
-                "bh": pa.array(band_hashes, pa.int64()),
-                "doc_id": pa.array(doc_ids, pa.int64()),
+                "band": pa.array(
+                    np.repeat(np.arange(_N_BANDS, dtype=np.int32), n_docs), pa.int32()
+                ),
+                "bh": pa.array(bh.reshape(-1), pa.int64()),
+                "doc_id": pa.array(np.tile(doc_ids, _N_BANDS), pa.int64()),
             }
         )
+
+
+def _shingle_set_rows(t: pa.Table) -> pa.Table:
+    """Batch -> (doc_id, shingles: list<uint64>) with per-doc dedup."""
+    sh, sdoc = _shingle_stream(t["text"])
+    n_docs = len(t)
+    order = np.lexsort((sh, sdoc))
+    sh_s, sdoc_s = sh[order], sdoc[order]
+    uniq = np.ones(sh_s.size, dtype=bool)
+    if sh_s.size > 1:
+        uniq[1:] = (sh_s[1:] != sh_s[:-1]) | (sdoc_s[1:] != sdoc_s[:-1])
+    sh_u, sdoc_u = sh_s[uniq], sdoc_s[uniq]
+    counts = np.bincount(sdoc_u, minlength=n_docs)
+    offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+    lists = pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()), pa.array(sh_u, pa.uint64())
+    )
+    return pa.table({"doc_id": t["doc_id"], "shingles": lists})
+
+
+def _candidate_shingle_sets(sf_dir: str, cand_ids: list[int]) -> dict[int, set]:
+    """Shingle sets for the CANDIDATE docs only: predicate-pushdown read +
+    vectorized shingling; the collected result is candidate-scale (pair
+    verification working set), never corpus-scale."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filter=pc.field("doc_id").isin(cand_ids),
+    ).map_batches(_shingle_set_rows, batch_format="pyarrow", zero_copy_batch=True)
+    out: dict[int, set] = {}
+    for batch in ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        for did, lst in zip(
+            batch["doc_id"].to_pylist(), batch["shingles"].to_pylist()
+        ):
+            out[did] = set(lst)
+    return out
 
 
 def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.6):
     """MinHash+LSH candidate pairs, verified with exact shingle Jaccard.
 
     Scale path for near-dedup: the shuffle moves N_BANDS small rows per doc;
-    only same-(band, band_hash) docs generate candidates.  Verification uses
-    a broadcast shingle-set lookup at sandbox scale (at 10^12 docs this is a
-    doc_id-keyed join of candidates against a shingle store).
+    only same-(band, band_hash) docs generate candidates.  Verification
+    touches ONLY candidate docs: their ids come off the (tiny, result-scale)
+    candidate set, their shingle sets come from a predicate-pushdown read —
+    the corpus itself is never materialized (round 1 take_all removed).  At
+    10^12 docs the same verification becomes a doc_id-keyed join of
+    candidates against a shingle store; the dataflow shape is identical.
     """
     docs = _read_docs(sf_dir, columns=["doc_id", "text"])
     bands = docs.map_batches(
@@ -256,13 +398,11 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.6):
         .map_groups(cand_of_group, batch_format="pandas")
         .groupby(["a", "b"])
         .map_groups(lambda g: g.head(1), batch_format="pandas")  # distinct pairs
-    )
+    ).materialize()
 
-    shingles = {
-        r["doc_id"]: set(_shingle_hashes(r["text"]).tolist())
-        for r in _read_docs(sf_dir, columns=["doc_id", "text"]).take_all()
-    }
-    sh_ref = ray.put(shingles)
+    cand_tbl = cands.to_pandas()  # candidate pairs = the (small) result scale
+    cand_ids = sorted(set(cand_tbl["a"]) | set(cand_tbl["b"]))
+    sh_ref = ray.put(_candidate_shingle_sets(sf_dir, cand_ids))
 
     class _Verify:
         def __init__(self):
@@ -293,22 +433,40 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.6):
 
 # ---------------------------------------------------------------------------
 class _SimHasher:
-    """64-bit SimHash over tf-weighted token hashes (actor-pool stage)."""
+    """64-bit SimHash over tf-weighted token hashes (actor-pool stage).
+
+    Vectorized matrix form (round-1 kernel looped per token): the batch
+    vocabulary is hashed once (dictionary-encoded), expanded to a
+    (vocab x 64) ±1 bit matrix, and per-doc accumulation is one
+    np.add.reduceat over tf-weighted gathered rows.  Output values are
+    bit-identical to the per-token formulation (same token hash, same bit
+    convention, tf-weighting == per-occurrence ±1 sums).
+    """
+
+    _BITS = np.arange(64, dtype=np.uint64)
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        out = []
-        for text in t["text"].to_pylist():
-            toks = tokenize(text)
-            acc = np.zeros(64, dtype=np.int64)
-            for tk in toks:
-                h = int.from_bytes(
-                    hashlib.blake2b(tk.encode(), digest_size=8).digest(), "big"
-                )
-                bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                acc += np.where(bits.astype(bool), 1, -1)
-            sh = int((acc > 0).astype(np.uint64) @ (1 << np.arange(64, dtype=np.uint64)).astype(object))
-            out.append(sh >> 1)  # keep int64-safe
-        return pa.table({"doc_id": t["doc_id"], "simhash": pa.array(out, pa.int64())})
+        n_docs = len(t)
+        doc_idx, terms, tfs, _ = tokenize_counts_arrow(t["text"])
+        acc = np.zeros((n_docs, 64), dtype=np.int64)
+        if len(terms):
+            de = terms.dictionary_encode()
+            if isinstance(de, pa.ChunkedArray):
+                de = de.combine_chunks()
+            codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            vocab = de.dictionary.to_pylist()
+            vh = np.fromiter(
+                (_hash_token(tk) for tk in vocab), dtype=np.uint64, count=len(vocab)
+            )
+            w = (((vh[:, None] >> self._BITS) & np.uint64(1)).astype(np.int64) * 2 - 1)
+            contrib = tfs.astype(np.int64)[:, None] * w[codes]  # (pairs, 64)
+            # doc_idx is ascending (tokenize_counts_arrow sorts by doc)
+            present = np.unique(doc_idx)
+            starts = np.searchsorted(doc_idx, present)
+            acc[present] = np.add.reduceat(contrib, starts, axis=0)
+        packed = (acc > 0).astype(np.uint64) @ (np.uint64(1) << self._BITS)
+        sh = (packed >> np.uint64(1)).astype(np.int64)  # int64-safe
+        return pa.table({"doc_id": t["doc_id"], "simhash": pa.array(sh, pa.int64())})
 
 
 def simhash_pairs(sf_dir: str, max_hamming: int = 3):
@@ -324,19 +482,16 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3):
     def explode(t: pa.Table) -> pa.Table:
         d = t["doc_id"].to_numpy(zero_copy_only=False)
         s = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        bands, keys, dids, hashes = [], [], [], []
-        for b in range(4):
-            key = (s >> np.uint64(b * 16)) & np.uint64(0xFFFF)
-            bands.extend([b] * len(d))
-            keys.extend(key.tolist())
-            dids.extend(d.tolist())
-            hashes.extend(s.tolist())
+        shifts = np.uint64(16) * np.arange(4, dtype=np.uint64)
+        keys = ((s[None, :] >> shifts[:, None]) & np.uint64(0xFFFF)).astype(np.int64)
         return pa.table(
             {
-                "band": pa.array(bands, pa.int32()),
-                "key": pa.array(keys, pa.int64()),
-                "doc_id": pa.array(dids, pa.int64()),
-                "simhash": pa.array(np.array(hashes, dtype=np.uint64).astype(np.int64)),
+                "band": pa.array(
+                    np.repeat(np.arange(4, dtype=np.int32), len(d)), pa.int32()
+                ),
+                "key": pa.array(keys.reshape(-1), pa.int64()),
+                "doc_id": pa.array(np.tile(d, 4), pa.int64()),
+                "simhash": pa.array(np.tile(s.astype(np.int64), 4), pa.int64()),
             }
         )
 
@@ -350,10 +505,7 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3):
             )
         ai, bi = np.triu_indices(ids.size, k=1)
         x = hs[ai] ^ hs[bi]
-        ham = np.zeros(x.size, dtype=np.int64)
-        while x.any():
-            ham += (x & np.uint64(1)).astype(np.int64)
-            x = x >> np.uint64(1)
+        ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1).astype(np.int64)
         keep = ham <= max_hamming
         return pd.DataFrame({"a": ids[ai][keep], "b": ids[bi][keep], "hamming": ham[keep]})
 

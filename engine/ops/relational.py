@@ -146,22 +146,31 @@ def q3_top_orders(sf_dir: str):
         ).aggregate([("rev", "sum")])
         return g
 
-    # the filtered, segment-restricted orders side is small: broadcast it and
-    # finish the grouped-revenue aggregate per batch (no row-level shuffle of
-    # lineitem at all — the partial groupby(l_orderkey) happens map-side and
-    # the final reduce runs over order-grain rows)
-    orders_tbl = pa.Table.from_pandas(orders.to_pandas(), preserve_index=False)
-    rev = broadcast_join(
-        li.map_batches(rev_partial, batch_format="pyarrow", zero_copy_batch=True),
-        orders_tbl, on="l_orderkey", right_on="o_orderkey",
+    # both sides stay Datasets (the filtered orders side is order-grain but
+    # still fact-sized at 100x — never pulled to the driver): lineitem is
+    # pre-aggregated to order grain map-side, reduced with a groupby, then
+    # hash-joined against orders; the final top-10 is a per-batch local
+    # top-k followed by a tiny (n_batches * 10 rows) driver merge
+    rev = (
+        li.map_batches(rev_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev_sum", alias_name="revenue"))
     )
-    agg = rev.groupby("l_orderkey").aggregate(Sum("rev_sum", alias_name="revenue"))
-    df = agg.to_pandas().rename(columns={"l_orderkey": "o_orderkey"})
-    dates = dict(
-        zip(orders_tbl["o_orderkey"].to_pylist(), orders_tbl["o_orderdate"].to_pylist())
+    joined = rev.join(
+        orders.select_columns(["o_orderkey", "o_orderdate"]),
+        "inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",),
     )
-    df["o_orderdate"] = df["o_orderkey"].map(dates)
-    df["revenue"] = df["revenue"].round(2)
+
+    def local_top(t: pa.Table) -> pa.Table:
+        df_ = t.to_pandas()
+        df_["revenue"] = df_["revenue"].round(2)
+        return pa.Table.from_pandas(
+            df_.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(10),
+            preserve_index=False,
+        )
+
+    df = joined.map_batches(local_top, batch_format="pyarrow").to_pandas()
+    df = df.rename(columns={"l_orderkey": "o_orderkey"})
     df = df.sort_values(["revenue", "o_orderkey"], ascending=[False, True]).head(10)
     return df[["o_orderkey", "o_orderdate", "revenue"]].reset_index(drop=True)
 

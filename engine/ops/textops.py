@@ -123,32 +123,40 @@ _LANG_MARKERS = {
 class LangId:
     """Heuristic language ID (actor-pool stage; marker tables built once).
 
-    n-gram/stopword-profile classifier: argmax over per-language marker-token
-    hit rates; 'unknown' when nothing matches.  Rows-only correctness check
-    (not SQL-expressible); tests assert determinism and schema.
+    Stopword-profile classifier: argmax over per-language marker-token hit
+    counts (tf-weighted), ties broken by ascending language code, 'unknown'
+    when nothing matches.  Vectorized: one tokenize_counts_arrow pass, one
+    is_in per language over the batch's (doc, term) pairs (round-1 kernel
+    looped per token).  SQL-expressible, so it is oracle-checked (the same
+    argmax as a window function in LANG_ID_SQL).
     """
 
     def __init__(self):
-        self.markers = {k: frozenset(v) for k, v in _LANG_MARKERS.items() if v}
+        self.langs = sorted(k for k, v in _LANG_MARKERS.items() if v)
+        self.marker_arrays = {
+            k: pa.array(sorted(_LANG_MARKERS[k])) for k in self.langs
+        }
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        preds = []
-        for text in t["text"].to_pylist():
-            toks = tokenize(text)
-            if not toks:
-                preds.append("unknown")
-                continue
-            best, best_hits = "unknown", 0
-            for lang in sorted(self.markers):
-                hits = sum(1 for tk in toks if tk in self.markers[lang])
-                if hits > best_hits:
-                    best, best_hits = lang, hits
-            preds.append(best)
+        n_docs = len(t)
+        doc_idx, terms, tfs, _ = tokenize_counts_arrow(t["text"])
+        # hits[lang][doc] = total tf of that lang's marker tokens in doc
+        hits = np.zeros((len(self.langs), n_docs), dtype=np.int64)
+        for li, lang in enumerate(self.langs):
+            is_m = pc.is_in(terms, value_set=self.marker_arrays[lang]).to_numpy(
+                zero_copy_only=False
+            )
+            np.add.at(hits[li], doc_idx[is_m], tfs[is_m].astype(np.int64))
+        best_li = np.argmax(hits, axis=0)  # first max wins == asc lang order
+        best_hits = hits[best_li, np.arange(n_docs)]
+        preds = np.where(
+            best_hits > 0, np.array(self.langs, dtype=object)[best_li], "unknown"
+        )
         return pa.table(
             {
                 "doc_id": t["doc_id"],
                 "lang": t["lang"],
-                "pred_lang": pa.array(preds, pa.string()),
+                "pred_lang": pa.array(preds.tolist(), pa.string()),
             }
         )
 
@@ -159,44 +167,102 @@ def lang_id(sf_dir: str):
     )
 
 
+def _lang_id_sql() -> str:
+    member_rows = ", ".join(
+        f"('{lang}', '{tok}')"
+        for lang in sorted(k for k, v in _LANG_MARKERS.items() if v)
+        for tok in sorted(_LANG_MARKERS[lang])
+    )
+    return f"""
+WITH markers(mlang, tok) AS (VALUES {member_rows}),
+tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS tk
+  FROM documents
+),
+hits AS (
+  SELECT t.doc_id, m.mlang, count(*) AS h
+  FROM tok t JOIN markers m ON t.tk = m.tok
+  GROUP BY t.doc_id, m.mlang
+),
+best AS (
+  SELECT doc_id, mlang, h,
+         row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, mlang ASC) AS rn
+  FROM hits
+)
+SELECT d.doc_id, d.lang,
+       coalesce(b.mlang, 'unknown') AS pred_lang
+FROM documents d
+LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+"""
+
+
+LANG_ID_SQL = _lang_id_sql()
+
+
 # ---------------------------------------------------------------------------
 _FP_WINDOW = 4
 _FP_K = 5  # k-gram chars
+_FP_BASE = np.uint64(1099511628211)  # FNV-ish odd multiplier
 
 
-def _winnow_fingerprints(text: str) -> list[int]:
-    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003):
-    rolling hashes of k-grams, min per sliding window, deduped."""
-    s = "".join(tokenize(text))
-    if len(s) < _FP_K:
-        return []
-    hs = [
-        int.from_bytes(
-            hashlib.blake2b(s[i : i + _FP_K].encode(), digest_size=8).digest(), "big"
-        )
-        >> 1
-        for i in range(len(s) - _FP_K + 1)
-    ]
-    out, last = [], None
-    for i in range(max(1, len(hs) - _FP_WINDOW + 1)):
-        w = hs[i : i + _FP_WINDOW]
-        m = min(w)
-        if m != last:
-            out.append(m)
-            last = m
-    return sorted(set(out))
+def _winnow_batch(texts) -> list[np.ndarray]:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003) for a
+    whole batch: rolling polynomial hashes of char k-grams, min per sliding
+    window, per-doc sorted unique.  Fully vectorized — the token-character
+    stream comes from one Arrow regex pass, k-gram hashes are 5 shifted
+    numpy slices over the flat byte array, window minima one
+    sliding_window_view per doc (round-1 kernel ran blake2b per character
+    position in Python)."""
+    cleaned = pc.replace_substring_regex(
+        pc.utf8_lower(texts), pattern="[^a-z0-9]", replacement=""
+    )  # == "".join(tokenize(text)) under the engine analyzer spec
+    if isinstance(cleaned, pa.ChunkedArray):
+        cleaned = cleaned.combine_chunks()
+    n_docs = len(cleaned)
+    lens = pc.binary_length(cleaned).to_numpy(zero_copy_only=False).astype(np.int64)
+    offs = np.zeros(n_docs + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    off_buf = np.frombuffer(cleaned.buffers()[1], dtype=np.int32)
+    start = int(off_buf[cleaned.offset])
+    end = int(off_buf[cleaned.offset + n_docs])
+    data = (
+        np.frombuffer(cleaned.buffers()[2], dtype=np.uint8, count=end)[start:]
+        if end > start
+        else np.empty(0, np.uint8)
+    )
+    n = data.size
+    h = np.empty(0, np.uint64)
+    if n >= _FP_K:
+        d = data.astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = d[: n - _FP_K + 1].copy()
+            for j in range(1, _FP_K):
+                h = h * _FP_BASE + d[j : n - _FP_K + 1 + j]
+        h >>= np.uint64(1)  # int64-safe
+    out = []
+    sw = np.lib.stride_tricks.sliding_window_view
+    for i in range(n_docs):
+        lo, hi = int(offs[i]), int(offs[i + 1])
+        if hi - lo < _FP_K:
+            out.append(np.empty(0, np.int64))
+            continue
+        hd = h[lo : hi - _FP_K + 1]
+        w = min(_FP_WINDOW, hd.size)
+        mins = sw(hd, w).min(axis=1)
+        out.append(np.unique(mins).astype(np.int64))
+    return out
 
 
 def fingerprints(sf_dir: str):
     """Per-doc winnowing fingerprint summary (rows-only check)."""
 
     def fn(t: pa.Table) -> pa.Table:
-        n, lo, hi = [], [], []
-        for text in t["text"].to_pylist():
-            fps = _winnow_fingerprints(text)
-            n.append(len(fps))
-            lo.append(fps[0] if fps else 0)
-            hi.append(fps[-1] if fps else 0)
+        fps_per_doc = _winnow_batch(t["text"])
+        n = np.array([f.size for f in fps_per_doc], dtype=np.int64)
+        lo = np.array([f[0] if f.size else 0 for f in fps_per_doc], dtype=np.int64)
+        hi = np.array([f[-1] if f.size else 0 for f in fps_per_doc], dtype=np.int64)
         return pa.table(
             {
                 "doc_id": t["doc_id"],

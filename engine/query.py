@@ -32,7 +32,6 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.dataset as pads
-import pyarrow.parquet as pq
 
 from . import codec
 from .analyze import AnalyzerConfig, tokenize
@@ -113,7 +112,7 @@ class IndexReader:
         self.n_docs = self.stats["n_docs"]
         self.avgdl = self.stats["avgdl"]
         self.analyzer = AnalyzerConfig.from_json(self.stats.get("analyzer"))
-        df_tbl = pq.read_table(os.path.join(index_dir, "dfs.parquet"))
+        df_tbl = pads.dataset(os.path.join(index_dir, "dfs")).to_table()
         self._df = dict(
             zip(df_tbl["term"].to_pylist(), df_tbl["df"].to_pylist())
         )
@@ -121,10 +120,9 @@ class IndexReader:
             os.path.join(index_dir, "segments"), partitioning="hive"
         )
         self._extracted = pads.dataset(os.path.join(index_dir, "extracted"))
-        self._docmeta = None  # (sorted doc_ids, lang codes, ts, langs list)
+        self._docmeta = None  # (sorted doc_ids, lang codes, ts, doclens, langs)
         self._chunk_cache: _LRU = _LRU(cap=4096)  # term -> decoded chunks
         self._bucket_tables: _LRU = _LRU(cap=8)  # bucket -> (table, term index)
-        self._doclen = None  # (sorted doc_ids, doclens) for the rerank prior
         self._pos_cache: _LRU = _LRU(cap=4096)  # (term, chunk) -> positions
 
     # ------------------------------------------------------------------
@@ -166,17 +164,25 @@ class IndexReader:
         return chunks
 
     def _load_docmeta(self) -> None:
+        """Load the compact per-doc metadata table emitted by the build's
+        postings phase (docmeta/: doc_id, warc_ts, lang, doclen — exactly one
+        row per indexed doc, already loser-deduped).  Never re-reads doc text
+        or posting rows (round 1 scanned extracted/ for filters and ALL of
+        partials/ for the rerank doclen prior)."""
         if self._docmeta is not None:
             return
-        t = self._extracted.to_table(columns=["doc_id", "lang", "warc_ts"])
+        t = pads.dataset(os.path.join(self.index_dir, "docmeta")).to_table(
+            columns=["doc_id", "warc_ts", "lang", "doclen"]
+        )
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
         ts = t["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        dls = t["doclen"].to_numpy(zero_copy_only=False).astype(np.int64)
         lang = t["lang"].to_pylist()
         langs = sorted(set(lang))
         lang_code = {l: i for i, l in enumerate(langs)}
         codes = np.fromiter((lang_code[l] for l in lang), dtype=np.int32, count=len(lang))
         order = np.argsort(ids, kind="stable")
-        self._docmeta = (ids[order], codes[order], ts[order], langs)
+        self._docmeta = (ids[order], codes[order], ts[order], dls[order], langs)
 
     def _allowed_fn(self, lang_filter, ts_min, ts_max):
         """Compile the metadata predicate (SURVEY.md §2.8 filter analog).
@@ -188,27 +194,20 @@ class IndexReader:
         if lang_filter is None and ts_min is None and ts_max is None:
             return None
         self._load_docmeta()
-        ids, lang_codes, ts, langs = self._docmeta
+        ids, lang_codes, ts, _dls, langs = self._docmeta
         want_lang = langs.index(lang_filter) if lang_filter in langs else -2
 
         def allowed(doc: int) -> bool:
+            # docmeta holds exactly one (already loser-deduped) row per doc
             d = np.uint64(doc)
             pos = int(np.searchsorted(ids, d))
             if pos >= ids.size or ids[pos] != d:
                 return False
-            # duplicate (loser) rows share the doc_id; the indexed version is
-            # the max-warc_ts row — evaluate the predicate on that one
-            best = pos
-            end = pos
-            while end + 1 < ids.size and ids[end + 1] == d:
-                end += 1
-                if ts[end] >= ts[best]:
-                    best = end
-            if lang_filter is not None and lang_codes[best] != want_lang:
+            if lang_filter is not None and lang_codes[pos] != want_lang:
                 return False
-            if ts_min is not None and ts[best] < ts_min:
+            if ts_min is not None and ts[pos] < ts_min:
                 return False
-            if ts_max is not None and ts[best] > ts_max:
+            if ts_max is not None and ts[pos] > ts_max:
                 return False
             return True
 
@@ -306,7 +305,7 @@ class IndexReader:
                 scores[pos] += w * impacts  # unique positions within a chunk
                 touched[pos] = True
         if lang_filter is not None or ts_min is not None or ts_max is not None:
-            _, lang_codes, ts, langs = self._docmeta
+            _, lang_codes, ts, _dls, langs = self._docmeta
             if lang_filter is not None:
                 want = langs.index(lang_filter) if lang_filter in langs else -2
                 touched &= lang_codes == want
@@ -408,29 +407,15 @@ class IndexReader:
         out = sorted(heap, key=lambda e: (-e[0], e[2]))
         return [(doc, score) for score, _, doc in out]
 
-    def _load_doclen(self) -> None:
-        """doc_id -> doclen from the partials (lazy, once per reader).
-
-        The partials already store doclen per (term, doc) row; reading two
-        pruned columns once is cheaper than re-tokenizing doc-store text per
-        rerank query."""
-        if self._doclen is not None:
-            return
-        t = pads.dataset(os.path.join(self.index_dir, "partials")).to_table(
-            columns=["doc_id", "doclen"]
-        )
-        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        dls = t["doclen"].to_numpy(zero_copy_only=False).astype(np.int64)
-        uids, first = np.unique(ids, return_index=True)
-        self._doclen = (uids, dls[first])
-
     def _rerank(self, pool: list[tuple[int, float]], prior_weight: float):
         """Two-stage rerank (reference: streamlit_app.py:317-364 analog):
-        score + prior_weight * ln(1 + doclen)."""
+        score + prior_weight * ln(1 + doclen).  The doclen prior comes from
+        the compact docmeta table (round 1 re-read doc_id/doclen from EVERY
+        partials row — ~148M rows at 1.5M docs — onto one machine)."""
         if not pool:
             return pool
-        self._load_doclen()
-        uids, dls = self._doclen
+        self._load_docmeta()
+        uids, _codes, _ts, dls, _langs = self._docmeta
         rescored = []
         for d, s in pool:
             pos = int(np.searchsorted(uids, np.uint64(d)))

@@ -23,12 +23,15 @@ B = 0.75
 BLOCK_SIZE = 128
 
 # term-hash buckets used to partition the segment files (query-side pruning:
-# a query for T terms touches at most T buckets)
-NUM_TERM_BUCKETS = 32
+# a query for T terms touches at most T buckets).  Also the unit of reduce
+# granularity in the merge shuffle: more buckets = smaller, better-balanced
+# reduce groups (round 1 used 32 and the segments phase bottlenecked on ~32
+# fat cold-term groups — one task per core, stragglers, no scaling headroom)
+NUM_TERM_BUCKETS = 128
 
 # a term whose df exceeds this fraction of N is "hot" and gets salted into
 # NUM_SALTS sub-groups in the merge shuffle (SURVEY.md §4 "Skew")
-HOT_TERM_DF_FRACTION = 0.10
+HOT_TERM_DF_FRACTION = 0.03
 NUM_SALTS = 8
 
 PAGES_SCHEMA = pa.schema(

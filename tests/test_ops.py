@@ -51,6 +51,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 SQL_CHECKED = [
     "q1_pricing_summary",
+    "q3_top_orders",
     "q6_revenue",
     "events_type_counts",
     "events_latest_per_user",
@@ -58,6 +59,7 @@ SQL_CHECKED = [
     "orders_by_year",
     "exact_dedup",
     "token_counts",
+    "lang_id",
     "knn_topk",
     "customers_per_region",
 ]
@@ -105,6 +107,22 @@ def test_minhash_estimates_jaccard():
         if (a, b) not in got_pairs
     ]
     assert len(missed) <= max(1, len(exact) // 4), missed
+
+
+def test_lsh_cosine_pairs_recall_vs_exact():
+    from engine.ops.ann import cosine_dup_pairs, lsh_cosine_dup_pairs
+
+    exact = _to_pandas(cosine_dup_pairs(SF))
+    approx = _to_pandas(lsh_cosine_dup_pairs(SF))
+    got = set(zip(approx["a"], approx["b"]))
+    want = list(zip(exact["a"], exact["b"]))
+    recall = sum(1 for p in want if p in got) / max(len(want), 1)
+    assert recall >= 0.5, (recall, len(want), len(got))
+    # every reported pair must be a true pair with the exact similarity
+    exact_sims = dict(zip(zip(exact["a"], exact["b"]), exact["sim_r"]))
+    for a, b, s in zip(approx["a"], approx["b"], approx["sim_r"]):
+        assert (a, b) in exact_sims
+        assert abs(s - exact_sims[(a, b)]) < 1e-5
 
 
 def test_simhash_runs_and_is_deterministic():
