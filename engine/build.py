@@ -4,18 +4,28 @@ Ray-Data-first realization of the reference's ETL
 (/root/reference/ec2/parse_arxiv_papers/__main__.py:128-287, SURVEY.md §3.1),
 re-expressed per SURVEY.md §7.2:
 
-  phase extract   per input partition: read_parquet -> map_batches(extract)
-                  -> within-batch keep-latest dedup -> write extracted/pid=K
   phase losers    global keep-latest-by-url dedup residue: pre-aggregated
                   groupby(doc_id) over (doc_id, warc_ts) -> tiny loser set,
                   broadcast (no row-level shuffle of documents)
-  phase postings  per partition: read extracted (pruned columns) -> filter
-                  losers -> Tokenizer actor pool -> write partials/pid=K
-  phase stats     N, avgdl, per-term df (map-side partial df -> small groupby)
-  phase segments  THE wide step: salted groupby(term, salt) shuffle of the
-                  pre-aggregated partials -> map_groups merge: sort by docID,
-                  delta+varint compress, block-max metadata -> parquet
-                  partitioned by term-hash bucket
+  phase extract+postings (FUSED cold path)
+                  one actor-pool pass per input partition: read pages ->
+                  extract -> loser filter -> within-batch dedup -> tokenize
+                  -> write the doc store (extracted/pid=K), the partials
+                  (sharded by term-bucket group via row-group layout) and
+                  the compact per-doc docmeta table, all from the same
+                  actor.  Doc text is read exactly once and posting rows
+                  never enter the object store.  On resume, partitions with
+                  a valid extract checkpoint but stale postings (e.g. an
+                  analyzer change) re-run only the tokenize half from the
+                  doc store.
+  phase stats     pure metadata (no data re-read): N and total_tokens come
+                  from the wave's per-shard metadata rows
+  phase segments  the reduce side of the filesystem exchange: one
+                  independent task per term-bucket group reads ONLY its own
+                  row groups from each partials file, computes exact df
+                  locally, salts hot terms, delta+varint compresses with
+                  block-max metadata, and writes its (bucket, salt) segment
+                  files directly.  No all-to-all operator.
 
 Every phase is checkpointed in the lineage manifest (engine/checkpoint.py);
 re-running skips partitions/phases whose input fingerprints are unchanged —
@@ -46,6 +56,7 @@ from .schema import (
     EXTRACTED_SCHEMA,
     HOT_TERM_DF_FRACTION,
     K1,
+    NUM_BUCKET_GROUPS,
     NUM_SALTS,
     NUM_TERM_BUCKETS,
     PARTIAL_POSTINGS_SCHEMA,
@@ -55,7 +66,7 @@ from .schema import (
 
 
 # bump when the on-disk layout or scoring-relevant semantics change
-FORMAT_VERSION = 3
+FORMAT_VERSION = 4
 
 
 def _ensure_nonempty(out_dir: str, schema: pa.Schema) -> None:
@@ -85,8 +96,12 @@ def _partition_inputs(input_files: list[str], num_partitions: int) -> dict[str, 
 
 
 def _default_concurrency() -> int:
-    cpus = int(ray.cluster_resources().get("CPU", 4))
-    return max(2, cpus - 2)
+    """Actor-pool size for the fused wave = ALL session cpus: Ray fuses the
+    read->extract->filter->tokenize-shard chain into the actor-pool operator
+    itself, so there are no sibling task stages competing for cores — a pool
+    of cpus-2 would idle two cores outright (measurably: 6/8 actors cost 25%
+    of an 8-cpu session's fused-phase throughput)."""
+    return max(2, int(ray.cluster_resources().get("CPU", 4)))
 
 
 def documents_to_extracted(batch: pa.Table) -> pa.Table:
@@ -195,21 +210,57 @@ def build_index(
     loser_content_fp = _lh.hexdigest()
     _mark("t_losers")
 
-    # ---- phase extract (checkpoint unit: partition; one wave pipeline per
-    # run — partition dirs come from write_parquet(partition_cols)) --------
+    # ---- phases extract + postings ---------------------------------------
+    # The cold path FUSES them: one actor-pool pass reads pages, extracts,
+    # filters losers, tokenizes and writes all three outputs (doc store,
+    # bucket-group-sharded partials, compact docmeta) from the same actor —
+    # doc text is read once, posting rows never enter the object store, and
+    # the partials are the map side of a filesystem exchange (the segments
+    # phase schedules one independent reduce task per bucket group reading
+    # only its own row groups; on a multi-node cluster the same files live
+    # in the shared store).  Extract and postings keep SEPARATE lineage
+    # records: a partition whose extract checkpoint is valid but whose
+    # postings are stale (analyzer / exchange-layout change) re-runs only
+    # the tokenize half from the doc store.
     extracted_root = os.path.join(index_dir, "extracted")
+    partials_root = os.path.join(index_dir, "partials")
+    docmeta_root = os.path.join(index_dir, "docmeta")
+    n_bg = NUM_BUCKET_GROUPS
     extract_fn = extract_batch if input_kind == "pages" else documents_to_extracted
-    todo = []
-    for pid, pfiles in parts.items():
-        fp = fingerprint_files(pfiles) + "+L" + loser_content_fp
+    a_hash = _hash_analyzer(analyzer)
+    ext_fp = {
+        pid: fingerprint_files(pfiles) + "+L" + loser_content_fp
+        for pid, pfiles in parts.items()
+    }
+    post_fp = {pid: ext_fp[pid] + "+A" + a_hash + f"+G{n_bg}" for pid in parts}
+
+    fused_todo = []
+    for pid in parts:
         out_dir = os.path.join(extracted_root, f"pid={pid}")
-        if man.partition_done(pid, "extract", fp, out_dir):
+        if man.partition_done(pid, "extract", ext_fp[pid], out_dir):
             metrics["skipped_extract"] += 1
         else:
-            todo.append((pid, pfiles, fp))
-    if todo:
-        path_to_pid = {f: pid for pid, pfiles, _ in todo for f in pfiles}
-        ds = rd.read_parquet(sorted(path_to_pid), include_paths=True)
+            fused_todo.append(pid)
+    if fused_todo:
+        path_to_pid = {f: pid for pid in fused_todo for f in parts[pid]}
+        ds = rd.read_parquet(
+            sorted(path_to_pid), include_paths=True,
+            # finer blocks than files: with blocks == cpus one straggler
+            # idles the pool tail; ~4 blocks/core keeps every stage busy
+            override_num_blocks=max(4 * concurrency, len(path_to_pid)),
+            # an override_num_blocks read carries a split factor, which
+            # BLOCKS fusion into the tokenize actor pool (ray
+            # operator_fusion.py: get_additional_split_factor() > 1) — so
+            # these read tasks must be schedulable while a full-size pool
+            # of 1-CPU actors occupies every core, or the wave deadlocks
+            # (actors win the placement race, reads starve).  num_cpus=0
+            # keeps them always schedulable; the explicit concurrency cap
+            # bounds the oversubscription that zero-cost tasks would
+            # otherwise allow (unbounded readers measurably halve
+            # throughput by saturating the memory bus).
+            ray_remote_args={"num_cpus": 0},
+            concurrency=max(2, concurrency // 4),
+        )
         ds = ds.map_batches(
             _ExtractWithPid(
                 extract_fn, path_to_pid,
@@ -224,52 +275,41 @@ def build_index(
                 batch_size=None, zero_copy_batch=True,
             )
         ds = ds.map_batches(dedup_latest_in_batch, batch_format="pyarrow")
-        rows_per_pid = _write_partitioned(
-            ds, extracted_root, [pid for pid, _, _ in todo], EXTRACTED_SCHEMA,
-            compression="zstd", compression_level=1,  # doc store is write-
-            # heavy and disk-bound; zstd-1 halves bytes at ~snappy speed
+        wave = _run_shard_wave(
+            ds, fused_todo, n_bg, analyzer, tokenize_batch_size, concurrency,
+            partials_root=partials_root, docmeta_root=docmeta_root,
+            docstore_root=extracted_root,
         )
-        for pid, pfiles, fp in todo:
+        for pid in fused_todo:
             man.record_partition(
-                pid, "extract", fp, pfiles, {"rows": rows_per_pid.get(pid, 0)}
+                pid, "extract", ext_fp[pid], parts[pid],
+                {"rows": wave.n_rows.get(pid, 0)},
             )
-    _mark("t_extract")
+            man.record_partition(
+                pid, "postings", post_fp[pid], [],
+                {"tf_sum": wave.tf_sums.get(pid, 0)},
+            )
+    _mark("t_extract_tokenize")
 
     total_extracted = sum(
         man.data["partitions"][pid]["phase"]["extract"]["metrics"]["rows"]
         for pid in parts
     )
 
-    # ---- phase postings (same wave pattern; input already deduped) -------
-    # ONE fused actor-pool pass per partition: tokenize, write partials
-    # SHARDED BY TERM-BUCKET GROUP (pid=P/bg=K/...), and write the compact
-    # per-doc docmeta table (doc_id, url, warc_ts, lang, doclen).  The
-    # sharded partials are the map side of a filesystem exchange — the
-    # segments phase schedules one independent reduce task per bucket group
-    # that reads only its own files, so the "shuffle" is partitioned
-    # parallel reads with no all-to-all operator at all (the classic
-    # external-shuffle layout; on a multi-node cluster the same files live
-    # in the shared store).  Docmeta feeds query-time metadata filters and
-    # the rerank prior without ever re-reading doc text or postings.
-    partials_root = os.path.join(index_dir, "partials")
-    docmeta_root = os.path.join(index_dir, "docmeta")
-    n_bg = _num_bucket_groups()
+    # ---- postings-only resume path (valid doc store, stale postings) -----
     todo = []
     for pid in parts:
+        if pid in fused_todo:
+            continue
         out_dir = os.path.join(partials_root, f"pid={pid}")
         meta_dir = os.path.join(docmeta_root, f"pid={pid}")
-        fp = (
-            man.data["partitions"][pid]["phase"]["extract"]["fingerprint"]
-            + "+A" + _hash_analyzer(analyzer)
-            + f"+G{n_bg}"  # exchange layout is part of the lineage
-        )
-        if man.partition_done(pid, "postings", fp, out_dir) and os.path.isdir(meta_dir):
+        if man.partition_done(pid, "postings", post_fp[pid], out_dir) and os.path.isdir(meta_dir):
             metrics["skipped_postings"] += 1
         else:
-            todo.append((pid, fp))
+            todo.append(pid)
     if todo:
         pid_dirs = {}
-        for pid, _ in todo:
+        for pid in todo:
             d = os.path.join(extracted_root, f"pid={pid}")
             for f in os.listdir(d):
                 if f.endswith(".parquet"):
@@ -278,15 +318,21 @@ def build_index(
             sorted(pid_dirs),
             columns=["doc_id", "url", "warc_ts", "lang", "text"],
             include_paths=True,
+            # same deadlock guard as the cold wave: Ray may give this read
+            # a split factor (small files vs target parallelism), which
+            # blocks fusion into the full-size actor pool
+            ray_remote_args={"num_cpus": 0},
+            concurrency=max(2, concurrency // 4),
         ).map_batches(_PathToPid(pid_dirs), batch_format="pyarrow", batch_size=None)
-        tf_sums = _run_postings_wave(
-            ds, partials_root, docmeta_root, [pid for pid, _ in todo], n_bg,
-            analyzer, tokenize_batch_size, concurrency,
+        wave = _run_shard_wave(
+            ds, todo, n_bg, analyzer, tokenize_batch_size, concurrency,
+            partials_root=partials_root, docmeta_root=docmeta_root,
+            docstore_root=None,
         )
-        for pid, fp in todo:
+        for pid in todo:
             man.record_partition(
-                pid, "postings", fp, [],
-                {"tf_sum": tf_sums.get(pid, 0)},
+                pid, "postings", post_fp[pid], [],
+                {"tf_sum": wave.tf_sums.get(pid, 0)},
             )
     _mark("t_postings")
 
@@ -338,18 +384,29 @@ def build_index(
     segments_root = os.path.join(index_dir, "segments")
     if not man.phase_done("segments", partials_fp, segments_root):
         avgdl = stats["avgdl"]
-        bg_files: dict[int, list[str]] = {}
+        # exchange map: bg -> [(partials file, row-group indexes)] from each
+        # file's key-value metadata (footer-only reads; one per shard file)
+        bg_files: dict[int, dict[str, list[int]]] = {}
         for pid in parts:
             pdir = os.path.join(partials_root, f"pid={pid}")
-            for bgd in os.listdir(pdir):
-                if not bgd.startswith("bg="):
+            for f in sorted(os.listdir(pdir)):
+                if not f.endswith(".parquet"):
                     continue
-                bg = int(bgd[3:])
-                for f in os.listdir(os.path.join(pdir, bgd)):
-                    if f.endswith(".parquet"):
-                        bg_files.setdefault(bg, []).append(
-                            os.path.join(pdir, bgd, f)
-                        )
+                path = os.path.join(pdir, f)
+                kv = pa.parquet.read_metadata(path).metadata or {}
+                for rg, bg in enumerate(json.loads(kv.get(b"bgs", b"[]"))):
+                    bg_files.setdefault(bg, {}).setdefault(path, []).append(rg)
+        # doclen broadcast: (sorted doc_id, doclen) from the compact docmeta
+        # table — 16 bytes/doc, put in the object store ONCE, fetched
+        # zero-copy by every reduce task (at 10^12 docs this becomes a
+        # doc_id-range-partitioned lookup co-located with the exchange)
+        import pyarrow.dataset as _pads
+
+        dm = _pads.dataset(docmeta_root).to_table(columns=["doc_id", "doclen"])
+        dm_ids = dm["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        dm_dls = dm["doclen"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dm_order = np.argsort(dm_ids, kind="stable")
+        doclen_ref = ray.put((dm_ids[dm_order], dm_dls[dm_order]))
         with atomic_dir(segments_root) as tmp:
             dfs_tmp = os.path.join(tmp, "_dfs")
             os.makedirs(dfs_tmp, exist_ok=True)
@@ -359,14 +416,19 @@ def build_index(
             if bg_files:
                 work = rd.from_items(
                     [
-                        {"bg": bg, "files": sorted(fs)}
-                        for bg, fs in sorted(bg_files.items())
+                        {
+                            "bg": bg,
+                            "paths": sorted(fmap),
+                            "rgs": [fmap[p] for p in sorted(fmap)],
+                        }
+                        for bg, fmap in sorted(bg_files.items())
                     ],
                     override_num_blocks=len(bg_files),
                 )
                 merged = work.map_batches(
                     _MergeBucketGroup(
-                        avgdl, stats["hot_df_threshold"], tmp, dfs_tmp
+                        avgdl, stats["hot_df_threshold"], tmp, dfs_tmp,
+                        doclen_ref,
                     ),
                     batch_format="pyarrow", batch_size=None,
                 )
@@ -517,39 +579,6 @@ class _PidTokenizer(Tokenizer):
         return out.append_column("pid", pid_out)
 
 
-def _write_partitioned(
-    ds: rd.Dataset, final_root: str, pids: list[str], schema: pa.Schema,
-    **write_args,
-) -> dict[str, int]:
-    """Write a pid-tagged dataset as hive dirs, then promote each pid dir
-    into `final_root` atomically; returns written row count per pid."""
-    os.makedirs(final_root, exist_ok=True)
-    parent = os.path.dirname(final_root.rstrip("/"))
-    import tempfile
-
-    tmp = tempfile.mkdtemp(prefix=os.path.basename(final_root) + ".wave.", dir=parent)
-    rows: dict[str, int] = {}
-    try:
-        ds.write_parquet(tmp, partition_cols=["pid"], **write_args)
-        no_pid_schema = pa.schema([f for f in schema if f.name != "pid"])
-        for pid in pids:
-            pdir = os.path.join(tmp, f"pid={pid}")
-            os.makedirs(pdir, exist_ok=True)
-            _ensure_nonempty(pdir, no_pid_schema)
-            rows[pid] = sum(
-                pa.parquet.read_metadata(os.path.join(pdir, f)).num_rows
-                for f in os.listdir(pdir)
-                if f.endswith(".parquet")
-            )
-            final = os.path.join(final_root, f"pid={pid}")
-            if os.path.isdir(final):
-                shutil.rmtree(final)
-            os.replace(pdir, final)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
-    return rows
-
-
 class _LoserFilter:
     """Drop rows of duplicate urls that are not the winning crawl.
 
@@ -580,32 +609,38 @@ class _LoserFilter:
         return batch.filter(pa.array(keep)).drop_columns(["frank"])
 
 
-def _num_bucket_groups() -> int:
-    """Reduce-task granularity of the filesystem exchange, sized to the
-    session: ~2 tasks per core, capped at one group per term bucket.  The
-    value is part of the postings-phase lineage fingerprint, so a rebuild on
-    a different-size cluster re-shards instead of mixing layouts."""
-    cpus = int(ray.cluster_resources().get("CPU", 4))
-    return int(min(NUM_TERM_BUCKETS, max(16, 2 * cpus)))
-
-
 class _TokenizeAndShard(_PidTokenizer):
-    """Fused actor-pool stage: tokenize a batch AND write its outputs.
+    """Fused actor-pool stage: tokenize a batch AND write every output.
 
-    Per batch this writes (a) one partials shard file per (pid, bucket
-    group) under partials.wave/pid=P/bg=K/, and (b) one docmeta part file
-    per pid — then returns only tiny metadata rows.  Fusing the writer into
-    the tokenizer actor keeps posting rows out of the object store entirely
-    (no second stage, no extra blocks, no actor-pool spin-up for a writer
-    stage).  File names are content-addressed (hash of the rows), so Ray
-    task retries overwrite their own output — idempotent, like the
+    Per batch, per pid present in the batch, this writes:
+
+    - (optional) one doc-store part under extracted.wave/pid=P — fusing the
+      doc-store writer here means extracted text is produced and persisted
+      in the same pass that consumes it (round 1 wrote it in one wave and
+      re-read all of it in a second);
+    - one partials shard file under partials.wave/pid=P with ONE ROW GROUP
+      PER TERM-BUCKET GROUP (sorted by bg; the bg of each row group is
+      recorded in the file's key-value metadata).  This is the map side of
+      a filesystem exchange: the segments phase reads only its own row
+      groups from each file — partitioned pruned reads instead of an
+      all-to-all shuffle operator, and row-group indexing instead of a
+      file-per-(shard, group) explosion;
+    - one docmeta part under docmeta.wave/pid=P: (doc_id, url, warc_ts,
+      lang, doclen) — the compact per-doc table that serves query-time
+      metadata filters and the rerank prior.
+
+    Only tiny metadata rows are returned, so posting rows never enter the
+    object store.  File names are content-addressed (hash of the rows), so
+    Ray task retries overwrite their own output — idempotent, like the
     deterministic segment-file names downstream.
     """
 
-    def __init__(self, analyzer, partials_tmp: str, docmeta_tmp: str, n_bg: int):
+    def __init__(self, analyzer, partials_tmp: str, docmeta_tmp: str,
+                 docstore_tmp: str | None, n_bg: int):
         super().__init__(analyzer)
         self.partials_tmp = partials_tmp
         self.docmeta_tmp = docmeta_tmp
+        self.docstore_tmp = docstore_tmp
         self.n_bg = n_bg
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -613,8 +648,6 @@ class _TokenizeAndShard(_PidTokenizer):
 
         meta_cols = batch.select(["doc_id", "url", "warc_ts", "lang", "pid"])
         postings = super().__call__(batch.select(["doc_id", "text", "pid"]))
-        # per-doc doclen for docmeta: tokenizer emits doclen per (term, doc)
-        # row; recover one row per doc vectorized (first row of each doc)
         out_pid, out_bg, out_rows, out_tf = [], [], [], []
         pid_col = meta_cols.column("pid")
         if isinstance(pid_col, pa.ChunkedArray):
@@ -623,7 +656,8 @@ class _TokenizeAndShard(_PidTokenizer):
             pid_col = pid_col.dictionary_encode()
         pids_vocab = pid_col.dictionary.to_pylist()
         meta_pid_codes = pid_col.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        # ---- docmeta parts (one per pid present in the batch) ------------
+        # per-doc doclen: tokenizer emits doclen per (term, doc) row; recover
+        # one value per doc vectorized (any posting row of the doc carries it)
         doc_ids = meta_cols.column("doc_id").to_numpy(zero_copy_only=False)
         p_doc = postings.column("doc_id").to_numpy(zero_copy_only=False)
         p_dl = postings.column("doclen").to_numpy(zero_copy_only=False)
@@ -643,16 +677,34 @@ class _TokenizeAndShard(_PidTokenizer):
         )
         for pc_ in np.unique(meta_pid_codes):
             pid = pids_vocab[int(pc_)]
-            sub = meta_tbl.filter(pa.array(meta_pid_codes == pc_))
+            mask = pa.array(meta_pid_codes == pc_)
+            sub = meta_tbl.filter(mask)
             hh = _h.blake2b(digest_size=10)
             hh.update(sub.column("doc_id").to_numpy(zero_copy_only=False).tobytes())
+            tag = hh.hexdigest()
             d = os.path.join(self.docmeta_tmp, f"pid={pid}")
             os.makedirs(d, exist_ok=True)
             pa.parquet.write_table(
-                sub, os.path.join(d, f"part-{hh.hexdigest()}.parquet"),
+                sub, os.path.join(d, f"part-{tag}.parquet"),
                 compression="zstd", compression_level=1,
             )
-        # ---- partials shards (one per (pid, bucket group)) ---------------
+            if self.docstore_tmp is not None:
+                store = batch.select(
+                    ["doc_id", "url", "warc_ts", "lang", "text"]
+                ).filter(mask)
+                d = os.path.join(self.docstore_tmp, f"pid={pid}")
+                os.makedirs(d, exist_ok=True)
+                pa.parquet.write_table(
+                    store, os.path.join(d, f"part-{tag}.parquet"),
+                    # doc store is write-heavy and disk-bound; zstd-1 halves
+                    # bytes at ~snappy speed
+                    compression="zstd", compression_level=1,
+                )
+            out_pid.append(pid)
+            out_bg.append(-1)  # marker row: doc-store/docmeta row count
+            out_rows.append(sub.num_rows)
+            out_tf.append(0)
+        # ---- partials shards: one file per pid, one row group per bg -----
         terms = postings.column("term")
         de = terms.combine_chunks() if isinstance(terms, pa.ChunkedArray) else terms
         de = de.dictionary_encode()
@@ -673,33 +725,44 @@ class _TokenizeAndShard(_PidTokenizer):
             bg = uniq_bucket[codes] % self.n_bg
             key = p_pid_codes * self.n_bg + bg
             order = np.argsort(key, kind="stable")
-            t2 = postings.select(["term", "doc_id", "tf", "doclen"]).take(
-                pa.array(order)
-            )
+            t2 = postings.select(["term", "doc_id", "tf"]).take(pa.array(order))
             key = key[order]
             bounds = np.nonzero(np.diff(key))[0] + 1
             starts = np.concatenate(([0], bounds))
             ends = np.concatenate((bounds, [len(key)]))
+            # group consecutive runs by pid (key // n_bg)
+            by_pid: dict[int, list[tuple[int, int]]] = {}
             for s0, e0 in zip(starts, ends):
-                sub = t2.slice(s0, e0 - s0)
-                pid = p_pids_vocab[int(key[s0] // self.n_bg)]
-                bgv = int(key[s0] % self.n_bg)
+                by_pid.setdefault(int(key[s0] // self.n_bg), []).append((s0, e0))
+            for pc_, runs in by_pid.items():
+                pid = p_pids_vocab[pc_]
                 hh = _h.blake2b(digest_size=10)
-                hh.update(sub.column("doc_id").to_numpy(zero_copy_only=False).tobytes())
-                hh.update(sub.column("tf").to_numpy(zero_copy_only=False).tobytes())
-                d = os.path.join(self.partials_tmp, f"pid={pid}", f"bg={bgv:03d}")
+                lo, hi = runs[0][0], runs[-1][1]
+                hh.update(
+                    t2.column("doc_id").slice(lo, hi - lo)
+                    .to_numpy(zero_copy_only=False).tobytes()
+                )
+                d = os.path.join(self.partials_tmp, f"pid={pid}")
                 os.makedirs(d, exist_ok=True)
-                pa.parquet.write_table(
-                    sub, os.path.join(d, f"part-{hh.hexdigest()}.parquet"),
+                path = os.path.join(d, f"part-{hh.hexdigest()}.parquet")
+                bgs = [int(key[s0] % self.n_bg) for s0, _ in runs]
+                schema = PARTIAL_POSTINGS_SCHEMA.with_metadata(
+                    {"bgs": json.dumps(bgs)}
+                )
+                with pa.parquet.ParquetWriter(
+                    path, schema,
                     use_dictionary=["term"],  # terms dict-encode; ids don't
                     compression="zstd", compression_level=1,
-                )
-                out_pid.append(pid)
-                out_bg.append(bgv)
-                out_rows.append(e0 - s0)
-                out_tf.append(
-                    int(sub.column("tf").to_numpy(zero_copy_only=False).sum())
-                )
+                ) as w:
+                    for (s0, e0), bgv in zip(runs, bgs):
+                        sub = t2.slice(s0, e0 - s0).cast(PARTIAL_POSTINGS_SCHEMA)
+                        w.write_table(sub, row_group_size=max(1, e0 - s0))
+                        out_pid.append(pid)
+                        out_bg.append(bgv)
+                        out_rows.append(e0 - s0)
+                        out_tf.append(
+                            int(sub.column("tf").to_numpy(zero_copy_only=False).sum())
+                        )
         return pa.table(
             {
                 "pid": pa.array(out_pid, pa.string()),
@@ -710,83 +773,113 @@ class _TokenizeAndShard(_PidTokenizer):
         )
 
 
-def _run_postings_wave(
-    ds: rd.Dataset, partials_root: str, docmeta_root: str, pids: list[str],
-    n_bg: int, analyzer, tokenize_batch_size, concurrency,
-) -> dict[str, int]:
+class _WaveResult:
+    def __init__(self, tf_sums: dict[str, int], n_rows: dict[str, int]):
+        self.tf_sums = tf_sums
+        self.n_rows = n_rows
+
+
+def _run_shard_wave(
+    ds: rd.Dataset, pids: list[str], n_bg: int, analyzer,
+    tokenize_batch_size, concurrency, *,
+    partials_root: str, docmeta_root: str, docstore_root: str | None,
+) -> _WaveResult:
     """Run the fused tokenize+shard wave into tmp dirs, then promote each
-    pid dir of partials/ and docmeta/ atomically; returns tf_sum per pid."""
-    os.makedirs(partials_root, exist_ok=True)
-    os.makedirs(docmeta_root, exist_ok=True)
-    parent = os.path.dirname(partials_root.rstrip("/"))
+    pid dir of partials/, docmeta/ (and the doc store, on the cold path)
+    atomically; returns per-pid tf sums and doc counts."""
     import tempfile
 
-    ptmp = tempfile.mkdtemp(prefix="partials.wave.", dir=parent)
-    mtmp = tempfile.mkdtemp(prefix="docmeta.wave.", dir=parent)
+    roots = [(partials_root, "partials.wave."), (docmeta_root, "docmeta.wave.")]
+    if docstore_root is not None:
+        roots.append((docstore_root, "extracted.wave."))
+    tmps = []
+    for root, prefix in roots:
+        os.makedirs(root, exist_ok=True)
+        tmps.append(
+            tempfile.mkdtemp(prefix=prefix, dir=os.path.dirname(root.rstrip("/")))
+        )
+    ptmp, mtmp = tmps[0], tmps[1]
+    stmp = tmps[2] if docstore_root is not None else None
     tf_sums: dict[str, int] = {pid: 0 for pid in pids}
+    n_rows: dict[str, int] = {pid: 0 for pid in pids}
     try:
         meta = ds.map_batches(
             _TokenizeAndShard,
-            fn_constructor_args=(analyzer, ptmp, mtmp, n_bg),
+            fn_constructor_args=(analyzer, ptmp, mtmp, stmp, n_bg),
             batch_format="pyarrow",
             batch_size=tokenize_batch_size,
             # fixed-size pool: all actors start with the phase (an
             # autoscaling (1, N) pool ramps too slowly for short waves)
             concurrency=concurrency,
             zero_copy_batch=True,
-        ).to_pandas()  # metadata rows only (one per written shard file)
+        ).to_pandas()  # metadata rows only (one per written row group)
         if len(meta):
-            for pid, r in meta.groupby("pid")["tf_sum"].sum().items():
+            post = meta[meta["bg"] >= 0]
+            for pid, r in post.groupby("pid")["tf_sum"].sum().items():
                 tf_sums[pid] = int(r)
+            docs = meta[meta["bg"] < 0]
+            for pid, r in docs.groupby("pid")["rows"].sum().items():
+                n_rows[pid] = int(r)
+        schemas = [PARTIAL_POSTINGS_SCHEMA, DOCMETA_SCHEMA]
+        finals = [partials_root, docmeta_root]
+        if stmp is not None:
+            no_pid = pa.schema([f for f in EXTRACTED_SCHEMA if f.name != "pid"])
+            schemas.append(no_pid)
+            finals.append(docstore_root)
         for pid in pids:
-            pdir = os.path.join(ptmp, f"pid={pid}")
-            edir = os.path.join(pdir, "bg=000")
-            os.makedirs(edir, exist_ok=True)
-            _ensure_nonempty(edir, PARTIAL_POSTINGS_SCHEMA)
-            mdir = os.path.join(mtmp, f"pid={pid}")
-            os.makedirs(mdir, exist_ok=True)
-            _ensure_nonempty(mdir, DOCMETA_SCHEMA)
-            for tmp_dir, root in ((pdir, partials_root), (mdir, docmeta_root)):
+            for tmp_root, root, schema in zip(tmps, finals, schemas):
+                pdir = os.path.join(tmp_root, f"pid={pid}")
+                os.makedirs(pdir, exist_ok=True)
+                _ensure_nonempty(pdir, schema)
                 final = os.path.join(root, f"pid={pid}")
                 if os.path.isdir(final):
                     shutil.rmtree(final)
-                os.replace(tmp_dir, final)
+                os.replace(pdir, final)
     finally:
-        shutil.rmtree(ptmp, ignore_errors=True)
-        shutil.rmtree(mtmp, ignore_errors=True)
-    return tf_sums
+        for t in tmps:
+            shutil.rmtree(t, ignore_errors=True)
+    return _WaveResult(tf_sums, n_rows)
 
 
 class _MergeBucketGroup:
-    """Reduce task of the filesystem exchange: one bucket group's shard
-    files -> compressed (bucket, salt) segment files + this group's slice
-    of the partitioned dfs/ table.
+    """Reduce task of the filesystem exchange: one bucket group's row groups
+    -> compressed (bucket, salt) segment files + this group's slice of the
+    partitioned dfs/ table.
 
     ALL postings of a term live in exactly one bucket group, so per-term df
     is computed exactly here — no global stats pass, no hot-set broadcast:
     a term is hot iff its (local == global) df exceeds the threshold.  Hot
     terms (Zipf head, SURVEY.md §4 'Skew') are salted by doc_id % NUM_SALTS
     so no single chunk owns a head term's full posting list; cold terms use
-    salt 0.  Writes each segment file directly with a deterministic name —
-    Ray's generic parquet sink re-buffers the large binary chunk rows and
-    is ~3x slower, and deterministic names keep task retries idempotent.
+    salt 0.  Per-posting doclen comes from the broadcast docmeta lookup
+    (ray.put once, zero-copy per task) instead of being duplicated on every
+    partials row.  Writes each segment file directly with a deterministic
+    name — Ray's generic parquet sink re-buffers the large binary chunk
+    rows and is ~3x slower, and deterministic names keep task retries
+    idempotent.
     """
 
     def __init__(self, avgdl: float, hot_threshold: float, out_root: str,
-                 dfs_root: str):
+                 dfs_root: str, doclen_ref):
         self.avgdl = avgdl
         self.hot_threshold = hot_threshold
         self.out_root = out_root
         self.dfs_root = dfs_root
+        self.doclen_ref = doclen_ref
 
     def __call__(self, work: pa.Table) -> pa.Table:
+        dl_ids, dl_vals = ray.get(self.doclen_ref)
         out_bg, out_terms, out_chunks, out_hot = [], [], [], []
         for item in work.to_pylist():
-            files = list(item["files"])
-            t = pa.concat_tables(
-                [pa.parquet.read_table(f) for f in files]
-            ) if files else PARTIAL_POSTINGS_SCHEMA.empty_table()
-            nt, nc, nh = self._merge_one(t, int(item["bg"]))
+            tabs = []
+            for path, rgs in zip(item["paths"], item["rgs"]):
+                pf = pa.parquet.ParquetFile(path)
+                tabs.append(pf.read_row_groups(list(rgs)))
+            t = (
+                pa.concat_tables(tabs).combine_chunks()
+                if tabs else PARTIAL_POSTINGS_SCHEMA.empty_table()
+            )
+            nt, nc, nh = self._merge_one(t, int(item["bg"]), dl_ids, dl_vals)
             out_terms.append(nt)
             out_chunks.append(nc)
             out_hot.append(nh)
@@ -800,7 +893,9 @@ class _MergeBucketGroup:
             }
         )
 
-    def _merge_one(self, t: pa.Table, bg: int) -> tuple[int, int, int]:
+    def _merge_one(
+        self, t: pa.Table, bg: int, dl_ids: np.ndarray, dl_vals: np.ndarray
+    ) -> tuple[int, int, int]:
         if t.num_rows == 0:
             return 0, 0, 0
         terms = t.column("term")
@@ -821,12 +916,21 @@ class _MergeBucketGroup:
         uniq_hot = dfs > self.hot_threshold
         uniq_bucket = np.array([term_bucket(tm) for tm in uniq], dtype=np.int64)
         doc_ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        # per-posting impact from the broadcast doclen table; identical op
+        # order to oracle.py: tf*(K1+1)/(tf + K1*((1-B) + (B*dl)/avgdl))
+        pos = np.searchsorted(dl_ids, doc_ids.astype(np.uint64))
+        dls = dl_vals[np.minimum(pos, max(len(dl_ids) - 1, 0))]
+        tfs = t.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        impacts = tfs * (K1 + 1.0) / (
+            tfs + K1 * ((1.0 - B) + (B * dls) / self.avgdl)
+        )
         salt = np.where(
             uniq_hot[codes], (doc_ids % np.uint64(NUM_SALTS)).astype(np.int64), 0
         )
         key = uniq_bucket[codes] * (NUM_SALTS + 1) + salt
         order = np.argsort(key, kind="stable")
         t2 = t.take(pa.array(order))
+        impacts = impacts[order]
         key = key[order]
         bounds = np.nonzero(np.diff(key))[0] + 1
         starts = np.concatenate(([0], bounds))
@@ -836,22 +940,18 @@ class _MergeBucketGroup:
             group = t2.slice(s0, e0 - s0)
             bucket = int(key[s0] // (NUM_SALTS + 1))
             saltv = int(key[s0] % (NUM_SALTS + 1))
-            n = group.num_rows
-            group = group.append_column(
-                "bucket", pa.array(np.full(n, bucket, dtype=np.int32), pa.int32())
-            ).append_column(
-                "salt", pa.array(np.full(n, saltv, dtype=np.int32), pa.int32())
+            n_chunks += _compress_and_write_group(
+                group, impacts[s0:e0], bucket, saltv, self.out_root
             )
-            n_chunks += _compress_and_write_group(group, self.avgdl, self.out_root)
         return len(uniq), n_chunks, int(uniq_hot.sum())
 
 
-def _compress_and_write_group(group: pa.Table, avgdl: float, out_root: str) -> int:
+def _compress_and_write_group(
+    group: pa.Table, impacts: np.ndarray, bucket: int, salt: int, out_root: str
+) -> int:
     """One (bucket, salt) group -> compressed chunk rows written straight to
     the segment file; returns the number of term-chunk rows written."""
-    t = _compress_bucket(group, avgdl)
-    bucket = t["bucket"][0].as_py()
-    salt = t["salt"][0].as_py()
+    t = _compress_bucket(group, impacts, bucket, salt)
     d = os.path.join(out_root, f"bucket={bucket}")
     os.makedirs(d, exist_ok=True)
     pa.parquet.write_table(
@@ -864,9 +964,12 @@ def _compress_and_write_group(group: pa.Table, avgdl: float, out_root: str) -> i
     return t.num_rows
 
 
-def _compress_bucket(group: pa.Table, avgdl: float) -> pa.Table:
-    """map_groups reducer: one (bucket, salt) group -> one compressed chunk
-    row per term in the group (SURVEY.md §7.2 step 5)."""
+def _compress_bucket(
+    group: pa.Table, impacts: np.ndarray, bucket: int, salt: int
+) -> pa.Table:
+    """Exchange reducer: one (bucket, salt) group (+ its precomputed
+    per-posting impacts) -> one compressed chunk row per term in the group
+    (SURVEY.md §7.2 step 5)."""
     if group.num_rows == 0:
         return SEGMENT_SCHEMA.empty_table()
     terms = group.column("term")
@@ -878,9 +981,6 @@ def _compress_bucket(group: pa.Table, avgdl: float) -> pa.Table:
     vocab = de.dictionary.to_pylist()
     doc_ids = group.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
     tfs = group.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
-    dls = group.column("doclen").to_numpy(zero_copy_only=False).astype(np.float64)
-    # identical op order to oracle.py: tf*(K1+1)/(tf + K1*((1-B) + (B*dl)/avgdl))
-    impacts = tfs * (K1 + 1.0) / (tfs + K1 * ((1.0 - B) + (B * dls) / avgdl))
     order = np.lexsort((doc_ids, codes))
     codes, doc_ids = codes[order], doc_ids[order]
     tfs, impacts = tfs[order], impacts[order]
@@ -896,8 +996,6 @@ def _compress_bucket(group: pa.Table, avgdl: float) -> pa.Table:
     bounds = np.nonzero(np.diff(codes))[0] + 1
     starts = np.concatenate(([0], bounds))
     ends = np.concatenate((bounds, [len(codes)]))
-    salt = group.column("salt")[0].as_py()
-    bucket = group.column("bucket")[0].as_py()
     rows = {k: [] for k in (
         "term", "df_chunk", "doc_ids", "tfs", "impacts",
         "block_last_doc", "block_max_impact",

@@ -34,6 +34,14 @@ NUM_TERM_BUCKETS = 128
 HOT_TERM_DF_FRACTION = 0.03
 NUM_SALTS = 8
 
+# reduce-task granularity of the build's filesystem exchange: each partials
+# file carries one row group per term-bucket group (bg = bucket % this), and
+# the segments phase runs one independent reduce task per group, each reading
+# only its own row groups.  Fixed (not cpu-derived) so the on-disk layout and
+# the lineage fingerprints are identical across cluster sizes; 64 gives >=2
+# reduce tasks per core up to 32 cores.
+NUM_BUCKET_GROUPS = 64
+
 PAGES_SCHEMA = pa.schema(
     [
         pa.field("url", pa.string()),
@@ -67,13 +75,14 @@ DOCMETA_SCHEMA = pa.schema(
 )
 
 # partial postings emitted per input partition (pre-aggregated map-side:
-# one row per (term, doc) — the A5 per-group-reduce pattern of SURVEY.md §2.5)
+# one row per (term, doc) — the A5 per-group-reduce pattern of SURVEY.md §2.5).
+# doclen lives in docmeta (one row per doc), not here (one row per posting):
+# duplicating it per posting cost ~0.6 GB of write+read per 1.5M docs.
 PARTIAL_POSTINGS_SCHEMA = pa.schema(
     [
         pa.field("term", pa.string()),
         pa.field("doc_id", pa.uint64()),
         pa.field("tf", pa.int32()),
-        pa.field("doclen", pa.int32()),
     ]
 )
 
