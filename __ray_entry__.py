@@ -25,11 +25,17 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from engine.ops import ann, dedup, docsearch, enrich, multimodal, relational, textops
+    from engine.ops import (
+        ann, dedup, docsearch, enrich, listops, multimodal, multisource,
+        pagesearch, relational, textops,
+    )
 
     return {
         # flagship: full index build + BM25 top-k (SURVEY.md §3, K1/K2)
         "bm25_docs_topk": docsearch.bm25_docs_topk,
+        # pages-path flagship: HTML extraction + keep-latest-by-url dedup +
+        # filtered (lang, warc_ts) BM25 search — the full ingest chain
+        "pages_bm25_topk": pagesearch.pages_bm25_topk,
         # relational operators (SURVEY.md §2.4-§2.8)
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_top_orders": relational.q3_top_orders,
@@ -49,6 +55,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_union_tiers": relational.orders_union_tiers,
         "docs_lang_sets": relational.docs_lang_sets,
         "customers_per_region": relational.customers_per_region,
+        # multi-source ingest: parquet + zip-of-JSONL union (S5/S6, D3)
+        "docs_union_sources": multisource.docs_union_sources,
+        # list-typed columns: unnest + array-overlap (A2, §2.8)
+        "authors_unnest_distinct": listops.authors_unnest_distinct,
+        "docs_author_overlap": listops.docs_author_overlap,
         # dedup family (SURVEY.md §2.7 + training-data extensions)
         "exact_dedup": dedup.exact_dedup,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -71,10 +82,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from engine.ops import ann, dedup, docsearch, relational, textops
+    from engine.ops import (
+        ann, dedup, docsearch, listops, multisource, pagesearch, relational,
+        textops,
+    )
 
     return {
+        "docs_union_sources": multisource.DOCS_UNION_SOURCES_SQL,
+        "authors_unnest_distinct": listops.AUTHORS_UNNEST_SQL,
+        "docs_author_overlap": listops.AUTHOR_OVERLAP_SQL,
         "bm25_docs_topk": docsearch.BM25_DOCS_SQL,
+        "pages_bm25_topk": pagesearch.PAGES_BM25_SQL,
         "q1_pricing_summary": relational.Q1_SQL,
         "q3_top_orders": relational.Q3_SQL,
         "q5_nation_revenue": relational.Q5_SQL,

@@ -245,6 +245,12 @@ def build_index(
         path_to_pid = {f: pid for pid in fused_todo for f in parts[pid]}
         ds = rd.read_parquet(
             sorted(path_to_pid), include_paths=True,
+            # prune at the read: the pages table also carries a `text`
+            # column (input_hint) that extraction never consumes
+            columns=(
+                ["url", "warc_ts", "html", "lang"]
+                if input_kind == "pages" else None
+            ),
             # finer blocks than files: with blocks == cpus one straggler
             # idles the pool tail; ~4 blocks/core keeps every stage busy
             override_num_blocks=max(4 * concurrency, len(path_to_pid)),
