@@ -36,6 +36,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pages-path flagship: HTML extraction + keep-latest-by-url dedup +
         # filtered (lang, warc_ts) BM25 search — the full ingest chain
         "pages_bm25_topk": pagesearch.pages_bm25_topk,
+        "pages_bm25_urlfilter": pagesearch.pages_bm25_urlfilter,
         # relational operators (SURVEY.md §2.4-§2.8)
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_top_orders": relational.q3_top_orders,
@@ -93,6 +94,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_author_overlap": listops.AUTHOR_OVERLAP_SQL,
         "bm25_docs_topk": docsearch.BM25_DOCS_SQL,
         "pages_bm25_topk": pagesearch.PAGES_BM25_SQL,
+        "pages_bm25_urlfilter": pagesearch.PAGES_URLFILTER_SQL,
         "q1_pricing_summary": relational.Q1_SQL,
         "q3_top_orders": relational.Q3_SQL,
         "q5_nation_revenue": relational.Q5_SQL,

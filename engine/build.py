@@ -66,7 +66,7 @@ from .schema import (
 
 
 # bump when the on-disk layout or scoring-relevant semantics change
-FORMAT_VERSION = 4
+FORMAT_VERSION = 5
 
 
 def _ensure_nonempty(out_dir: str, schema: pa.Schema) -> None:
@@ -132,8 +132,29 @@ def build_index(
     tokenizer_concurrency: int | None = None,
     input_kind: str = "pages",
     analyzer: AnalyzerConfig = DEFAULT_ANALYZER,
+    extract_chain: tuple[str, ...] | None = None,
+    extract_timeout_s: float | None = None,
+    loser_files: list[str] | None = None,
+    avgdl_override: float | None = None,
+    stop_after_postings: bool = False,
 ) -> dict:
-    """Build (or resume) the full index under ``index_dir``. Returns metrics."""
+    """Build (or resume) the full index under ``index_dir``. Returns metrics.
+
+    ``extract_chain`` is an ordered tuple of "module:attr" extraction
+    strategies with fall-through (the reference's per-paper parser dispatch,
+    ec2/parse_arxiv_papers/__main__.py:42-47); ``extract_timeout_s`` routes
+    extraction through the killable sidecar (engine/sandbox.py) so a poison
+    page cannot stall a partition.  Both are part of the extract lineage
+    fingerprint.
+
+    The last three parameters support DOC-SHARDED multi-index builds
+    (engine/serve.py build_sharded): ``loser_files`` computes the
+    keep-latest-by-url loser set over the WHOLE corpus (a url re-crawled
+    into a different shard must still lose globally), ``avgdl_override``
+    bakes the corpus-global avgdl into this shard's impacts so shard-local
+    top-k merge is rank-identical to one big index, and
+    ``stop_after_postings`` ends the build after the ingest phases so the
+    orchestrator can derive the global stats between passes."""
     if isinstance(input_path, str):
         if os.path.isdir(input_path):
             files = [
@@ -176,12 +197,15 @@ def build_index(
     # storage; losers are filtered during extraction so no later phase ever
     # sees them) ----------------------------------------------------------
     losers_path = os.path.join(index_dir, "losers.parquet")
-    all_input_fp = fingerprint_files(files) if files else "empty"
+    loser_src = sorted(loser_files) if loser_files else files
+    all_input_fp = fingerprint_files(loser_src) if loser_src else "empty"
     losers_fp = "input:" + all_input_fp
-    rank_of_path = {f: i for i, f in enumerate(sorted(files))}
+    # file ranks (the ts-tie winner key) come from the GLOBAL corpus order
+    # when loser_files is given, so every shard agrees on the winner
+    rank_of_path = {f: i for i, f in enumerate(sorted(loser_src))}
     if not man.phase_done("losers", losers_fp, losers_path):
-        if input_kind == "pages" and files:
-            losers_tbl = _compute_losers_from_input(files, rank_of_path)
+        if input_kind == "pages" and loser_src:
+            losers_tbl = _compute_losers_from_input(loser_src, rank_of_path)
         else:  # documents tables carry a unique doc_id — no recrawls
             losers_tbl = _EMPTY_LOSERS
         pa.parquet.write_table(losers_tbl, losers_path + ".tmp")
@@ -226,10 +250,26 @@ def build_index(
     partials_root = os.path.join(index_dir, "partials")
     docmeta_root = os.path.join(index_dir, "docmeta")
     n_bg = NUM_BUCKET_GROUPS
-    extract_fn = extract_batch if input_kind == "pages" else documents_to_extracted
+    if input_kind == "pages":
+        if extract_chain or extract_timeout_s:
+            import functools
+
+            extract_fn = functools.partial(
+                extract_batch, chain=extract_chain, timeout_s=extract_timeout_s
+            )
+        else:
+            extract_fn = extract_batch
+    else:
+        extract_fn = documents_to_extracted
     a_hash = _hash_analyzer(analyzer)
+    x_tag = ""
+    if extract_chain or extract_timeout_s:
+        # timeout does not change OUTPUT for well-behaved rows, but a chain
+        # does, and a poisoned row's fate depends on both — conservative:
+        # either setting is part of the extract lineage
+        x_tag = "+X" + ",".join(extract_chain or ()) + f"@{extract_timeout_s or 0}"
     ext_fp = {
-        pid: fingerprint_files(pfiles) + "+L" + loser_content_fp
+        pid: fingerprint_files(pfiles) + "+L" + loser_content_fp + x_tag
         for pid, pfiles in parts.items()
     }
     post_fp = {pid: ext_fp[pid] + "+A" + a_hash + f"+G{n_bg}" for pid in parts}
@@ -348,16 +388,30 @@ def build_index(
     # postings all live in one bucket group) and written as the partitioned
     # dfs/ table there — the round-1 stats phase re-read every partials file
     # and reduced on the driver, which scaled NEGATIVELY with more shards.
+    total_tokens = sum(
+        man.data["partitions"][pid]["phase"]["postings"]["metrics"].get("tf_sum", 0)
+        for pid in parts
+    )
+    if stop_after_postings:
+        metrics["n_docs"] = total_extracted
+        metrics["total_tokens"] = int(total_tokens)
+        metrics["phase_seconds"] = _phase_t
+        return metrics
+
     stats_path = os.path.join(index_dir, "stats.json")
     dfs_root = os.path.join(index_dir, "dfs")
     partials_fp = man.partials_fingerprint()
+    if avgdl_override is not None:
+        # a different global avgdl bakes different impacts: stats and
+        # segments must re-run even over identical partials
+        partials_fp += f"+avgdl{avgdl_override!r}"
     n_docs = total_extracted
     if not man.phase_done("stats", partials_fp, stats_path):
-        total_tokens = sum(
-            man.data["partitions"][pid]["phase"]["postings"]["metrics"].get("tf_sum", 0)
-            for pid in parts
+        avgdl = (
+            float(avgdl_override)
+            if avgdl_override is not None
+            else (float(total_tokens) / n_docs if n_docs else 0.0)
         )
-        avgdl = float(total_tokens) / n_docs if n_docs else 0.0
         hot_threshold = max(2.0, HOT_TERM_DF_FRACTION * n_docs)
         stats = {
             "n_docs": n_docs,
@@ -1013,7 +1067,7 @@ def _compress_bucket(
         rows["term"].append(vocab[codes[s0]])
         rows["df_chunk"].append(e0 - s0)
         rows["doc_ids"].append(codec.delta_encode(ids_t))
-        rows["tfs"].append(codec.varint_encode(tfs[s0:e0].astype(np.uint64)))
+        rows["tfs"].append(codec.ints_encode(tfs[s0:e0].astype(np.uint64)))
         rows["impacts"].append(codec.floats_encode(imp_t))
         rows["block_last_doc"].append(block_last.tolist())
         rows["block_max_impact"].append(block_max.tolist())

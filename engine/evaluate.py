@@ -57,9 +57,33 @@ def evaluate_ranking(
         for i, s in enumerate(stop, start=1):
             err += p_continue * s / i
             p_continue *= 1.0 - s
-        rows.append((qid, p1, hit, mrr, ndcg, err))
+        # Q-measure@k (Sakai 2004, beta = 1; the reference's blended-ratio
+        # metric, compare_embeddings.py:300-371): at each relevant rank r,
+        # blend count-precision with graded cumulative gain against the
+        # ideal ranking, averaged over ALL relevant docs (R), so missing a
+        # relevant doc below k is penalized
+        all_grades = np.sort(
+            np.array([g for (q, _), g in rel_of.items() if q == qid])
+        )[::-1]
+        R = int((all_grades > 0).sum())
+        if R:
+            cig = np.cumsum(
+                np.pad(all_grades[:k], (0, max(0, k - all_grades.size)))
+            )
+            cg = np.cumsum(gains)
+            crel = np.cumsum(gains > 0)
+            ranks = np.arange(1, gains.size + 1)
+            bq = (crel + cg) / (ranks + cig[: gains.size])
+            qm = float(bq[gains > 0].sum() / R)
+        else:
+            qm = 0.0
+        rows.append((qid, p1, hit, mrr, ndcg, err, qm))
     df = pd.DataFrame(
-        rows, columns=["query_id", "p_at_1", "hit_at_k", "mrr_at_k", "ndcg_at_k", "err_at_k"]
+        rows,
+        columns=[
+            "query_id", "p_at_1", "hit_at_k", "mrr_at_k", "ndcg_at_k",
+            "err_at_k", "q_at_k",
+        ],
     )
     mean = df.drop(columns=["query_id"]).mean()
     df.loc[len(df)] = [-1, *mean.tolist()]

@@ -57,16 +57,46 @@ def extract_text(html_bytes: bytes | None) -> str:
     return "\n".join(ln for ln in lines if ln)
 
 
-def extract_batch(batch: pa.Table) -> pa.Table:
+def extract_batch(
+    batch: pa.Table,
+    *,
+    chain: tuple[str, ...] | None = None,
+    timeout_s: float | None = None,
+) -> pa.Table:
     """pages batch -> extracted batch (EXTRACTED_SCHEMA).
 
     Per-row Python call is unavoidable for the regex chain (same shape as the
     reference's per-paper parser, SURVEY.md §2.2 M1-M16) but each call is
     pure CPU over one page — this stage scales linearly with cores.
+
+    ``chain`` selects per-row extraction strategies by import path with
+    fall-through on failure; ``timeout_s`` additionally routes rows through
+    the killable sidecar of engine/sandbox.py so one adversarial page cannot
+    wedge a build task (the reference's killable per-paper parse,
+    ec2/parse_arxiv_papers/__main__.py:54-103).
     """
     urls = batch.column("url").to_pylist()
     htmls = batch.column("html").to_pylist()
-    texts = [extract_text(h) for h in htmls]
+    if timeout_s:
+        from .sandbox import DEFAULT_CHAIN, get_extractor
+
+        texts = get_extractor(tuple(chain or DEFAULT_CHAIN), timeout_s).extract_many(htmls)
+    elif chain:
+        from .sandbox import resolve
+
+        fns = [resolve(p) for p in chain]
+
+        def _run(h):
+            for fn in fns:
+                try:
+                    return fn(h)
+                except Exception:
+                    continue
+            return ""
+
+        texts = [_run(h) for h in htmls]
+    else:
+        texts = [extract_text(h) for h in htmls]
     return pa.table(
         {
             "doc_id": pa.array(doc_ids_of_urls(urls), type=pa.uint64()),

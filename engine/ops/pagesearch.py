@@ -181,6 +181,27 @@ def pages_bm25_topk(sf_dir: str, k: int = K) -> pd.DataFrame:
     return pd.DataFrame(out, columns=["query_id", "rank", "url", "score_r6"])
 
 
+URL_PATTERN = "7"  # ILIKE '%7%' over http://docs.example/<id>
+
+
+def pages_bm25_urlfilter(sf_dir: str, k: int = K) -> pd.DataFrame:
+    """BM25 top-k with a url ILIKE-substring filter (the reference's
+    title/id ILIKE family, streamlit_app.py:175-243) — same synthesized
+    pages index, filterable on any docmeta column."""
+    reader = _index_for(sf_dir)
+    out = []
+    for qid, (qtext, _lang, _lo, _hi) in enumerate(PAGE_QUERIES):
+        res = reader.search(qtext, k=2 * k, url_contains=URL_PATTERN)
+        ids = [d for d, _ in res]
+        urls = reader.fetch_docs(ids, columns=["doc_id", "url"])
+        url_of = dict(zip(urls["doc_id"].to_pylist(), urls["url"].to_pylist()))
+        rows = [(url_of[d], round(s, 6)) for d, s in res]
+        rows.sort(key=lambda t: (-t[1], t[0]))
+        for rank, (url, s) in enumerate(rows[:k], 1):
+            out.append((qid, rank, url, s))
+    return pd.DataFrame(out, columns=["query_id", "rank", "url", "score_r6"])
+
+
 def _pages_bm25_sql() -> str:
     qterms, qmeta = [], []
     for qid, (qtext, lang, d_lo, d_hi) in enumerate(PAGE_QUERIES):
@@ -247,3 +268,14 @@ SELECT query_id, rank, url, score_r6 FROM ranked WHERE rank <= {K}
 
 
 PAGES_BM25_SQL = _pages_bm25_sql()
+
+
+def _pages_urlfilter_sql() -> str:
+    """Same winner corpus + scoring, filter = url ILIKE '%{URL_PATTERN}%'."""
+    base = _pages_bm25_sql()
+    old = "WHERE w.lang = m.lang AND w.ts BETWEEN m.ts_min AND m.ts_max"
+    assert old in base
+    return base.replace(old, f"WHERE w.url ILIKE '%{URL_PATTERN}%'")
+
+
+PAGES_URLFILTER_SQL = _pages_urlfilter_sql()

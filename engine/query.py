@@ -121,9 +121,12 @@ class IndexReader:
         )
         self._extracted = pads.dataset(os.path.join(index_dir, "extracted"))
         self._docmeta = None  # (sorted doc_ids, lang codes, ts, doclens, langs)
+        self._docmeta_order = None
+        self._urls = None  # docmeta urls, loaded lazily for url filters
         self._chunk_cache: _LRU = _LRU(cap=4096)  # term -> decoded chunks
         self._bucket_tables: _LRU = _LRU(cap=8)  # bucket -> (table, term index)
         self._pos_cache: _LRU = _LRU(cap=4096)  # (term, chunk) -> positions
+        self._url_mask_cache: _LRU = _LRU(cap=64)  # url pattern -> doc mask
 
     # ------------------------------------------------------------------
     def idf(self, term: str) -> float:
@@ -182,34 +185,76 @@ class IndexReader:
         lang_code = {l: i for i, l in enumerate(langs)}
         codes = np.fromiter((lang_code[l] for l in lang), dtype=np.int32, count=len(lang))
         order = np.argsort(ids, kind="stable")
+        self._docmeta_order = order
         self._docmeta = (ids[order], codes[order], ts[order], dls[order], langs)
 
-    def _allowed_fn(self, lang_filter, ts_min, ts_max):
-        """Compile the metadata predicate (SURVEY.md §2.8 filter analog).
+    def _load_urls(self) -> pa.Array:
+        """Docmeta urls aligned to the sorted docmeta order (lazy: the url
+        column is only paid for by queries that actually filter on it)."""
+        if self._urls is None:
+            self._load_docmeta()
+            t = pads.dataset(os.path.join(self.index_dir, "docmeta")).to_table(
+                columns=["url"]
+            )
+            urls = t["url"].combine_chunks()
+            self._urls = urls.take(pa.array(self._docmeta_order, pa.int64()))
+        return self._urls
+
+    def _filter_mask(
+        self, lang_filter, ts_min, ts_max, url_contains=None, doc_ids_filter=None
+    ) -> np.ndarray | None:
+        """Compile the metadata predicate into a docmeta-aligned bool mask
+        (SURVEY.md §2.8: the reference's lang/date/ILIKE/id-set filter
+        families, streamlit_app.py:175-243).
 
         At sandbox scale doc metadata is a cached in-memory column; at 10^12
         docs this becomes a partitioned filter bitmap keyed by docID range —
-        the probe below (binary search per candidate) is the same either way.
+        probing stays identical either way.
         """
-        if lang_filter is None and ts_min is None and ts_max is None:
+        if (
+            lang_filter is None and ts_min is None and ts_max is None
+            and url_contains is None and doc_ids_filter is None
+        ):
             return None
         self._load_docmeta()
         ids, lang_codes, ts, _dls, langs = self._docmeta
-        want_lang = langs.index(lang_filter) if lang_filter in langs else -2
+        mask = np.ones(ids.size, dtype=bool)
+        if lang_filter is not None:
+            want = langs.index(lang_filter) if lang_filter in langs else -2
+            mask &= lang_codes == want
+        if ts_min is not None:
+            mask &= ts >= ts_min
+        if ts_max is not None:
+            mask &= ts <= ts_max
+        if url_contains is not None:
+            key = url_contains.lower()
+            m = self._url_mask_cache.get(key)
+            if m is None:
+                m = pc.match_substring(
+                    self._load_urls(), url_contains, ignore_case=True
+                ).to_numpy(zero_copy_only=False)
+                self._url_mask_cache[key] = m
+            mask &= m
+        if doc_ids_filter is not None:
+            probe = np.unique(np.asarray(list(doc_ids_filter), dtype=np.uint64))
+            if probe.size:
+                pos = np.minimum(np.searchsorted(probe, ids), probe.size - 1)
+                mask &= probe[pos] == ids
+            else:
+                mask &= False
+        return mask
+
+    def _allowed_fn(self, mask: np.ndarray | None):
+        """Per-candidate probe over the compiled mask (BMW path)."""
+        if mask is None:
+            return None
+        ids = self._docmeta[0]
 
         def allowed(doc: int) -> bool:
             # docmeta holds exactly one (already loser-deduped) row per doc
             d = np.uint64(doc)
             pos = int(np.searchsorted(ids, d))
-            if pos >= ids.size or ids[pos] != d:
-                return False
-            if lang_filter is not None and lang_codes[pos] != want_lang:
-                return False
-            if ts_min is not None and ts[pos] < ts_min:
-                return False
-            if ts_max is not None and ts[pos] > ts_max:
-                return False
-            return True
+            return pos < ids.size and ids[pos] == d and bool(mask[pos])
 
         return allowed
 
@@ -226,6 +271,8 @@ class IndexReader:
         lang_filter: str | None = None,
         ts_min: int | None = None,
         ts_max: int | None = None,
+        url_contains: str | None = None,
+        doc_ids_filter=None,
         prior_weight: float = 0.0,
         method: str = "auto",
     ) -> list[tuple[int, float]]:
@@ -238,6 +285,11 @@ class IndexReader:
           per-doc summation order as the oracle — faster when the candidate
           set fits in memory (common for selective queries).
         - "auto": vectorized below VECTORIZED_POSTINGS_LIMIT, else bmw.
+
+        Filters (the reference's families, streamlit_app.py:175-243):
+        ``lang_filter`` exact lang; ``ts_min``/``ts_max`` crawl-time window
+        (int64 us or datetime); ``url_contains`` case-insensitive substring
+        (ILIKE '%x%'); ``doc_ids_filter`` an id allow-set (semi-join).
         """
         terms = sorted(set(tokenize(query_text, self.analyzer)))
         term_chunks: list[tuple[str, float, list]] = []
@@ -251,21 +303,21 @@ class IndexReader:
                 term_chunks.append((t, w, chunks))
                 total_postings += sum(c[0].size for c in chunks)
         pool = max(50, 10 * k) if prior_weight > 0.0 else k
+        mask = self._filter_mask(
+            lang_filter, ts_min, ts_max, url_contains, doc_ids_filter
+        )
         use_vec = method == "vectorized" or (
             method == "auto" and total_postings <= self.VECTORIZED_POSTINGS_LIMIT
         )
         if use_vec:
-            top = self._vectorized(
-                term_chunks, pool, lang_filter, ts_min, ts_max
-            )
+            top = self._vectorized(term_chunks, pool, mask)
         else:
             cursors = [
                 _Cursor(t, w, ids, impacts, bl, bm)
                 for t, w, chunks in term_chunks
                 for ids, impacts, bl, bm in chunks
             ]
-            allowed = self._allowed_fn(lang_filter, ts_min, ts_max)
-            top = self._bmw(cursors, pool, allowed)
+            top = self._bmw(cursors, pool, self._allowed_fn(mask))
         if prior_weight > 0.0:
             top = self._rerank(top, prior_weight)
         return top[:k]
@@ -284,7 +336,7 @@ class IndexReader:
         return pos
 
     def _vectorized(
-        self, term_chunks, k: int, lang_filter, ts_min, ts_max
+        self, term_chunks, k: int, mask: np.ndarray | None
     ) -> list[tuple[int, float]]:
         """Exhaustive vectorized scoring, oracle-identical float64 results.
 
@@ -304,15 +356,8 @@ class IndexReader:
                 pos = self._chunk_positions(t, ci, ids)
                 scores[pos] += w * impacts  # unique positions within a chunk
                 touched[pos] = True
-        if lang_filter is not None or ts_min is not None or ts_max is not None:
-            _, lang_codes, ts, _dls, langs = self._docmeta
-            if lang_filter is not None:
-                want = langs.index(lang_filter) if lang_filter in langs else -2
-                touched &= lang_codes == want
-            if ts_min is not None:
-                touched &= ts >= ts_min
-            if ts_max is not None:
-                touched &= ts <= ts_max
+        if mask is not None:
+            touched &= mask
         cand = np.nonzero(touched)[0]
         if cand.size == 0:
             return []
@@ -455,6 +500,8 @@ class IndexReader:
                 lang_filter=q.get("lang_filter"),
                 ts_min=ts_to_us(q.get("ts_min")),
                 ts_max=ts_to_us(q.get("ts_max")),
+                url_contains=q.get("url_contains"),
+                doc_ids_filter=q.get("doc_ids_filter"),
                 prior_weight=q.get("prior_weight") or 0.0,
                 method=method,
             )

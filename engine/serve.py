@@ -74,3 +74,113 @@ class QueryPool:
         for a in self.actors:
             ray.kill(a)
         self.actors = []
+
+
+# ---------------------------------------------------------------------------
+# Doc-sharded serving: corpus size scales with the shard count
+# ---------------------------------------------------------------------------
+
+
+@ray.remote
+class ShardQueryActor:
+    """Owns ONE doc-shard index; scores with corpus-GLOBAL statistics.
+
+    Per-actor state is O(corpus/S): its shard's docmeta, doclens and segment
+    caches.  Only the df map is vocab-sized (at 10^12 docs that table is
+    itself hash-sharded; here it rides the object store as one broadcast).
+    """
+
+    def __init__(self, index_dir: str, global_df, global_n_docs: int):
+        # global_df is passed as an ObjectRef; Ray dereferences it on
+        # delivery, so each actor reads the one object-store copy
+        self.reader = IndexReader(index_dir)
+        self.reader._df = global_df
+        self.reader.n_docs = global_n_docs
+        self.reader._load_docmeta()
+
+    def search(self, query_text: str, **kw) -> list[tuple[int, float]]:
+        return self.reader.search(query_text, **kw)
+
+
+def build_sharded(
+    input_path: str | list[str], root: str, num_shards: int, **build_kw
+) -> list[str]:
+    """Build `num_shards` doc-sharded indexes whose merged top-k is
+    rank-identical to one big index over the same corpus.
+
+    Input FILES round-robin across shards (a doc lives in one file, so file
+    granularity shards docs); the keep-latest loser set is computed over the
+    WHOLE corpus so cross-shard re-crawls dedup correctly; pass A stops
+    after ingest, the corpus-global avgdl is derived from the shard
+    manifests, and pass B (which skips the checkpointed ingest) compresses
+    segments with the global avgdl baked into every impact.  This is the
+    10^12-doc layout: each shard is an independent, resumable build over its
+    slice of the corpus.
+    """
+    import os
+
+    from .build import build_index
+
+    if isinstance(input_path, str):
+        files = sorted(
+            os.path.join(input_path, f)
+            for f in os.listdir(input_path)
+            if f.endswith(".parquet")
+        )
+    else:
+        files = sorted(input_path)
+    shard_files = [files[s::num_shards] for s in range(num_shards)]
+    shard_dirs = [os.path.join(root, f"shard-{s:03d}") for s in range(num_shards)]
+    n_docs = 0
+    total_tokens = 0
+    for sf, sd in zip(shard_files, shard_dirs):
+        m = build_index(
+            sf, sd, loser_files=files, stop_after_postings=True, **build_kw
+        )
+        n_docs += m["n_docs"]
+        total_tokens += m["total_tokens"]
+    avgdl = float(total_tokens) / n_docs if n_docs else 0.0
+    for sf, sd in zip(shard_files, shard_dirs):
+        build_index(sf, sd, loser_files=files, avgdl_override=avgdl, **build_kw)
+    return shard_dirs
+
+
+class ShardedQueryPool:
+    """Scatter-gather over doc-shard actors; exact, rank-identical top-k.
+
+    Every shard scores its own docs COMPLETELY (per-doc BM25 needs all of a
+    doc's term postings, which doc-sharding keeps co-located — the reason
+    web-search engines shard by document, not term), so merging the shards'
+    local top-k by (score DESC, doc_id ASC) is exact."""
+
+    def __init__(self, shard_dirs: list[str], num_cpus: float = 1):
+        import pyarrow.dataset as pads
+
+        # global df = sum of the shards' exact per-term dfs
+        df: dict[str, int] = {}
+        n_docs = 0
+        for d in shard_dirs:
+            t = pads.dataset(f"{d}/dfs").to_table()
+            for term, c in zip(t["term"].to_pylist(), t["df"].to_pylist()):
+                df[term] = df.get(term, 0) + c
+            import json as _json
+
+            with open(f"{d}/stats.json") as f:
+                n_docs += _json.load(f)["n_docs"]
+        df_ref = ray.put(df)
+        self.n_docs = n_docs
+        self.actors = [
+            ShardQueryActor.options(num_cpus=num_cpus).remote(d, df_ref, n_docs)
+            for d in shard_dirs
+        ]
+
+    def search(self, query_text: str, k: int = 10, **kw):
+        futs = [a.search.remote(query_text, k=k, **kw) for a in self.actors]
+        merged = [hit for res in ray.get(futs) for hit in res]
+        merged.sort(key=lambda t: (-t[1], t[0]))
+        return merged[:k]
+
+    def shutdown(self) -> None:
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []

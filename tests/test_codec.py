@@ -49,3 +49,46 @@ def test_varint_decode_count_mismatch():
     buf = codec.varint_encode(np.array([1, 2, 3], np.uint64))
     with pytest.raises(ValueError):
         codec.varint_decode(buf, count=2)
+
+
+def test_pfor_roundtrip_and_wins_on_uniform_deltas():
+    import numpy as np
+
+    from engine import codec
+
+    rng = np.random.default_rng(7)
+    # near-uniform small deltas + a few outliers: PFor's home turf
+    deltas = rng.integers(1, 200, 5000).astype(np.uint64)
+    deltas[::997] = 2**40  # outliers become exceptions
+    enc = codec.ints_encode(deltas)
+    assert enc[0] == 1, "expected the PFor branch to win"
+    out = codec.ints_decode(enc, len(deltas))
+    assert np.array_equal(out, deltas)
+    # varint of the same stream is larger
+    assert len(enc) < len(codec.varint_encode(deltas)) + 1
+
+
+def test_tagged_codec_picks_varint_for_tiny_lists():
+    import numpy as np
+
+    from engine import codec
+
+    vals = np.array([5, 1, 3], dtype=np.uint64)
+    enc = codec.ints_encode(vals)
+    assert enc[0] in (0, 1)
+    assert np.array_equal(codec.ints_decode(enc, 3), vals)
+
+
+def test_pfor_edge_cases():
+    import numpy as np
+
+    from engine import codec
+
+    for vals in (
+        np.zeros(300, dtype=np.uint64),
+        np.full(128, 2**63 - 1, dtype=np.uint64),
+        np.arange(1, dtype=np.uint64),
+        np.array([0, 2**63 - 1] * 130, dtype=np.uint64),
+    ):
+        enc = codec.pfor_encode(vals)
+        assert np.array_equal(codec.pfor_decode(enc, len(vals)), vals)

@@ -177,3 +177,25 @@ def test_pagination_and_sampling_vs_duckdb():
                 assert np.allclose(gs[c], ws[c].astype("float64"), rtol=0, atol=0), (name, c)
             else:
                 assert gs[c].astype(str).equals(ws[c].astype(str)), (name, c)
+
+
+def test_q_measure_perfect_and_degraded():
+    import pandas as pd
+
+    from engine.evaluate import evaluate_ranking
+
+    qrels = pd.DataFrame(
+        {"query_id": [0, 0, 0], "doc_id": [1, 2, 3], "grade": [1.0, 0.5, 0.5]}
+    )
+    perfect = pd.DataFrame(
+        {"query_id": [0, 0, 0], "rank": [1, 2, 3], "doc_id": [1, 2, 3]}
+    )
+    df = evaluate_ranking(perfect, qrels, k=10)
+    row = df[df.query_id == 0].iloc[0]
+    assert row["q_at_k"] == 1.0  # ideal ranking -> Q = 1
+    # drop one relevant doc out of the list: Q < 1 (R-normalized)
+    partial = pd.DataFrame(
+        {"query_id": [0, 0, 0], "rank": [1, 2, 3], "doc_id": [1, 2, 99]}
+    )
+    df2 = evaluate_ranking(partial, qrels, k=10)
+    assert 0.0 < df2[df2.query_id == 0].iloc[0]["q_at_k"] < 1.0

@@ -1,12 +1,13 @@
 """Query actor pool: distributed serving stays rank-identical to a local
-reader, and the pool fans a query list across actors."""
+reader, and the pool fans a query list across actors.  Sharded mode: S
+doc-shard indexes with global stats merge rank-identical to one big index."""
 
 import pytest
 
 from engine import synth
 from engine.build import build_index
 from engine.query import IndexReader
-from engine.serve import QueryPool
+from engine.serve import QueryPool, ShardedQueryPool, build_sharded
 
 
 @pytest.fixture(scope="module")
@@ -33,5 +34,31 @@ def test_pool_matches_local_reader(served_index):
         # single-query path too
         one = pool.search(queries[0]["query_text"], k=queries[0]["k"])
         assert one == local.search(queries[0]["query_text"], k=queries[0]["k"])
+    finally:
+        pool.shutdown()
+
+
+def test_sharded_pool_rank_identical_to_one_big_index(served_index, tmp_path):
+    """3 doc-shard indexes (global loser set + global avgdl baked into the
+    impacts, global df patched at serve time) answer every query
+    rank-identical — including float64 scores — to the single big index.
+    The synth corpus's duplicate url lands its re-crawl in a different file
+    than the original, so the cross-shard dedup path is genuinely hit."""
+    import os
+
+    pages_dir = os.path.join(os.path.dirname(served_index), "pages")
+    shard_dirs = build_sharded(pages_dir, str(tmp_path / "shards"), 3,
+                               num_partitions=2)
+    local = IndexReader(served_index)
+    pool = ShardedQueryPool(shard_dirs)
+    try:
+        assert pool.n_docs == local.n_docs
+        for q in synth.gen_queries_table(20).to_pylist():
+            want = local.search(q["query_text"], k=q["k"])
+            got = pool.search(q["query_text"], k=q["k"])
+            assert got == want, q["query_text"]
+        # metadata filters work per shard (each shard owns its docmeta)
+        want = local.search("the", k=10, lang_filter="en")
+        assert pool.search("the", k=10, lang_filter="en") == want
     finally:
         pool.shutdown()
