@@ -161,14 +161,3 @@ class Tokenizer:
         )
 
 
-class DoclenCounter:
-    """Actor-pool stage: extracted batch -> (doc_id, doclen) rows (for stats)."""
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        _, _, _, doclens = tokenize_counts_arrow(batch.column("text"))
-        return pa.table(
-            {
-                "doc_id": batch.column("doc_id"),
-                "doclen": pa.array(doclens, pa.int32()),
-            }
-        )

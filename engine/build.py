@@ -66,7 +66,7 @@ from .schema import (
 
 
 # bump when the on-disk layout or scoring-relevant semantics change
-FORMAT_VERSION = 5
+FORMAT_VERSION = 6
 
 
 def _ensure_nonempty(out_dir: str, schema: pa.Schema) -> None:
@@ -1124,16 +1124,58 @@ def _reduce_loser_partials(
     )
 
 
-def _compute_losers_from_input(files: list[str], rank_of_path: dict[str, int]) -> pa.Table:
+def _combine_loser_block(t: pa.Table) -> pa.Table:
+    """Distributed combine over a SORTED block of loser partials: merge
+    per-doc partials (cnt sums; winner = max (ts, rank) pair), then drop
+    cnt==1 docs EXCEPT the block's first and last doc_id — after a range
+    sort a url can only straddle ADJACENT blocks, so every potentially
+    cross-block doc survives to the tiny driver-side finalize while the
+    unique-url bulk (the overwhelming majority at web scale) is filtered
+    on the cluster."""
+    if t.num_rows == 0:
+        return t
+    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    cnt = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ts = t["max_ts"].to_numpy(zero_copy_only=False).astype(np.int64)
+    rank = t["rank"].to_numpy(zero_copy_only=False).astype(np.int32)
+    order = np.lexsort((rank, ts, ids))
+    sids, scnt, sts, srank = ids[order], cnt[order], ts[order], rank[order]
+    boundary = np.ones(len(sids), dtype=bool)
+    if len(sids) > 1:
+        boundary[1:] = sids[1:] != sids[:-1]
+    group_id = np.cumsum(boundary) - 1
+    cnt_sum = np.bincount(group_id, weights=scnt).astype(np.int64)
+    last = np.nonzero(np.concatenate((boundary[1:], [True])))[0]
+    uids = sids[boundary]
+    keep = (cnt_sum > 1) | (uids == uids[0]) | (uids == uids[-1])
+    return pa.table(
+        {
+            "doc_id": pa.array(uids[keep], pa.uint64()),
+            "cnt": pa.array(cnt_sum[keep], pa.int64()),
+            "max_ts": pa.array(sts[last][keep], pa.int64()),
+            "rank": pa.array(srank[last][keep], pa.int32()),
+        }
+    )
+
+
+# inputs above this size reduce the loser partials on the cluster (range
+# sort + boundary-safe combine) instead of the driver
+_LOSERS_DISTRIBUTED_BYTES = 4 * 1024**3
+
+
+def _compute_losers_from_input(
+    files: list[str], rank_of_path: dict[str, int], force_distributed: bool = False
+) -> pa.Table:
     """Find urls crawled more than once; return (doc_id, max_ts, win_rank,
     extra) where (max_ts, win_rank) identifies the unique winning row.
 
     Column-pruned read of (url, warc_ts) only; per-batch pre-aggregation to
-    one (doc_id, cnt, max_ts, rank) row per distinct url per batch.  The
-    final reduce is driver-side numpy here (rows ~= |distinct urls| per
-    batch); at 10^12-doc scale the same partial rows feed a Ray
-    groupby(doc_id).map_groups instead — identical dataflow, reducer placed
-    on the cluster.
+    one (doc_id, cnt, max_ts, rank) row per distinct url per batch.  Small
+    inputs finalize the partials driver-side (rows ~= |distinct urls|);
+    above _LOSERS_DISTRIBUTED_BYTES the partials are range-sorted by doc_id
+    and combined per block on the cluster, with only duplicate candidates
+    and block-boundary docs reaching the driver — O(#dups + blocks) driver
+    memory at any corpus size.
     """
 
     def batch_agg(t: pa.Table) -> pa.Table:
@@ -1169,6 +1211,11 @@ def _compute_losers_from_input(files: list[str], rank_of_path: dict[str, int]) -
     parts = ds.map_batches(
         batch_agg, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
+    est_bytes = sum(os.path.getsize(f) for f in files)
+    if force_distributed or est_bytes > _LOSERS_DISTRIBUTED_BYTES:
+        parts = parts.sort("doc_id").map_batches(
+            _combine_loser_block, batch_format="pyarrow", batch_size=None
+        )
     tables = [
         pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
         for b in parts.iter_batches(batch_format="pyarrow", batch_size=None)

@@ -85,80 +85,145 @@ def _bit_lengths(v: np.ndarray) -> np.ndarray:
 
 
 def pfor_encode(values: np.ndarray) -> bytes:
-    """PForDelta frames: [b][n_exc][packed b-bit LSB-first][exc pos varint]
-    [exc high-bits varint] per 128-value frame; frame width b chosen to
-    minimize packed + patch bytes."""
+    """PForDelta, fully vectorized (no per-frame Python loop on full frames).
+
+    Layout (count is external, like varint's):
+
+        headers   4 bytes per frame: b(u8), n_exc(u8), high_len(u16 LE)
+        packed    per-frame b-bit LSB-first low bits, concatenated
+                  (a full 128-value frame is exactly 16*b bytes)
+        positions all frames' exception positions (u8, frame order)
+        highs     all frames' exception high bits, ONE varint stream
+
+    Frame width b minimizes 16*b + ~3 bytes per exception; exceptions patch
+    values whose bit length exceeds b.  Grouping full frames by width makes
+    encode/decode a handful of numpy passes regardless of frame count.
+    """
     v = np.ascontiguousarray(values, dtype=np.uint64)
-    parts: list[bytes] = []
-    for s in range(0, v.size, _PFOR_FRAME):
-        f = v[s:s + _PFOR_FRAME]
-        n = f.size
-        bl = _bit_lengths(f)
-        max_bl = int(bl.max())
-        # cost(b) = packed bytes + per-exception (1 pos byte + high varint)
-        best_b, best_cost = max_bl, (n * max_bl + 7) // 8
-        for b in range(1, max_bl):
-            exc = bl > b
-            n_exc = int(exc.sum())
-            high_bytes = int(((bl[exc] - b + 6) // 7).sum()) if n_exc else 0
-            cost = (n * b + 7) // 8 + n_exc + high_bytes
-            if cost < best_cost:
-                best_b, best_cost = b, cost
-        b = best_b
-        mask = np.uint64((1 << b) - 1) if b < 64 else np.uint64(0xFFFFFFFFFFFFFFFF)
-        low = f & mask
-        bits = ((low[:, None] >> np.arange(b, dtype=np.uint64)) & np.uint64(1)
-                ).astype(np.uint8)
-        packed = np.packbits(bits.reshape(-1), bitorder="little").tobytes()
-        exc_idx = np.nonzero(bl > b)[0]
-        highs = f[exc_idx] >> np.uint64(b)
-        parts.append(bytes((b, exc_idx.size)))
-        parts.append(packed)
-        if exc_idx.size:
-            parts.append(exc_idx.astype(np.uint8).tobytes())  # pos < 128
-            parts.append(varint_encode(highs))
-    return b"".join(parts)
+    n = v.size
+    if n == 0:
+        return b""
+    F = (n + _PFOR_FRAME - 1) // _PFOR_FRAME
+    pad = F * _PFOR_FRAME - n
+    vp = np.concatenate([v, np.zeros(pad, np.uint64)]).reshape(F, _PFOR_FRAME)
+    bl = _bit_lengths(vp.reshape(-1)).reshape(F, _PFOR_FRAME)
+    if pad:
+        bl[-1, _PFOR_FRAME - pad:] = 0  # padding is never an exception
+    # per-frame width choice: hist of bit lengths -> suffix counts -> argmin
+    H = np.zeros((F, 66), dtype=np.int64)
+    np.add.at(H, (np.repeat(np.arange(F), _PFOR_FRAME), bl.reshape(-1)), 1)
+    cnt_gt = H[:, ::-1].cumsum(axis=1)[:, ::-1]  # cnt_gt[:, b+1] = #(bl > b)
+    bs = np.arange(1, 65)
+    n_in_frame = np.full(F, _PFOR_FRAME, np.int64)
+    if pad:
+        n_in_frame[-1] = _PFOR_FRAME - pad
+    packed_cost = (n_in_frame[:, None] * bs[None, :] + 7) // 8
+    costs = packed_cost + 3 * cnt_gt[:, 2:]
+    b_star = costs.argmin(axis=1) + 1  # (F,)
+    packed_len = packed_cost[np.arange(F), b_star - 1]
+    offs = np.concatenate(([0], np.cumsum(packed_len)))
+    packed = np.zeros(int(offs[-1]), dtype=np.uint8)
+    for b in np.unique(b_star):
+        sel = np.nonzero(b_star == b)[0]
+        mask = np.uint64((1 << int(b)) - 1) if b < 64 else np.uint64(2**64 - 1)
+        for c0 in range(0, sel.size, 2048):  # bound peak bits memory
+            chunk = sel[c0:c0 + 2048]
+            low = vp[chunk] & mask
+            bits = (
+                (low[:, :, None] >> np.arange(b, dtype=np.uint64)) & np.uint64(1)
+            ).astype(np.uint8)
+            pb = np.packbits(
+                bits.reshape(len(chunk), -1), axis=-1, bitorder="little"
+            )
+            pos = offs[chunk][:, None] + np.arange(pb.shape[1])
+            # the last (padded) frame may have a shorter packed_len
+            valid = pos < offs[chunk][:, None] + packed_len[chunk][:, None]
+            packed[pos[valid]] = pb[valid]
+    # exceptions, all frames at once
+    exc_mask = bl > b_star[:, None]
+    exc_frame, exc_pos = np.nonzero(exc_mask)
+    highs = vp[exc_frame, exc_pos] >> b_star[exc_frame].astype(np.uint64)
+    n_exc = exc_mask.sum(axis=1)
+    high_lens_per_val = np.maximum((_bit_lengths(highs) + 6) // 7, 1)
+    high_len = np.zeros(F, dtype=np.int64)
+    if exc_frame.size:
+        np.add.at(high_len, exc_frame, high_lens_per_val)
+    if n_exc.max(initial=0) > 255 or high_len.max(initial=0) > 65535:
+        raise ValueError("pfor frame exception overflow")  # impossible: <=128 exc
+    headers = np.zeros((F, 4), dtype=np.uint8)
+    headers[:, 0] = b_star
+    headers[:, 1] = n_exc
+    headers[:, 2] = high_len & 0xFF
+    headers[:, 3] = high_len >> 8
+    return (
+        headers.tobytes()
+        + packed.tobytes()
+        + exc_pos.astype(np.uint8).tobytes()
+        + varint_encode(highs)
+    )
 
 
 def pfor_decode(buf: bytes, count: int) -> np.ndarray:
+    if count == 0:
+        return np.empty(0, dtype=np.uint64)
     raw = np.frombuffer(buf, dtype=np.uint8)
-    out = np.empty(count, dtype=np.uint64)
-    pos = 0
-    done = 0
-    while done < count:
-        n = min(_PFOR_FRAME, count - done)
-        b, n_exc = int(raw[pos]), int(raw[pos + 1])
-        pos += 2
-        packed_len = (n * b + 7) // 8
-        bits = np.unpackbits(
-            raw[pos:pos + packed_len], count=n * b, bitorder="little"
-        ).reshape(n, b).astype(np.uint64)
-        f = (bits << np.arange(b, dtype=np.uint64)).sum(axis=1, dtype=np.uint64)
-        pos += packed_len
-        if n_exc:
-            idx = raw[pos:pos + n_exc].astype(np.int64)
-            pos += n_exc
-            # decode exactly n_exc varints from raw[pos:]
-            seg = raw[pos:]
-            is_end = (seg & 0x80) == 0
-            ends = np.nonzero(is_end)[0][:n_exc]
-            highs = varint_decode(seg[: ends[-1] + 1].tobytes(), n_exc)
-            pos += int(ends[-1] + 1)
-            f[idx] |= highs << np.uint64(b)
-        out[done:done + n] = f
-        done += n
-    return out
+    F = (count + _PFOR_FRAME - 1) // _PFOR_FRAME
+    headers = raw[: 4 * F].reshape(F, 4)
+    b_star = headers[:, 0].astype(np.int64)
+    n_exc = headers[:, 1].astype(np.int64)
+    high_len = headers[:, 2].astype(np.int64) | (headers[:, 3].astype(np.int64) << 8)
+    n_in_frame = np.full(F, _PFOR_FRAME, np.int64)
+    n_in_frame[-1] = count - (F - 1) * _PFOR_FRAME
+    packed_len = (n_in_frame * b_star + 7) // 8
+    offs = 4 * F + np.concatenate(([0], np.cumsum(packed_len)))
+    out = np.zeros(F * _PFOR_FRAME, dtype=np.uint64)
+    for b in np.unique(b_star):
+        sel = np.nonzero(b_star == b)[0]
+        width = 16 * int(b)  # full-frame packed bytes
+        for c0 in range(0, sel.size, 2048):
+            chunk = sel[c0:c0 + 2048]
+            pos = offs[chunk][:, None] + np.arange(width)
+            valid = pos < offs[chunk][:, None] + packed_len[chunk][:, None]
+            byts = np.zeros((len(chunk), width), dtype=np.uint8)
+            byts[valid] = raw[pos[valid]]
+            bits = np.unpackbits(byts, axis=-1, bitorder="little")[
+                :, : _PFOR_FRAME * int(b)
+            ].reshape(len(chunk), _PFOR_FRAME, int(b)).astype(np.uint64)
+            vals = (bits << np.arange(b, dtype=np.uint64)).sum(
+                axis=2, dtype=np.uint64
+            )
+            rows = (chunk[:, None] * _PFOR_FRAME + np.arange(_PFOR_FRAME)).reshape(-1)
+            out[rows] = vals.reshape(-1)
+    total_exc = int(n_exc.sum())
+    if total_exc:
+        po = int(offs[-1])
+        exc_pos = raw[po:po + total_exc].astype(np.int64)
+        exc_frame = np.repeat(np.arange(F), n_exc)
+        highs = varint_decode(
+            raw[po + total_exc: po + total_exc + int(high_len.sum())].tobytes(),
+            total_exc,
+        )
+        shifts = b_star[exc_frame].astype(np.uint64)
+        idx = exc_frame * _PFOR_FRAME + exc_pos
+        out[idx] |= highs << shifts
+    return out[:count]
 
 
 def ints_encode(values: np.ndarray) -> bytes:
-    """Tagged integer-sequence codec: 1-byte tag + min(varint, PForDelta)."""
+    """Tagged integer-sequence codec: 1-byte tag + min(varint, PForDelta).
+
+    Lists shorter than one PFor frame skip the contest — per-frame headers
+    make varint win there, and most term chunks in a Zipf vocabulary are
+    short, so the encoder's double-encode cost concentrates on the long
+    lists where PFor actually pays."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
         return b""
     a = varint_encode(v)
-    b = pfor_encode(v)
-    if len(b) < len(a):
-        return bytes((_TAG_PFOR,)) + b
+    if v.size >= _PFOR_FRAME:
+        b = pfor_encode(v)
+        if len(b) < len(a):
+            return bytes((_TAG_PFOR,)) + b
     return bytes((_TAG_VARINT,)) + a
 
 

@@ -95,10 +95,11 @@ def run_with_timeout(fn, args=(), timeout_s: float = 10.0, default=None):
 
     Ray retries failed tasks but does not bound a row's CPU time; the
     reference solves this with a nested process it can kill
-    (parse_arxiv_papers/__main__.py:54-103).  Inside an actor a thread pool
-    with a deadline gives the same contract for cooperative workloads; for
-    truly runaway native code, swap the executor for a forked process
-    (same call shape).
+    (parse_arxiv_papers/__main__.py:54-103).  A thread pool with a deadline
+    gives the same contract for COOPERATIVE workloads (blocking IO / API
+    calls — this module's domain).  Runaway NATIVE code cannot be stopped by
+    a thread deadline; that case is engine/sandbox.py's killable sidecar,
+    which the build wires in via build_index(extract_timeout_s=...).
     """
     ex = concurrent.futures.ThreadPoolExecutor(max_workers=1)
     fut = ex.submit(fn, *args)

@@ -114,3 +114,26 @@ def test_repartition_rebuild_prunes_stale_pids(tmp_path):
         )
 
     assert seg_rows(idx) == seg_rows(idx_fresh)
+
+
+def test_distributed_loser_reduce_matches_driver_path(tmp_path):
+    """The cluster-side loser reduce (range sort + boundary-safe combine)
+    yields the identical loser table to the small-input driver path."""
+    import pyarrow.parquet as pq
+
+    from engine import synth
+    from engine.build import _compute_losers_from_input
+
+    pages_dir = str(tmp_path / "pages")
+    synth.write_pages(pages_dir, 300, num_files=5)
+    import os
+
+    files = sorted(
+        os.path.join(pages_dir, f) for f in os.listdir(pages_dir)
+        if f.endswith(".parquet")
+    )
+    rank = {f: i for i, f in enumerate(files)}
+    a = _compute_losers_from_input(files, rank)
+    b = _compute_losers_from_input(files, rank, force_distributed=True)
+    assert a.sort_by("doc_id").equals(b.sort_by("doc_id"))
+    assert a.num_rows >= 1  # synth plants at least one recrawled url
