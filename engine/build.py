@@ -137,6 +137,7 @@ def build_index(
     loser_files: list[str] | None = None,
     avgdl_override: float | None = None,
     stop_after_postings: bool = False,
+    input_filter=None,
 ) -> dict:
     """Build (or resume) the full index under ``index_dir``. Returns metrics.
 
@@ -154,7 +155,12 @@ def build_index(
     bakes the corpus-global avgdl into this shard's impacts so shard-local
     top-k merge is rank-identical to one big index, and
     ``stop_after_postings`` ends the build after the ingest phases so the
-    orchestrator can derive the global stats between passes."""
+    orchestrator can derive the global stats between passes.
+
+    ``input_filter`` is an optional ``pyarrow.dataset`` Expression pushed
+    into every input read (the reference's free-form ``--condition`` WHERE
+    hook, ec2/parse_arxiv_papers/__main__.py:176) — rows it rejects never
+    leave storage; the expression is part of the lineage fingerprints."""
     if isinstance(input_path, str):
         if os.path.isdir(input_path):
             files = [
@@ -199,13 +205,16 @@ def build_index(
     losers_path = os.path.join(index_dir, "losers.parquet")
     loser_src = sorted(loser_files) if loser_files else files
     all_input_fp = fingerprint_files(loser_src) if loser_src else "empty"
-    losers_fp = "input:" + all_input_fp
+    filt_tag = f"+W{input_filter}" if input_filter is not None else ""
+    losers_fp = "input:" + all_input_fp + filt_tag
     # file ranks (the ts-tie winner key) come from the GLOBAL corpus order
     # when loser_files is given, so every shard agrees on the winner
     rank_of_path = {f: i for i, f in enumerate(sorted(loser_src))}
     if not man.phase_done("losers", losers_fp, losers_path):
         if input_kind == "pages" and loser_src:
-            losers_tbl = _compute_losers_from_input(loser_src, rank_of_path)
+            losers_tbl = _compute_losers_from_input(
+                loser_src, rank_of_path, input_filter=input_filter
+            )
         else:  # documents tables carry a unique doc_id — no recrawls
             losers_tbl = _EMPTY_LOSERS
         pa.parquet.write_table(losers_tbl, losers_path + ".tmp")
@@ -269,7 +278,7 @@ def build_index(
         # either setting is part of the extract lineage
         x_tag = "+X" + ",".join(extract_chain or ()) + f"@{extract_timeout_s or 0}"
     ext_fp = {
-        pid: fingerprint_files(pfiles) + "+L" + loser_content_fp + x_tag
+        pid: fingerprint_files(pfiles) + "+L" + loser_content_fp + x_tag + filt_tag
         for pid, pfiles in parts.items()
     }
     post_fp = {pid: ext_fp[pid] + "+A" + a_hash + f"+G{n_bg}" for pid in parts}
@@ -291,6 +300,7 @@ def build_index(
                 ["url", "warc_ts", "html", "lang"]
                 if input_kind == "pages" else None
             ),
+            filter=input_filter,
             # finer blocks than files: with blocks == cpus one straggler
             # idles the pool tail; ~4 blocks/core keeps every stage busy
             override_num_blocks=max(4 * concurrency, len(path_to_pid)),
@@ -1164,7 +1174,8 @@ _LOSERS_DISTRIBUTED_BYTES = 4 * 1024**3
 
 
 def _compute_losers_from_input(
-    files: list[str], rank_of_path: dict[str, int], force_distributed: bool = False
+    files: list[str], rank_of_path: dict[str, int],
+    force_distributed: bool = False, input_filter=None,
 ) -> pa.Table:
     """Find urls crawled more than once; return (doc_id, max_ts, win_rank,
     extra) where (max_ts, win_rank) identifies the unique winning row.
@@ -1207,7 +1218,9 @@ def _compute_losers_from_input(
             }
         )
 
-    ds = rd.read_parquet(files, columns=["url", "warc_ts"], include_paths=True)
+    ds = rd.read_parquet(
+        files, columns=["url", "warc_ts"], include_paths=True, filter=input_filter
+    )
     parts = ds.map_batches(
         batch_agg, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )

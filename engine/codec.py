@@ -84,29 +84,17 @@ def _bit_lengths(v: np.ndarray) -> np.ndarray:
     return bl
 
 
-def pfor_encode(values: np.ndarray) -> bytes:
-    """PForDelta, fully vectorized (no per-frame Python loop on full frames).
-
-    Layout (count is external, like varint's):
-
-        headers   4 bytes per frame: b(u8), n_exc(u8), high_len(u16 LE)
-        packed    per-frame b-bit LSB-first low bits, concatenated
-                  (a full 128-value frame is exactly 16*b bytes)
-        positions all frames' exception positions (u8, frame order)
-        highs     all frames' exception high bits, ONE varint stream
-
-    Frame width b minimizes 16*b + ~3 bytes per exception; exceptions patch
-    values whose bit length exceeds b.  Grouping full frames by width makes
-    encode/decode a handful of numpy passes regardless of frame count.
-    """
-    v = np.ascontiguousarray(values, dtype=np.uint64)
+def _pfor_plan(v: np.ndarray) -> dict:
+    """Width choice + exception layout for PFor — pure histogram math, no
+    bit packing.  Produces everything both the packer and the exact
+    encoded-size formula need, so `ints_encode` can pick a codec WITHOUT
+    encoding twice."""
     n = v.size
-    if n == 0:
-        return b""
     F = (n + _PFOR_FRAME - 1) // _PFOR_FRAME
     pad = F * _PFOR_FRAME - n
     vp = np.concatenate([v, np.zeros(pad, np.uint64)]).reshape(F, _PFOR_FRAME)
-    bl = _bit_lengths(vp.reshape(-1)).reshape(F, _PFOR_FRAME)
+    bl_flat = _bit_lengths(vp.reshape(-1))
+    bl = bl_flat.reshape(F, _PFOR_FRAME)
     if pad:
         bl[-1, _PFOR_FRAME - pad:] = 0  # padding is never an exception
     # per-frame width choice: hist of bit lengths -> suffix counts -> argmin
@@ -122,32 +110,70 @@ def pfor_encode(values: np.ndarray) -> bytes:
     b_star = costs.argmin(axis=1) + 1  # (F,)
     packed_len = packed_cost[np.arange(F), b_star - 1]
     offs = np.concatenate(([0], np.cumsum(packed_len)))
+    exc_mask = bl > b_star[:, None]
+    exc_frame, exc_pos = np.nonzero(exc_mask)
+    highs = vp[exc_frame, exc_pos] >> b_star[exc_frame].astype(np.uint64)
+    n_exc = exc_mask.sum(axis=1)
+    high_lens_per_val = np.maximum(
+        (bl[exc_frame, exc_pos] - b_star[exc_frame] + 6) // 7, 1
+    )
+    high_len = np.zeros(F, dtype=np.int64)
+    if exc_frame.size:
+        np.add.at(high_len, exc_frame, high_lens_per_val)
+    size = int(4 * F + offs[-1] + exc_pos.size + high_len.sum())
+    return {
+        "F": F, "vp": vp, "bl": bl, "b_star": b_star,
+        "packed_len": packed_len, "offs": offs,
+        "exc_pos": exc_pos, "highs": highs,
+        "n_exc": n_exc, "high_len": high_len, "size": size,
+        "varint_size": int(np.maximum((bl_flat[:n] + 6) // 7, 1).sum()),
+    }
+
+
+def pfor_encode(values: np.ndarray, plan: dict | None = None) -> bytes:
+    """PForDelta, fully vectorized (no per-frame Python loop on full frames).
+
+    Layout (count is external, like varint's):
+
+        headers   4 bytes per frame: b(u8), n_exc(u8), high_len(u16 LE)
+        packed    per-frame b-bit LSB-first low bits, concatenated
+                  (a full 128-value frame is exactly 16*b bytes)
+        positions all frames' exception positions (u8, frame order)
+        highs     all frames' exception high bits, ONE varint stream
+
+    Frame width b minimizes 16*b + ~3 bytes per exception; exceptions patch
+    values whose bit length exceeds b.  Grouping full frames by width makes
+    encode/decode a handful of numpy passes regardless of frame count, and
+    all bit moves are byte-wise (unpackbits/packbits — a shift-matrix
+    formulation costs 8 bytes per bit and dominates runtime).
+    """
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    p = plan if plan is not None else _pfor_plan(v)
+    F, vp = p["F"], p["vp"]
+    b_star, packed_len, offs = p["b_star"], p["packed_len"], p["offs"]
+    n_exc, high_len = p["n_exc"], p["high_len"]
     packed = np.zeros(int(offs[-1]), dtype=np.uint8)
     for b in np.unique(b_star):
         sel = np.nonzero(b_star == b)[0]
         mask = np.uint64((1 << int(b)) - 1) if b < 64 else np.uint64(2**64 - 1)
-        for c0 in range(0, sel.size, 2048):  # bound peak bits memory
-            chunk = sel[c0:c0 + 2048]
+        for c0 in range(0, sel.size, 4096):  # bound peak bits memory
+            chunk = sel[c0:c0 + 4096]
             low = vp[chunk] & mask
-            bits = (
-                (low[:, :, None] >> np.arange(b, dtype=np.uint64)) & np.uint64(1)
-            ).astype(np.uint8)
+            le = np.ascontiguousarray(low.astype("<u8")).view(np.uint8)
+            bits = np.unpackbits(
+                le.reshape(len(chunk), _PFOR_FRAME, 8), axis=-1,
+                bitorder="little",
+            ).reshape(len(chunk), _PFOR_FRAME, 64)[:, :, : int(b)]
             pb = np.packbits(
-                bits.reshape(len(chunk), -1), axis=-1, bitorder="little"
+                np.ascontiguousarray(bits).reshape(len(chunk), -1),
+                axis=-1, bitorder="little",
             )
             pos = offs[chunk][:, None] + np.arange(pb.shape[1])
             # the last (padded) frame may have a shorter packed_len
             valid = pos < offs[chunk][:, None] + packed_len[chunk][:, None]
             packed[pos[valid]] = pb[valid]
-    # exceptions, all frames at once
-    exc_mask = bl > b_star[:, None]
-    exc_frame, exc_pos = np.nonzero(exc_mask)
-    highs = vp[exc_frame, exc_pos] >> b_star[exc_frame].astype(np.uint64)
-    n_exc = exc_mask.sum(axis=1)
-    high_lens_per_val = np.maximum((_bit_lengths(highs) + 6) // 7, 1)
-    high_len = np.zeros(F, dtype=np.int64)
-    if exc_frame.size:
-        np.add.at(high_len, exc_frame, high_lens_per_val)
     if n_exc.max(initial=0) > 255 or high_len.max(initial=0) > 65535:
         raise ValueError("pfor frame exception overflow")  # impossible: <=128 exc
     headers = np.zeros((F, 4), dtype=np.uint8)
@@ -158,8 +184,8 @@ def pfor_encode(values: np.ndarray) -> bytes:
     return (
         headers.tobytes()
         + packed.tobytes()
-        + exc_pos.astype(np.uint8).tobytes()
-        + varint_encode(highs)
+        + p["exc_pos"].astype(np.uint8).tobytes()
+        + varint_encode(p["highs"])
     )
 
 
@@ -180,17 +206,23 @@ def pfor_decode(buf: bytes, count: int) -> np.ndarray:
     for b in np.unique(b_star):
         sel = np.nonzero(b_star == b)[0]
         width = 16 * int(b)  # full-frame packed bytes
-        for c0 in range(0, sel.size, 2048):
-            chunk = sel[c0:c0 + 2048]
+        for c0 in range(0, sel.size, 4096):
+            chunk = sel[c0:c0 + 4096]
             pos = offs[chunk][:, None] + np.arange(width)
             valid = pos < offs[chunk][:, None] + packed_len[chunk][:, None]
             byts = np.zeros((len(chunk), width), dtype=np.uint8)
             byts[valid] = raw[pos[valid]]
             bits = np.unpackbits(byts, axis=-1, bitorder="little")[
                 :, : _PFOR_FRAME * int(b)
-            ].reshape(len(chunk), _PFOR_FRAME, int(b)).astype(np.uint64)
-            vals = (bits << np.arange(b, dtype=np.uint64)).sum(
-                axis=2, dtype=np.uint64
+            ].reshape(len(chunk), _PFOR_FRAME, int(b))
+            # byte-wise reassembly: pad each value's bits to 64, packbits
+            # back to 8 LE bytes, view as uint64 (all uint8 ops — the shift
+            # matrix costs 8 bytes per bit and dominated decode time)
+            full = np.zeros((len(chunk), _PFOR_FRAME, 64), dtype=np.uint8)
+            full[:, :, : int(b)] = bits
+            le = np.packbits(full, axis=-1, bitorder="little")
+            vals = np.ascontiguousarray(le).view("<u8").reshape(
+                len(chunk), _PFOR_FRAME
             )
             rows = (chunk[:, None] * _PFOR_FRAME + np.arange(_PFOR_FRAME)).reshape(-1)
             out[rows] = vals.reshape(-1)
@@ -210,21 +242,20 @@ def pfor_decode(buf: bytes, count: int) -> np.ndarray:
 
 
 def ints_encode(values: np.ndarray) -> bytes:
-    """Tagged integer-sequence codec: 1-byte tag + min(varint, PForDelta).
-
-    Lists shorter than one PFor frame skip the contest — per-frame headers
-    make varint win there, and most term chunks in a Zipf vocabulary are
-    short, so the encoder's double-encode cost concentrates on the long
-    lists where PFor actually pays."""
+    """Tagged integer-sequence codec: 1-byte tag + the smaller of varint and
+    PForDelta, chosen from EXACT computed sizes (histogram math only) so
+    exactly one codec ever runs its packing pass.  Lists shorter than one
+    PFor frame go straight to varint (per-frame headers make it win there,
+    and most term chunks in a Zipf vocabulary are short)."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
         return b""
-    a = varint_encode(v)
-    if v.size >= _PFOR_FRAME:
-        b = pfor_encode(v)
-        if len(b) < len(a):
-            return bytes((_TAG_PFOR,)) + b
-    return bytes((_TAG_VARINT,)) + a
+    if v.size < _PFOR_FRAME:
+        return bytes((_TAG_VARINT,)) + varint_encode(v)
+    plan = _pfor_plan(v)
+    if plan["size"] < plan["varint_size"]:
+        return bytes((_TAG_PFOR,)) + pfor_encode(v, plan)
+    return bytes((_TAG_VARINT,)) + varint_encode(v)
 
 
 def ints_decode(buf: bytes, count: int | None = None) -> np.ndarray:

@@ -137,3 +137,34 @@ def test_distributed_loser_reduce_matches_driver_path(tmp_path):
     b = _compute_losers_from_input(files, rank, force_distributed=True)
     assert a.sort_by("doc_id").equals(b.sort_by("doc_id"))
     assert a.num_rows >= 1  # synth plants at least one recrawled url
+
+
+def test_input_filter_where_hook(tmp_path):
+    """The --condition analog: an input-level predicate prunes rows at the
+    read; only matching docs are extracted, indexed and counted."""
+    import pyarrow.dataset as pads_ds
+
+    from engine import synth
+    from engine.build import build_index
+    from engine.query import IndexReader
+
+    pages_dir = str(tmp_path / "pages")
+    synth.write_pages(pages_dir, 200, num_files=2)
+    expr = pads_ds.field("lang") == "en"
+    idx = str(tmp_path / "idx")
+    m = build_index(pages_dir, idx, num_partitions=2, input_filter=expr)
+    import pyarrow.parquet as pq
+    import os
+
+    n_en = sum(
+        pq.read_table(os.path.join(pages_dir, f), columns=["lang"])
+        .column("lang").to_pandas().eq("en").sum()
+        for f in os.listdir(pages_dir) if f.endswith(".parquet")
+    )
+    # filtered build indexes at most the en rows (minus url-dup losers)
+    assert 0 < m["n_docs"] <= n_en
+    r = IndexReader(idx)
+    meta = r  # every indexed doc must be lang=en
+    r._load_docmeta()
+    _, codes, _, _, langs = r._docmeta
+    assert set(langs[int(c)] for c in set(codes.tolist())) == {"en"}
