@@ -309,7 +309,13 @@ class IndexReader:
         use_vec = method == "vectorized" or (
             method == "auto" and total_postings <= self.VECTORIZED_POSTINGS_LIMIT
         )
-        if use_vec:
+        if method == "auto" and len(term_chunks) == 1:
+            # single-term query: exact top-k straight off the term's own
+            # impacts — O(df) work and memory, no dense n_docs array and no
+            # document-at-a-time pivoting (which degenerates on head terms:
+            # nothing prunes when every doc matches the only term)
+            top = self._single_term(term_chunks[0], pool, mask)
+        elif use_vec:
             top = self._vectorized(term_chunks, pool, mask)
         else:
             cursors = [
@@ -334,6 +340,32 @@ class IndexReader:
             pos = np.searchsorted(meta_ids, ids)
             self._pos_cache[key] = pos
         return pos
+
+    def _single_term(
+        self, tc, k: int, mask: np.ndarray | None
+    ) -> list[tuple[int, float]]:
+        """Exact top-k for a one-term query: score = idf * impact per posting
+        (bitwise the same float64 product the dense path accumulates from
+        zero), tie-break (score DESC, doc_id ASC)."""
+        t, w, chunks = tc
+        parts_ids, parts_sc = [], []
+        for ci, (ids, impacts, _, _) in enumerate(chunks):
+            sc = w * impacts
+            if mask is not None:
+                keep = mask[self._chunk_positions(t, ci, ids)]
+                ids, sc = ids[keep], sc[keep]
+            parts_ids.append(ids)
+            parts_sc.append(sc)
+        ids = np.concatenate(parts_ids) if parts_ids else np.empty(0, np.uint64)
+        sc = np.concatenate(parts_sc) if parts_sc else np.empty(0)
+        if ids.size == 0:
+            return []
+        kk = min(k, ids.size)
+        thr = -np.partition(-sc, kk - 1)[kk - 1]
+        cut = sc >= thr  # tie-closed candidate set, then exact ordering
+        cids, csc = ids[cut], sc[cut]
+        order = np.lexsort((cids, -csc))[:kk]
+        return [(int(d), float(s)) for d, s in zip(cids[order], csc[order])]
 
     def _vectorized(
         self, term_chunks, k: int, mask: np.ndarray | None
