@@ -149,3 +149,16 @@ def test_entry_smoke():
     res = _to_pandas(entrymod.entry())
     assert len(res) > 0
     assert list(res.columns) == ["query_id", "rank", "doc_id", "score_r6"]
+
+
+def test_q3_distributed_join_path_matches_broadcast_path(monkeypatch):
+    """Force the above-budget branch (Ray groupby + hash join): identical
+    top-10 to the broadcast-keys fast path."""
+    from engine.ops import relational
+
+    fast = relational.q3_top_orders(SF)
+    monkeypatch.setattr(relational, "_Q3_BCAST_KEY_BUDGET", 0)
+    slow = relational.q3_top_orders(SF)
+    pd.testing.assert_frame_equal(
+        fast.reset_index(drop=True), slow.reset_index(drop=True)
+    )
