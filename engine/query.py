@@ -315,6 +315,13 @@ class IndexReader:
             # document-at-a-time pivoting (which degenerates on head terms:
             # nothing prunes when every doc matches the only term)
             top = self._single_term(term_chunks[0], pool, mask)
+        elif method == "auto" and total_postings * 4 <= self.n_docs:
+            # selective multi-term query: sparse accumulation over the
+            # candidate postings only (sort + reduceat) — O(p log p) for p
+            # postings instead of allocating and scanning O(n_docs) dense
+            # arrays; float64-identical to the dense path (same per-doc
+            # term-order summation)
+            top = self._sparse(term_chunks, pool, mask)
         elif use_vec:
             top = self._vectorized(term_chunks, pool, mask)
         else:
@@ -364,6 +371,45 @@ class IndexReader:
         thr = -np.partition(-sc, kk - 1)[kk - 1]
         cut = sc >= thr  # tie-closed candidate set, then exact ordering
         cids, csc = ids[cut], sc[cut]
+        order = np.lexsort((cids, -csc))[:kk]
+        return [(int(d), float(s)) for d, s in zip(cids[order], csc[order])]
+
+    def _sparse(
+        self, term_chunks, k: int, mask: np.ndarray | None
+    ) -> list[tuple[int, float]]:
+        """Sparse exact scoring: concatenate every matching posting's
+        (docmeta position, idf*impact) IN ASCENDING TERM ORDER, stable-sort
+        by position, sum runs with one reduceat.  A doc's contributions then
+        add in the identical sequence the dense path applies (term by term,
+        starting from +0.0), so scores are bitwise equal."""
+        pos_l, sc_l = [], []
+        for t, w, chunks in term_chunks:  # term_chunks is term-sorted
+            for ci, (ids, impacts, _, _) in enumerate(chunks):
+                pos = self._chunk_positions(t, ci, ids)
+                sc = w * impacts
+                if mask is not None:
+                    keep = mask[pos]
+                    pos, sc = pos[keep], sc[keep]
+                pos_l.append(pos)
+                sc_l.append(sc)
+        if not pos_l:
+            return []
+        pos = np.concatenate(pos_l)
+        sc = np.concatenate(sc_l)
+        if pos.size == 0:
+            return []
+        order = np.argsort(pos, kind="stable")  # stable: term order per doc
+        pos, sc = pos[order], sc[order]
+        boundary = np.ones(pos.size, dtype=bool)
+        boundary[1:] = pos[1:] != pos[:-1]
+        starts = np.nonzero(boundary)[0]
+        upos = pos[starts]
+        scores = np.add.reduceat(sc, starts)
+        ids = self._docmeta[0][upos]  # _chunk_positions loaded docmeta
+        kk = min(k, ids.size)
+        thr = -np.partition(-scores, kk - 1)[kk - 1]
+        cut = scores >= thr
+        cids, csc = ids[cut], scores[cut]
         order = np.lexsort((cids, -csc))[:kk]
         return [(int(d), float(s)) for d, s in zip(cids[order], csc[order])]
 

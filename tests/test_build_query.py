@@ -124,3 +124,23 @@ def test_oracle_against_bruteforce_sanity():
     want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     got = idx.search(q, k=10)
     assert [d for d, _ in got] == [d for d, _ in want]
+
+
+def test_sparse_path_bitwise_equals_dense(built_index):
+    """The sparse (sort+reduceat) scorer returns bitwise-identical float64
+    scores to the dense accumulator, with and without metadata filters."""
+    _, index_dir, _ = built_index
+    r = IndexReader(index_dir)
+    queries = [
+        synth.VOCAB[500] + " " + synth.VOCAB[800],
+        synth.HEAD_TERMS[0] + " " + synth.VOCAB[300] + " " + synth.VOCAB[900],
+    ]
+    for q in queries:
+        terms = sorted(set(t for t in q.split()))
+        tcs = []
+        for t in terms:
+            chunks = [c for c in r._load_chunks(t) if c[0].size]
+            if chunks:
+                tcs.append((t, r.idf(t), chunks))
+        for mask in (None, r._filter_mask("en", None, None)):
+            assert r._sparse(tcs, 10, mask) == r._vectorized(tcs, 10, mask)
