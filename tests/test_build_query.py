@@ -56,7 +56,7 @@ def test_extracted_byte_identical(built_index):
         assert text == truth[url], f"byte mismatch for {url}"
 
 
-@pytest.mark.parametrize("method", ["bmw", "vectorized", "auto"])
+@pytest.mark.parametrize("method", ["bmw", "vectorized", "maxscore", "auto"])
 def test_topk_rank_identical(built_index, method):
     pages_dir, index_dir, _ = built_index
     pages = synth.gen_pages_table(N_DOCS)
