@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot": relational.events_pivot,
         "events_tumbling_daily": relational.events_tumbling_daily,
         "events_page3": relational.events_page3,
+        "events_keyset_page8": relational.events_keyset_page8,
         "events_sample_stats": relational.events_sample_stats,
         "customers_without_recent_orders": relational.customers_without_recent_orders,
         "orders_semi_building": relational.orders_semi_building,
@@ -104,6 +105,7 @@ def oracle_sql() -> dict[str, str]:
         "events_pivot": relational.EVENTS_PIVOT_SQL,
         "events_tumbling_daily": relational.EVENTS_TUMBLING_SQL,
         "events_page3": relational.EVENTS_PAGE3_SQL,
+        "events_keyset_page8": relational.EVENTS_KEYSET_PAGE8_SQL,
         "events_sample_stats": relational.EVENTS_SAMPLE_STATS_SQL,
         "customers_without_recent_orders": relational.CUSTOMERS_ANTI_SQL,
         "orders_semi_building": relational.ORDERS_SEMI_SQL,

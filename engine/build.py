@@ -57,6 +57,7 @@ from .schema import (
     HOT_TERM_DF_FRACTION,
     K1,
     NUM_BUCKET_GROUPS,
+    NUM_DOC_RANGES,
     NUM_SALTS,
     NUM_TERM_BUCKETS,
     PARTIAL_POSTINGS_SCHEMA,
@@ -66,7 +67,12 @@ from .schema import (
 
 
 # bump when the on-disk layout or scoring-relevant semantics change
-FORMAT_VERSION = 6
+FORMAT_VERSION = 7
+
+# merge-phase doclen exchange: broadcast the (doc_id, doclen) table while it
+# fits this budget; above it, reduce tasks read doc_id-range row groups from
+# the docmeta files instead (see the segments phase).  1 GiB ~= 67M docs.
+_DOCLEN_BCAST_BUDGET_BYTES = 1 << 30
 
 
 def _ensure_nonempty(out_dir: str, schema: pa.Schema) -> None:
@@ -347,11 +353,6 @@ def build_index(
             )
     _mark("t_extract_tokenize")
 
-    total_extracted = sum(
-        man.data["partitions"][pid]["phase"]["extract"]["metrics"]["rows"]
-        for pid in parts
-    )
-
     # ---- postings-only resume path (valid doc store, stale postings) -----
     todo = []
     for pid in parts:
@@ -392,19 +393,21 @@ def build_index(
             )
     _mark("t_postings")
 
-    # ---- phase stats (pure metadata: no data re-read) --------------------
-    # total_tokens comes from the postings wave's per-shard tf sums; per-term
-    # df is computed exactly inside each segments reduce task (a term's
+    # ---- phase stats -----------------------------------------------------
+    # N and total_tokens are DISTINCT-doc counts off the compact docmeta
+    # table (one narrow two-column read per pid, in parallel): the wave's
+    # per-shard row counts would double-count an exact-duplicate row split
+    # across Ray blocks of one input file (ADVICE round 2) — the postings
+    # side dedups such rows in the merge, so stats must agree.  Per-term df
+    # is computed exactly inside each segments reduce task (a term's
     # postings all live in one bucket group) and written as the partitioned
-    # dfs/ table there — the round-1 stats phase re-read every partials file
-    # and reduced on the driver, which scaled NEGATIVELY with more shards.
-    total_tokens = sum(
-        man.data["partitions"][pid]["phase"]["postings"]["metrics"].get("tf_sum", 0)
-        for pid in parts
-    )
+    # dfs/ table there — the round-1 stats phase re-read every PARTIALS file
+    # (posting-scale) and reduced on the driver, which scaled NEGATIVELY
+    # with more shards.
     if stop_after_postings:
-        metrics["n_docs"] = total_extracted
-        metrics["total_tokens"] = int(total_tokens)
+        n_docs, dl_sum = _distinct_doc_stats(docmeta_root, parts)
+        metrics["n_docs"] = n_docs
+        metrics["total_tokens"] = dl_sum
         metrics["phase_seconds"] = _phase_t
         return metrics
 
@@ -415,8 +418,8 @@ def build_index(
         # a different global avgdl bakes different impacts: stats and
         # segments must re-run even over identical partials
         partials_fp += f"+avgdl{avgdl_override!r}"
-    n_docs = total_extracted
     if not man.phase_done("stats", partials_fp, stats_path):
+        n_docs, total_tokens = _distinct_doc_stats(docmeta_root, parts)
         avgdl = (
             float(avgdl_override)
             if avgdl_override is not None
@@ -466,17 +469,39 @@ def build_index(
                 kv = pa.parquet.read_metadata(path).metadata or {}
                 for rg, bg in enumerate(json.loads(kv.get(b"bgs", b"[]"))):
                     bg_files.setdefault(bg, {}).setdefault(path, []).append(rg)
-        # doclen broadcast: (sorted doc_id, doclen) from the compact docmeta
-        # table — 16 bytes/doc, put in the object store ONCE, fetched
-        # zero-copy by every reduce task (at 10^12 docs this becomes a
-        # doc_id-range-partitioned lookup co-located with the exchange)
-        import pyarrow.dataset as _pads
+        # doclen exchange, adaptive (the q3 broadcast-vs-distributed
+        # pattern): while the corpus's (doc_id, doclen) table fits the
+        # budget it is ray.put ONCE (16 bytes/doc, fetched zero-copy by
+        # every reduce task — fastest when it fits); above the budget every
+        # reduce task instead reads only the doc_id-RANGE row groups its
+        # postings touch from the docmeta files (the wave wrote one row
+        # group per range, indexed in each footer's "drs" KV) — per-task
+        # memory is bounded by its touched ranges, and nothing corpus-scale
+        # is ever broadcast (at 10^10 docs the broadcast would be 160 GB).
+        doclen_ref = None
+        dr_files_ref = None
+        if stats["n_docs"] * 16 <= _DOCLEN_BCAST_BUDGET_BYTES:
+            import pyarrow.dataset as _pads
 
-        dm = _pads.dataset(docmeta_root).to_table(columns=["doc_id", "doclen"])
-        dm_ids = dm["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        dm_dls = dm["doclen"].to_numpy(zero_copy_only=False).astype(np.float64)
-        dm_order = np.argsort(dm_ids, kind="stable")
-        doclen_ref = ray.put((dm_ids[dm_order], dm_dls[dm_order]))
+            dm = _pads.dataset(docmeta_root).to_table(columns=["doc_id", "doclen"])
+            dm_ids = dm["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            dm_dls = dm["doclen"].to_numpy(zero_copy_only=False).astype(np.float64)
+            dm_order = np.argsort(dm_ids, kind="stable")
+            doclen_ref = ray.put((dm_ids[dm_order], dm_dls[dm_order]))
+            metrics["doclen_exchange"] = "broadcast"
+        else:
+            dr_files: dict[int, dict[str, list[int]]] = {}
+            for pid in parts:
+                pdir = os.path.join(docmeta_root, f"pid={pid}")
+                for f in sorted(os.listdir(pdir)):
+                    if not f.endswith(".parquet"):
+                        continue
+                    path = os.path.join(pdir, f)
+                    kv = pa.parquet.read_metadata(path).metadata or {}
+                    for rg, dr in enumerate(json.loads(kv.get(b"drs", b"[]"))):
+                        dr_files.setdefault(dr, {}).setdefault(path, []).append(rg)
+            dr_files_ref = ray.put(dr_files)
+            metrics["doclen_exchange"] = "range"
         with atomic_dir(segments_root) as tmp:
             dfs_tmp = os.path.join(tmp, "_dfs")
             os.makedirs(dfs_tmp, exist_ok=True)
@@ -498,7 +523,7 @@ def build_index(
                 merged = work.map_batches(
                     _MergeBucketGroup(
                         avgdl, stats["hot_df_threshold"], tmp, dfs_tmp,
-                        doclen_ref,
+                        doclen_ref, dr_files_ref,
                     ),
                     batch_format="pyarrow", batch_size=None,
                 )
@@ -538,6 +563,38 @@ def build_index(
     metrics.update(stats)
     metrics["phase_seconds"] = _phase_t
     return metrics
+
+
+def _distinct_doc_stats(docmeta_root: str, pids) -> tuple[int, int]:
+    """Exact (distinct doc count, total doclen over distinct docs) from the
+    compact docmeta table.
+
+    A duplicate doc_id can only occur WITHIN a pid (an exact-duplicate row
+    split across Ray blocks of one input file; cross-file recrawls are
+    resolved by the loser filter), so per-pid distinct counts sum exactly.
+    One zero-cpu task per pid reads only the two narrow columns — work and
+    memory per task are bounded by that pid's doc count.
+    """
+
+    @ray.remote(num_cpus=0)
+    def one(pdir: str) -> tuple[int, int]:
+        import pyarrow.dataset as pads
+
+        t = pads.dataset(pdir).to_table(columns=["doc_id", "doclen"])
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        if ids.size == 0:
+            return 0, 0
+        dls = t["doclen"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        keep = np.ones(ids.size, dtype=bool)
+        keep[1:] = ids[order][1:] != ids[order][:-1]
+        return int(keep.sum()), int(dls[order][keep].sum())
+
+    futs = [
+        one.remote(os.path.join(docmeta_root, f"pid={pid}")) for pid in pids
+    ]
+    res = ray.get(futs)
+    return sum(r[0] for r in res), sum(r[1] for r in res)
 
 
 def _prune_stale_partitions(
@@ -754,10 +811,27 @@ class _TokenizeAndShard(_PidTokenizer):
             tag = hh.hexdigest()
             d = os.path.join(self.docmeta_tmp, f"pid={pid}")
             os.makedirs(d, exist_ok=True)
-            pa.parquet.write_table(
-                sub, os.path.join(d, f"part-{tag}.parquet"),
+            # one row group per doc_id range (footer KV "drs" = the range of
+            # each row group): the map side of the doclen exchange — merge
+            # tasks above the broadcast budget read only touched ranges
+            ids_np = sub.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+            drs_np = (ids_np % np.uint64(NUM_DOC_RANGES)).astype(np.int64)
+            dorder = np.argsort(drs_np, kind="stable")
+            sub = sub.take(pa.array(dorder))
+            drs_sorted = drs_np[dorder]
+            dbounds = np.nonzero(np.diff(drs_sorted))[0] + 1
+            dstarts = np.concatenate(([0], dbounds))
+            dends = np.concatenate((dbounds, [len(drs_sorted)]))
+            drs_list = [int(drs_sorted[s]) for s in dstarts] if len(drs_sorted) else []
+            dm_schema = sub.schema.with_metadata({"drs": json.dumps(drs_list)})
+            with pa.parquet.ParquetWriter(
+                os.path.join(d, f"part-{tag}.parquet"), dm_schema,
                 compression="zstd", compression_level=1,
-            )
+            ) as w:
+                for s0, e0 in zip(dstarts, dends):
+                    w.write_table(
+                        sub.slice(s0, e0 - s0), row_group_size=max(1, e0 - s0)
+                    )
             if self.docstore_tmp is not None:
                 store = batch.select(
                     ["doc_id", "url", "warc_ts", "lang", "text"]
@@ -930,15 +1004,47 @@ class _MergeBucketGroup:
     """
 
     def __init__(self, avgdl: float, hot_threshold: float, out_root: str,
-                 dfs_root: str, doclen_ref):
+                 dfs_root: str, doclen_ref, dr_files_ref=None):
         self.avgdl = avgdl
         self.hot_threshold = hot_threshold
         self.out_root = out_root
         self.dfs_root = dfs_root
         self.doclen_ref = doclen_ref
+        self.dr_files_ref = dr_files_ref
+
+    def _load_doclen_ranges(
+        self, doc_ids: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Above-budget doclen lookup: read ONLY the doc_id-range row groups
+        this group's postings touch (footer-KV-indexed, like the partials
+        exchange).  Memory is bounded by the touched ranges' docmeta rows,
+        not the corpus."""
+        dr_files = ray.get(self.dr_files_ref)
+        touched = np.unique(doc_ids.astype(np.uint64) % np.uint64(NUM_DOC_RANGES))
+        per_path: dict[str, set[int]] = {}
+        for dr in touched.tolist():
+            for path, rgs in dr_files.get(int(dr), {}).items():
+                per_path.setdefault(path, set()).update(rgs)
+        tabs = []
+        for path in sorted(per_path):
+            pf = pa.parquet.ParquetFile(path)
+            tabs.append(
+                pf.read_row_groups(
+                    sorted(per_path[path]), columns=["doc_id", "doclen"]
+                )
+            )
+        if not tabs:
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
+        dm = pa.concat_tables(tabs)
+        ids = dm["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        dls = dm["doclen"].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.argsort(ids, kind="stable")
+        return ids[order], dls[order]
 
     def __call__(self, work: pa.Table) -> pa.Table:
-        dl_ids, dl_vals = ray.get(self.doclen_ref)
+        dl_ids = dl_vals = None
+        if self.doclen_ref is not None:
+            dl_ids, dl_vals = ray.get(self.doclen_ref)
         out_bg, out_terms, out_chunks, out_hot = [], [], [], []
         for item in work.to_pylist():
             tabs = []
@@ -949,6 +1055,12 @@ class _MergeBucketGroup:
                 pa.concat_tables(tabs).combine_chunks()
                 if tabs else PARTIAL_POSTINGS_SCHEMA.empty_table()
             )
+            if self.doclen_ref is None:
+                dl_ids, dl_vals = self._load_doclen_ranges(
+                    t.column("doc_id").to_numpy(zero_copy_only=False)
+                    if t.num_rows
+                    else np.empty(0, np.uint64)
+                )
             nt, nc, nh = self._merge_one(t, int(item["bg"]), dl_ids, dl_vals)
             out_terms.append(nt)
             out_chunks.append(nc)
@@ -975,6 +1087,23 @@ class _MergeBucketGroup:
             de = de.combine_chunks()
         codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         uniq = de.dictionary.to_pylist()
+        # duplicate-(term, doc) guard BEFORE any counting: an exact-duplicate
+        # input row split across Ray blocks of one file emits the same
+        # (term, doc) twice; counting it in df (or letting it reach the
+        # compressor) would drift idf from the oracle (ADVICE round 2).
+        # Keep-first in original row order, mirroring _compress_bucket's old
+        # in-place guard (now redundant there but kept as a safety net).
+        doc_ids_all = t.column("doc_id").to_numpy(zero_copy_only=False)
+        if len(codes) > 1:
+            order0 = np.lexsort((doc_ids_all, codes))
+            eq = (codes[order0][1:] == codes[order0][:-1]) & (
+                doc_ids_all[order0][1:] == doc_ids_all[order0][:-1]
+            )
+            if eq.any():
+                keep = np.ones(len(codes), dtype=bool)
+                keep[order0[1:][eq]] = False
+                t = t.filter(pa.array(keep))
+                codes = codes[keep]
         # exact global df per term (this group owns every posting of its
         # terms); rows are (term, doc) pre-aggregated, so df = row count
         dfs = np.bincount(codes, minlength=len(uniq)).astype(np.int64)

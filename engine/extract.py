@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import html as _html
 import re
+from html.parser import HTMLParser
 
 import numpy as np
 import pyarrow as pa
@@ -55,6 +56,117 @@ def extract_text(html_bytes: bytes | None) -> str:
     s = _html.unescape(s)
     lines = [ln.strip() for ln in s.split("\n")]
     return "\n".join(ln for ln in lines if ln)
+
+
+class _StrictHTMLExtractor(HTMLParser):
+    """Event-driven extractor implementing the SAME output spec as
+    ``extract_text`` via the stdlib tokenizer instead of regexes — the second
+    real strategy of the fall-through chain (the reference ships three
+    interchangeable parsers with per-paper dispatch,
+    ec2/parse_arxiv_papers/__main__.py:42-47, tex_method/parse.py:74-112,
+    plastex_method/parse.py:135-195).
+
+    STRICT: it raises ValueError on any construct where the two
+    implementations could diverge (unclosed script/style/head at EOF, a
+    literal ``<`` in text, an entity it cannot faithfully reproduce, unknown
+    declarations) — on such pages the chain falls through to the regex
+    strategy, so the chain's OUTPUT always equals the extraction spec; on
+    pages where this parser succeeds the result is byte-identical (asserted
+    over the synth corpus in tests/test_extract.py).
+    """
+
+    _BLOCK_NL = frozenset(
+        {"p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "ul", "ol"}
+    )
+    _DROP = frozenset({"script", "style", "head"})
+
+    def __init__(self):
+        super().__init__(convert_charrefs=False)
+        self.parts: list[str] = []
+        self._drop_stack: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        if self._drop_stack:
+            if tag in self._DROP:
+                self._drop_stack.append(tag)
+            return
+        if tag in self._DROP:
+            self._drop_stack.append(tag)
+        elif tag == "br":
+            self.parts.append("\n")
+
+    def handle_startendtag(self, tag, attrs):
+        if self._drop_stack:
+            return
+        if tag == "br":
+            self.parts.append("\n")
+        elif tag in self._BLOCK_NL:
+            # the regex spec removes e.g. <p/> WITHOUT a newline; the
+            # default start+end dispatch would emit one — refuse instead
+            raise ValueError(f"self-closing block tag <{tag}/>")
+
+    def handle_endtag(self, tag):
+        if self._drop_stack:
+            if tag == self._drop_stack[-1]:
+                self._drop_stack.pop()
+            elif tag in self._DROP:
+                raise ValueError(f"mismatched </{tag}> inside dropped element")
+            return
+        if tag in self._DROP:
+            raise ValueError(f"unbalanced </{tag}>")
+        if tag in self._BLOCK_NL:
+            self.parts.append("\n")
+
+    def handle_data(self, data):
+        if self._drop_stack:
+            return
+        if "<" in data:
+            # the tokenizer left a raw '<' in text (e.g. "a < b"); the regex
+            # spec may instead eat up to a later '>' — ambiguous, refuse
+            raise ValueError("unparsed '<' in text")
+        self.parts.append(data)
+
+    def handle_entityref(self, name):
+        if self._drop_stack:
+            return
+        u = _html.unescape(f"&{name};")
+        if u == f"&{name};":
+            raise ValueError(f"unknown entity &{name};")
+        self.parts.append(u)
+
+    def handle_charref(self, name):
+        if self._drop_stack:
+            return
+        self.parts.append(_html.unescape(f"&#{name};"))
+
+    def handle_comment(self, data):
+        pass
+
+    def handle_decl(self, decl):
+        pass
+
+    def unknown_decl(self, data):
+        raise ValueError(f"unknown declaration <![{data}]>")
+
+    def finish(self) -> str:
+        self.close()
+        if self._drop_stack:
+            raise ValueError(f"unclosed <{self._drop_stack[-1]}> at EOF")
+        if self.rawdata:
+            raise ValueError("unparsed trailing markup at EOF")
+        lines = [ln.strip() for ln in "".join(self.parts).split("\n")]
+        return "\n".join(ln for ln in lines if ln)
+
+
+def extract_text_strict(html_bytes: bytes | None) -> str:
+    """Strict tokenizer-based extraction strategy (see _StrictHTMLExtractor).
+    Identical output to ``extract_text`` where it succeeds; raises where the
+    page is malformed enough that the implementations could disagree."""
+    if html_bytes is None or len(html_bytes) == 0:
+        return ""
+    p = _StrictHTMLExtractor()
+    p.feed(html_bytes.decode("utf-8", errors="replace"))
+    return p.finish()
 
 
 def extract_batch(

@@ -32,19 +32,29 @@ def _read_emb(sf_dir: str) -> rd.Dataset:
 
 
 def _emb_matrix(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(vec_ids, float64 (n, d) matrix) — zero-copy list flatten + reshape,
+    not a Python object per float (`to_pylist` was ~10x slower per batch)."""
     ids = t["vec_id"].to_numpy(zero_copy_only=False)
-    m = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    if t.num_rows == 0:
+        return ids, np.empty((0, 0), dtype=np.float64)
+    col = t["embedding"]
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    # flatten() honors the array's offset/length; embeddings are fixed-dim
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    m = flat.astype(np.float64, copy=False).reshape(len(arr), -1)
     return ids, m
 
 
 def _load_queries(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     import pyarrow.parquet as pq
 
-    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        filters=[("vec_id", "in", list(QUERY_IDS))],
+    )
     ids, m = _emb_matrix(t)
-    mask = np.isin(ids, QUERY_IDS)
-    order = np.argsort(ids[mask])
-    return ids[mask][order], m[mask][order]
+    order = np.argsort(ids)
+    return ids[order], m[order]
 
 
 class _CosineTopK:
@@ -179,7 +189,7 @@ class _LshProbeTopK(_LshBucketer):
                 "sim": pa.array([], pa.float64()),
             }
         )
-        if len(ids) == 0:
+        if len(ids) == 0 or self.probe.size == 0:
             return empty
         keys = self.keys_of(m)  # (n, T)
         pos = np.searchsorted(self.probe, keys)
@@ -241,16 +251,43 @@ def lsh_knn_topk(sf_dir: str, k: int = K, probe_radius: int = 1):
 
 
 # ---------------------------------------------------------------------------
-def cosine_dup_pairs(sf_dir: str, threshold: float = 0.4):
-    """Embedding near-dup pairs (a < b, cosine >= threshold) — exact,
-    verifiable: each batch multiplies against the broadcast full matrix.
+# broadcast the full embedding matrix only while it fits this budget; above
+# it the exact path switches to block-pair tasks whose per-task memory is two
+# blocks (mirrors q3's adaptive driver-vs-distributed finalize pattern)
+_BCAST_BUDGET_BYTES = 256 << 20
 
-    At 10^12 scale this becomes LSH-bucketed pair generation; the broadcast
-    all-pairs form is the correctness baseline over the sandbox tables.
+
+def cosine_dup_pairs(
+    sf_dir: str,
+    threshold: float = 0.4,
+    broadcast_budget_bytes: int = _BCAST_BUDGET_BYTES,
+):
+    """Embedding near-dup pairs (a < b, cosine >= threshold) — exact.
+
+    Adaptive: while the full normalized matrix fits `broadcast_budget_bytes`
+    it is `ray.put` once and every batch does one matmul against it (fastest
+    when the side fits, like a broadcast join).  Above the budget the SAME
+    exact answer comes from block-pair tasks: the dataset is materialized as
+    Arrow blocks in the object store and one task per unordered block pair
+    (i <= j) multiplies two blocks — per-task memory is bounded by two
+    blocks no matter the corpus size, and the O(N^2) work spreads over
+    O(B^2) independent tasks.  Exact all-pairs is inherently quadratic;
+    `lsh_cosine_dup_pairs` is the recommended sub-quadratic scale path.
     """
     import pyarrow.parquet as pq
 
-    full = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    meta = pq.ParquetFile(path)
+    n_rows = meta.metadata.num_rows
+    dim = 0
+    for b in meta.iter_batches(batch_size=1):
+        if b.num_rows:
+            dim = len(b.column("embedding")[0])
+        break
+    if n_rows * dim * 8 > broadcast_budget_bytes:
+        return _cosine_dup_pairs_blocked(sf_dir, threshold)
+
+    full = pq.read_table(path)
     f_ids, f_m = _emb_matrix(full)
     f_mn = f_m / np.maximum(np.linalg.norm(f_m, axis=1, keepdims=True), 1e-30)
     ref = ray.put((f_ids, f_mn))
@@ -277,6 +314,95 @@ def cosine_dup_pairs(sf_dir: str, threshold: float = 0.4):
 
     return _read_emb(sf_dir).map_batches(
         _Pairs, batch_format="pyarrow", concurrency=(1, 4), zero_copy_batch=True
+    )
+
+
+def _cosine_dup_pairs_blocked(sf_dir: str, threshold: float):
+    """Exact pair generation without any corpus-wide broadcast: one task per
+    unordered block pair fetches exactly two object-store blocks (zero-copy
+    on the owning node) and emits its pairs.  Each unordered vector pair
+    {x, y} lives in exactly one block pair, so `a < b` dedups globally."""
+    blocks = _read_emb(sf_dir).materialize()
+    refs = blocks.to_arrow_refs()
+    n = len(refs)
+    items = [{"i": i, "j": j} for i in range(n) for j in range(i, n)]
+    if not items:
+        return rd.from_items([]).map_batches(
+            lambda t: pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "sim_r": pa.array([], pa.float64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    class _BlockPairs:
+        """Actor-pool stage with a tiny per-actor cache of normalized blocks
+        (a block participates in ~B pair tasks; renormalizing it each time
+        is wasted matmul feed work)."""
+
+        def __init__(self, refs):
+            self.refs = refs
+            self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+        def _norm_block(self, i: int) -> tuple[np.ndarray, np.ndarray]:
+            got = self._cache.get(i)
+            if got is None:
+                ids, m = _emb_matrix(ray.get(self.refs[i]))
+                mn = m / np.maximum(
+                    np.linalg.norm(m, axis=1, keepdims=True), 1e-30
+                )
+                got = (ids, mn)
+                if len(self._cache) >= 4:
+                    self._cache.pop(next(iter(self._cache)))
+                self._cache[i] = got
+            return got
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            out_a, out_b, out_s = [], [], []
+            for i, j in zip(t["i"].to_pylist(), t["j"].to_pylist()):
+                ids_i, mn_i = self._norm_block(i)
+                ids_j, mn_j = self._norm_block(j)
+                if not len(ids_i) or not len(ids_j):
+                    continue
+                sims = mn_i @ mn_j.T
+                ai, bi = np.nonzero(sims >= threshold)
+                a, b = ids_i[ai], ids_j[bi]
+                if i == j:
+                    # both orderings (and the diagonal) appear: keep one
+                    keep = a < b
+                    a, b, s = a[keep], b[keep], sims[ai, bi][keep]
+                else:
+                    # each unordered pair appears exactly once; normalize
+                    keep = a != b
+                    a, b, s = a[keep], b[keep], sims[ai, bi][keep]
+                    a, b = np.minimum(a, b), np.maximum(a, b)
+                out_a.append(a)
+                out_b.append(b)
+                out_s.append(np.round(s, 6))
+            if not out_a:
+                return pa.table(
+                    {
+                        "a": pa.array([], pa.int64()),
+                        "b": pa.array([], pa.int64()),
+                        "sim_r": pa.array([], pa.float64()),
+                    }
+                )
+            return pa.table(
+                {
+                    "a": pa.array(np.concatenate(out_a), pa.int64()),
+                    "b": pa.array(np.concatenate(out_b), pa.int64()),
+                    "sim_r": pa.array(np.concatenate(out_s), pa.float64()),
+                }
+            )
+
+    return rd.from_items(items, override_num_blocks=len(items)).map_batches(
+        _BlockPairs,
+        fn_constructor_args=(refs,),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
     )
 
 

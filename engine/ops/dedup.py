@@ -88,8 +88,17 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8):
     which is why the scale path is minhash_lsh_pairs; kept exact here as the
     DuckDB-verifiable baseline.  Docs with < 3 tokens have no shingles and
     never pair (same in the oracle).
+
+    Hot-shingle cap (the postings hot-term design applied to shingles): a
+    shingle shared by more than max(64, 10% of docs) documents is boilerplate
+    — it would contribute O(df^2) candidate pairs while carrying no
+    discriminative signal — so such groups emit no INTERSECTION rows (set
+    sizes still count every shingle; the SQL oracle applies the identical
+    HAVING rule).  Dropped-group counts ride a marker row and are logged at
+    the final stage.
     """
     docs = _read_docs(sf_dir, columns=["doc_id", "text"])
+    hot_cap = max(64.0, 0.1 * docs.count())
     tok = docs.map_batches(_shingle_rows, batch_format="pyarrow", zero_copy_batch=True)
 
     # doc -> |token set|  (small: one row per doc)
@@ -108,6 +117,11 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8):
 
     def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(g["doc_id"].to_numpy())
+        if ids.size > hot_cap:
+            # boilerplate shingle: marker row -> dropped-count log downstream
+            return pd.DataFrame({"a": [-1], "b": [-1], "i_part": [1]}).astype(
+                {"a": "int64", "b": "int64", "i_part": "int64"}
+            )
         if ids.size < 2:
             return pd.DataFrame({"a": [], "b": [], "i_part": []}).astype(
                 {"a": "int64", "b": "int64", "i_part": "int64"}
@@ -130,6 +144,16 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8):
             a = t["a"].to_numpy(zero_copy_only=False)
             b = t["b"].to_numpy(zero_copy_only=False)
             i = t["i"].to_numpy(zero_copy_only=False).astype(np.float64)
+            dropped = a == -1  # hot-shingle marker rows
+            if dropped.any():
+                import logging
+
+                logging.getLogger(__name__).info(
+                    "ngram_jaccard_pairs: %d hot shingles (df > %d) dropped "
+                    "from intersection counting",
+                    int(i[dropped].sum()), int(hot_cap),
+                )
+                a, b, i = a[~dropped], b[~dropped], i[~dropped]
             na = np.array([self.size_of[x] for x in a], dtype=np.float64)
             nb = np.array([self.size_of[x] for x in b], dtype=np.float64)
             j = i / (na + nb - i)
@@ -159,9 +183,16 @@ tok AS (
   FROM base
 ),
 sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+-- hot-shingle cap: boilerplate shingles (df > max(64, 10% of docs)) are
+-- excluded from intersection counting, mirroring the engine exactly
+cold AS (
+  SELECT tk FROM tok GROUP BY tk
+  HAVING count(*) <= greatest(64, 0.1 * (SELECT count(*) FROM documents))
+),
 inter AS (
   SELECT t1.doc_id AS a, t2.doc_id AS b, count(*) AS i
   FROM tok t1 JOIN tok t2 ON t1.tk = t2.tk AND t1.doc_id < t2.doc_id
+  WHERE t1.tk IN (SELECT tk FROM cold)
   GROUP BY t1.doc_id, t2.doc_id
 )
 SELECT a, b, round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
@@ -243,11 +274,13 @@ def _token_hash_stream(texts) -> tuple[np.ndarray, np.ndarray]:
     return vh[codes], parents
 
 
-def _shingle_stream(texts, k: int = _SHINGLE_K) -> tuple[np.ndarray, np.ndarray]:
-    """Batch texts -> (uint64 shingle hash, doc index) for every k-gram
-    occurrence, sorted by doc.  Docs with < k tokens get one padded shingle
-    (so even empty docs carry a signature), mirroring the per-doc shingler's
-    pad semantic."""
+def _shingle_stream(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Batch texts -> (uint64 trigram-shingle hash, doc index) for every
+    3-gram occurrence, sorted by doc (the kernel is hardwired to
+    k = _SHINGLE_K = 3: the windowing below is th[:-2]/th[1:-1]/th[2:]).
+    Docs with < 3 tokens get one padded shingle (so even empty docs carry a
+    signature), mirroring the per-doc shingler's pad semantic."""
+    k = _SHINGLE_K
     th, parents = _token_hash_stream(texts)
     n_docs = len(texts)
     counts = (
@@ -352,34 +385,21 @@ def _shingle_set_rows(t: pa.Table) -> pa.Table:
     return pa.table({"doc_id": t["doc_id"], "shingles": lists})
 
 
-def _candidate_shingle_sets(sf_dir: str, cand_ids: list[int]) -> dict[int, set]:
-    """Shingle sets for the CANDIDATE docs only: predicate-pushdown read +
-    vectorized shingling; the collected result is candidate-scale (pair
-    verification working set), never corpus-scale."""
-    ds = rd.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id", "text"],
-        filter=pc.field("doc_id").isin(cand_ids),
-    ).map_batches(_shingle_set_rows, batch_format="pyarrow", zero_copy_batch=True)
-    out: dict[int, set] = {}
-    for batch in ds.iter_batches(batch_format="pyarrow", batch_size=None):
-        for did, lst in zip(
-            batch["doc_id"].to_pylist(), batch["shingles"].to_pylist()
-        ):
-            out[did] = set(lst)
-    return out
-
-
 def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.6):
     """MinHash+LSH candidate pairs, verified with exact shingle Jaccard.
 
     Scale path for near-dedup: the shuffle moves N_BANDS small rows per doc;
-    only same-(band, band_hash) docs generate candidates.  Verification
-    touches ONLY candidate docs: their ids come off the (tiny, result-scale)
-    candidate set, their shingle sets come from a predicate-pushdown read —
-    the corpus itself is never materialized (round 1 take_all removed).  At
-    10^12 docs the same verification becomes a doc_id-keyed join of
-    candidates against a shingle store; the dataflow shape is identical.
+    only same-(band, band_hash) docs generate candidates.  Verification is a
+    fully distributed doc_id-keyed reduce-side join: candidate pair rows are
+    split into two (doc_id, a, b) side rows, unioned with the candidate
+    docs' (doc_id, shingles) rows (predicate-pushdown read — only candidate
+    row groups leave storage), a doc_id groupby attaches each doc's shingle
+    set to its pair sides, and an (a, b) groupby intersects the two sides.
+    NOTHING corpus- or candidate-set-scale ever lands on the driver or in a
+    broadcast dict (round 2 `ray.put` a {doc_id: set} dict, which melts on a
+    boilerplate-heavy corpus where the candidate set approaches corpus
+    scale); only the candidate doc IDS (8 bytes each) are collected, to
+    build the pushdown filter.
     """
     docs = _read_docs(sf_dir, columns=["doc_id", "text"])
     bands = docs.map_batches(
@@ -400,35 +420,86 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.6):
         .map_groups(lambda g: g.head(1), batch_format="pandas")  # distinct pairs
     ).materialize()
 
-    cand_tbl = cands.to_pandas()  # candidate pairs = the (small) result scale
-    cand_ids = sorted(set(cand_tbl["a"]) | set(cand_tbl["b"]))
-    sh_ref = ray.put(_candidate_shingle_sets(sf_dir, cand_ids))
+    # ids only — per-doc fixed 8 bytes, never the shingle sets
+    ids_a = cands.unique("a")
+    ids_b = cands.unique("b")
+    cand_ids = sorted({int(x) for x in ids_a} | {int(x) for x in ids_b})
 
-    class _Verify:
-        def __init__(self):
-            self.sh = ray.get(sh_ref)
+    _SH_TYPE = pa.list_(pa.uint64())
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            a = t["a"].to_pylist()
-            b = t["b"].to_pylist()
-            keep_a, keep_b, jac = [], [], []
-            for x, y in zip(a, b):
-                sa, sb = self.sh[x], self.sh[y]
-                inter = len(sa & sb)
-                j = inter / (len(sa) + len(sb) - inter) if (sa or sb) else 1.0
-                if j >= threshold:
-                    keep_a.append(x)
-                    keep_b.append(y)
-                    jac.append(round(j, 6))
-            return pa.table(
-                {
-                    "a": pa.array(keep_a, pa.int64()),
-                    "b": pa.array(keep_b, pa.int64()),
-                    "jaccard": pa.array(jac, pa.float64()),
-                }
-            )
+    def pair_sides(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        n = len(a)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate([a, b]), pa.int64()),
+                "a": pa.array(np.concatenate([a, a]), pa.int64()),
+                "b": pa.array(np.concatenate([b, b]), pa.int64()),
+                "shingles": pa.nulls(2 * n, _SH_TYPE),
+            }
+        )
 
-    return cands.map_batches(_Verify, batch_format="pyarrow", concurrency=(1, 4))
+    def shingle_store_rows(t: pa.Table) -> pa.Table:
+        sh = _shingle_set_rows(t)
+        n = sh.num_rows
+        return pa.table(
+            {
+                "doc_id": sh["doc_id"].cast(pa.int64()),
+                "a": pa.array(np.full(n, -1, np.int64), pa.int64()),
+                "b": pa.array(np.full(n, -1, np.int64), pa.int64()),
+                "shingles": sh["shingles"],
+            }
+        )
+
+    store = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filter=pc.field("doc_id").isin(cand_ids),
+    ).map_batches(shingle_store_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    sides = cands.map_batches(pair_sides, batch_format="pyarrow")
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        is_store = g["a"].to_numpy() == -1
+        side = g[~is_store]
+        if side.empty or not is_store.any():
+            return pd.DataFrame(
+                {"a": [], "b": [], "shingles": []}
+            ).astype({"a": "int64", "b": "int64", "shingles": "object"})
+        sh = g["shingles"][is_store].iloc[0]
+        out = side[["a", "b"]].copy()
+        out["shingles"] = [sh] * len(out)
+        return out
+
+    def check(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": [], "b": [], "jaccard": []}).astype(
+            {"a": "int64", "b": "int64", "jaccard": "float64"}
+        )
+        if len(g) != 2:  # a side doc missing from the store (shouldn't happen)
+            return empty
+        sa = np.asarray(g["shingles"].iloc[0], dtype=np.uint64)
+        sb = np.asarray(g["shingles"].iloc[1], dtype=np.uint64)
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        denom = sa.size + sb.size - inter
+        j = inter / denom if denom else 1.0
+        if j < threshold:
+            return empty
+        return pd.DataFrame(
+            {
+                "a": [int(g["a"].iloc[0])],
+                "b": [int(g["b"].iloc[0])],
+                "jaccard": [round(j, 6)],
+            }
+        )
+
+    return (
+        sides.union(store)
+        .groupby("doc_id")
+        .map_groups(attach, batch_format="pandas")
+        .groupby(["a", "b"])
+        .map_groups(check, batch_format="pandas")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -679,6 +679,69 @@ ORDER BY ts, event_id LIMIT 100 OFFSET 200
 """
 
 
+# K4, general form: a RESTARTABLE keyset cursor (ec2/rds/paginate.py:5-68).
+# events_page3 above serves pages near the front of the order (its local
+# head ships 3*page_size rows per batch — page 10,000 would ship 1M rows per
+# batch to the driver); this cursor instead pushes `key > after` INTO THE
+# READ (row-group statistics prune whole row groups below the cursor), so
+# every page costs the same regardless of depth: n_batches * page_size rows
+# to the driver, never the scanned prefix.
+def paginate_events(
+    sf_dir: str, after: tuple | None = None, page_size: int = 100
+):
+    """One page of the (ts, event_id)-ordered events scan strictly after the
+    `after` = (ts, event_id) cursor; returns (page_df, next_cursor).
+    next_cursor is None when the scan is exhausted."""
+    import pyarrow.dataset as pads
+
+    cols = ["event_id", "ts", "user_id", "event_type"]
+    expr = None
+    if after is not None:
+        a_ts, a_id = after
+        f = pads.field
+        expr = (f("ts") > a_ts) | ((f("ts") == a_ts) & (f("event_id") > a_id))
+    ds = _read(sf_dir, "events", columns=cols, filter=expr)
+
+    def local_head(t: pa.Table) -> pa.Table:
+        if t.num_rows <= page_size:
+            return t
+        idx = pc.select_k_unstable(
+            t, k=page_size,
+            sort_keys=[("ts", "ascending"), ("event_id", "ascending")],
+        )
+        return t.take(idx)
+
+    head = ds.map_batches(local_head, batch_format="pyarrow", zero_copy_batch=True)
+    df = (
+        head.to_pandas()
+        .sort_values(["ts", "event_id"])
+        .head(page_size)
+        .reset_index(drop=True)
+    )
+    if len(df) < page_size:
+        return df, None
+    last = df.iloc[-1]
+    return df, (last["ts"], int(last["event_id"]))
+
+
+def events_keyset_page8(sf_dir: str, page_size: int = 100):
+    """Deep page via cursor RESUME: walk the keyset cursor to page 8 the way
+    a restarted consumer would — each hop pushes its cursor into the read
+    filter, so no hop ships more than n_batches * page_size rows."""
+    after = None
+    for _ in range(8):
+        df, after = paginate_events(sf_dir, after=after, page_size=page_size)
+        if after is None:
+            break
+    return df
+
+
+EVENTS_KEYSET_PAGE8_SQL = """
+SELECT event_id, ts, user_id, event_type FROM events
+ORDER BY ts, event_id LIMIT 100 OFFSET 700
+"""
+
+
 # K5/A7 analog: deterministic hash sampling + statistical estimate
 # (ORDER BY RANDOM() at ec2/rds/query.py:35-37; p-hat +/- 1.96*sigma at
 # ec2/tests/arxiv_s3_v_diff/__main__.py:66-127).  Randomness is replaced by

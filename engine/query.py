@@ -190,6 +190,16 @@ class IndexReader:
         lang_code = {l: i for i, l in enumerate(langs)}
         codes = np.fromiter((lang_code[l] for l in lang), dtype=np.int32, count=len(lang))
         order = np.argsort(ids, kind="stable")
+        # keep-first per doc_id: an exact-duplicate input row split across
+        # Ray blocks of one file leaves two docmeta rows (identical values);
+        # postings are deduped at merge, so the query-side table must hold
+        # exactly one row per doc or position maps drift
+        sids = ids[order]
+        if sids.size > 1:
+            keep = np.ones(sids.size, dtype=bool)
+            keep[1:] = sids[1:] != sids[:-1]
+            if not keep.all():
+                order = order[keep]
         self._docmeta_order = order
         self._docmeta = (ids[order], codes[order], ts[order], dls[order], langs)
 
@@ -436,11 +446,14 @@ class IndexReader:
     def _sparse(
         self, term_chunks, k: int, mask: np.ndarray | None
     ) -> list[tuple[int, float]]:
-        """Sparse exact scoring: concatenate every matching posting's
-        (docmeta position, idf*impact) IN ASCENDING TERM ORDER, stable-sort
-        by position, sum runs with one reduceat.  A doc's contributions then
-        add in the identical sequence the dense path applies (term by term,
-        starting from +0.0), so scores are bitwise equal."""
+        """Sparse exact scoring: gather the matching postings' docmeta
+        positions, rank them against the (unique) candidate set, then
+        scatter-add each (term, chunk)'s idf*impact contributions IN
+        ASCENDING TERM ORDER.  A doc's contributions then add in the
+        identical left-to-right sequence the dense path applies (term by
+        term, starting from +0.0), so scores are bitwise equal — a
+        reduceat over per-doc runs is NOT (ufunc.reduce associates
+        pairwise: c1+(c2+c3) vs ((0+c1)+c2)+c3 differs by an ULP)."""
         pos_l, sc_l = [], []
         for t, w, chunks in term_chunks:  # term_chunks is term-sorted
             for ci, (ids, impacts, _, _) in enumerate(chunks):
@@ -454,16 +467,16 @@ class IndexReader:
         if not pos_l:
             return []
         pos = np.concatenate(pos_l)
-        sc = np.concatenate(sc_l)
         if pos.size == 0:
             return []
-        order = np.argsort(pos, kind="stable")  # stable: term order per doc
-        pos, sc = pos[order], sc[order]
-        boundary = np.ones(pos.size, dtype=bool)
-        boundary[1:] = pos[1:] != pos[:-1]
-        starts = np.nonzero(boundary)[0]
-        upos = pos[starts]
-        scores = np.add.reduceat(sc, starts)
+        upos, inv = np.unique(pos, return_inverse=True)
+        scores = np.zeros(upos.size, dtype=np.float64)
+        off = 0
+        for sc_part in sc_l:  # term-ascending: oracle FP addition order
+            # positions are unique within a chunk, so the scatter-add is a
+            # plain assignment-accumulate per doc
+            scores[inv[off : off + sc_part.size]] += sc_part
+            off += sc_part.size
         ids = self._docmeta[0][upos]  # _chunk_positions loaded docmeta
         kk = min(k, ids.size)
         thr = -np.partition(-scores, kk - 1)[kk - 1]

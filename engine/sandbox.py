@@ -27,7 +27,14 @@ import multiprocessing as mp
 import os
 import signal
 
-DEFAULT_CHAIN = ("engine.extract:extract_text",)
+# strict tokenizer-based parser first (raises on ambiguous markup), regex
+# spec parser as the always-succeeds fallback — two genuinely different
+# implementations of the same output contract, mirroring the reference's
+# interchangeable parser dispatch (ec2/parse_arxiv_papers/__main__.py:42-47)
+DEFAULT_CHAIN = (
+    "engine.extract:extract_text_strict",
+    "engine.extract:extract_text",
+)
 
 
 def resolve(path: str):

@@ -42,6 +42,13 @@ NUM_SALTS = 8
 # reduce tasks per core up to 32 cores.
 NUM_BUCKET_GROUPS = 64
 
+# doc_id-range partitions of the docmeta table: each docmeta file carries one
+# row group per range (dr = doc_id % this, recorded in the footer KV), so a
+# merge task above the doclen-broadcast budget reads ONLY the ranges its
+# postings touch instead of fetching a corpus-wide (doc_id, doclen) broadcast
+# (16 B/doc -> 160 GB at 10^10 docs).  Fixed for layout/lineage stability.
+NUM_DOC_RANGES = 32
+
 PAGES_SCHEMA = pa.schema(
     [
         pa.field("url", pa.string()),

@@ -154,21 +154,33 @@ class ShardedQueryPool:
     local top-k by (score DESC, doc_id ASC) is exact."""
 
     def __init__(self, shard_dirs: list[str], num_cpus: float = 1):
+        import json as _json
+
         import pyarrow.dataset as pads
 
-        # global df = sum of the shards' exact per-term dfs
-        df: dict[str, int] = {}
+        # global df = sum of the shards' exact per-term dfs, reduced with one
+        # Arrow group_by over all shards' dfs/ tables (round 2 accumulated a
+        # Python dict term-by-term: vocab x shards iterations and GBs of dict
+        # at web vocab).  The grouped table converts to the reader's lookup
+        # dict once — a single C-speed pass, and the natural next step at
+        # 10^12 docs is keeping it AS an Arrow table hash-sharded by term.
+        t = pads.dataset(
+            [pads.dataset(f"{d}/dfs") for d in shard_dirs]
+        ).to_table()
+        g = t.group_by("term").aggregate([("df", "sum")])
+        df = dict(zip(g["term"].to_pylist(), g["df_sum"].to_pylist()))
         n_docs = 0
         for d in shard_dirs:
-            t = pads.dataset(f"{d}/dfs").to_table()
-            for term, c in zip(t["term"].to_pylist(), t["df"].to_pylist()):
-                df[term] = df.get(term, 0) + c
-            import json as _json
-
             with open(f"{d}/stats.json") as f:
                 n_docs += _json.load(f)["n_docs"]
         df_ref = ray.put(df)
         self.n_docs = n_docs
+        # a pool that overcommits the cluster leaves pending actors forever
+        # and every scatter-gather ray.get blocks on them — shrink per-actor
+        # cpus so all shards schedule (serving actors are latency-bound)
+        avail = ray.cluster_resources().get("CPU", 0)
+        if avail and len(shard_dirs) * num_cpus > avail:
+            num_cpus = max(avail / (2 * len(shard_dirs)), 0.05)
         self.actors = [
             ShardQueryActor.options(num_cpus=num_cpus).remote(d, df_ref, n_docs)
             for d in shard_dirs

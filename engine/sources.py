@@ -23,8 +23,15 @@ import pyarrow.json as pajson
 import ray.data as rd
 
 
-def parse_jsonl_zip_batch(batch: pa.Table) -> pa.Table:
-    """(bytes, path) rows -> concatenated parsed rows of every NDJSON member."""
+def parse_jsonl_zip_batch(
+    batch: pa.Table, empty_schema: pa.Schema | None = None
+) -> pa.Table:
+    """(bytes, path) rows -> concatenated parsed rows of every NDJSON member.
+
+    A batch whose archives contain no non-empty JSONL members returns an
+    empty table WITH the caller-declared schema (a zero-column `pa.table({})`
+    would schema-mismatch a downstream union/projection instead of reading
+    as zero rows)."""
     tables = []
     for buf in batch.column("bytes").to_pylist():
         with zipfile.ZipFile(io.BytesIO(buf)) as zf:
@@ -35,14 +42,22 @@ def parse_jsonl_zip_batch(batch: pa.Table) -> pa.Table:
                 if data:
                     tables.append(pajson.read_json(io.BytesIO(data)))
     if not tables:
-        return pa.table({})
+        return empty_schema.empty_table() if empty_schema is not None else pa.table({})
     return pa.concat_tables(tables, promote_options="default")
 
 
-def read_jsonl_zip(paths: str | list[str]) -> rd.Dataset:
+def read_jsonl_zip(
+    paths: str | list[str], empty_schema: pa.Schema | None = None
+) -> rd.Dataset:
     """Zip-of-JSONL archives -> Dataset (one flat-map task per archive)."""
+    import functools
+
     ds = rd.read_binary_files(paths, include_paths=True)
-    return ds.map_batches(parse_jsonl_zip_batch, batch_format="pyarrow", batch_size=None)
+    return ds.map_batches(
+        functools.partial(parse_jsonl_zip_batch, empty_schema=empty_schema),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
 
 
 def union_with_source(

@@ -88,6 +88,54 @@ def test_equal_ts_cross_file_tie_is_deterministic(tmp_path):
     assert r2.search("bravo", k=5) == reader.search("bravo", k=5)
 
 
+def test_exact_duplicate_row_across_row_groups(tmp_path):
+    """An exact-duplicate (url, warc_ts) row split across TWO row groups of
+    ONE file lands in different Ray blocks: the engine must still count the
+    doc once everywhere — df, n_docs, avgdl, docmeta — and score
+    identically to the oracle (ADVICE round 2: df was bincounted before the
+    duplicate guard, and docmeta kept both rows)."""
+    pages_dir = tmp_path / "pages"
+    pages_dir.mkdir()
+    ts = synth.EPOCH_US
+    dup = _page("https://dup.example/page", ts, "zulu zulu body words")
+    rows_rg1 = [dup] + [
+        _page(f"https://a.example/{i}", ts + i, f"filler doc {i} words") for i in range(4)
+    ]
+    rows_rg2 = [dup] + [
+        _page(f"https://b.example/{i}", ts + i, f"other doc {i} words") for i in range(4)
+    ]
+
+    def tbl(rows):
+        return pa.table(
+            {
+                "url": pa.array([r["url"] for r in rows], pa.string()),
+                "warc_ts": pa.array([r["warc_ts"] for r in rows], pa.timestamp("us")),
+                "html": pa.array([r["html"] for r in rows], pa.binary()),
+                "text": pa.array([r["text"] for r in rows], pa.string()),
+                "lang": pa.array([r["lang"] for r in rows], pa.string()),
+            }
+        )
+
+    path = str(pages_dir / "f-00000.parquet")
+    with pq.ParquetWriter(path, tbl(rows_rg1).schema) as w:
+        w.write_table(tbl(rows_rg1))  # row group 1
+        w.write_table(tbl(rows_rg2))  # row group 2 (same dup row again)
+
+    idx = str(tmp_path / "idx")
+    m = build_index(str(pages_dir), idx, num_partitions=1)
+    reader = IndexReader(idx)
+    assert m["n_docs"] == 9  # 10 rows, one exact duplicate
+    assert reader.n_docs == 9
+    reader._load_docmeta()
+    assert reader._docmeta[0].size == 9  # docmeta deduped at load
+
+    oracle = OracleIndex(pq.read_table(path))
+    assert oracle.n_docs == 9
+    assert abs(reader.avgdl - oracle.avgdl) < 1e-12
+    for q in ("zulu", "filler doc", "zulu words", "body"):
+        assert reader.search(q, k=5) == oracle.search(q, k=5), q
+
+
 def test_repartition_rebuild_prunes_stale_pids(tmp_path):
     pages_dir = str(tmp_path / "pages")
     synth.write_pages(pages_dir, 200, num_files=4)
@@ -114,6 +162,40 @@ def test_repartition_rebuild_prunes_stale_pids(tmp_path):
         )
 
     assert seg_rows(idx) == seg_rows(idx_fresh)
+
+
+def test_doclen_range_exchange_matches_broadcast(tmp_path, monkeypatch):
+    """Force the above-budget doclen exchange (merge tasks read only the
+    doc_id-range row groups their postings touch; NO corpus-wide ray.put of
+    the docmeta table): byte-identical segments and identical query results
+    to the broadcast fast path."""
+    from engine import build as buildmod
+    from engine.query import IndexReader
+
+    pages_dir = str(tmp_path / "pages")
+    synth.write_pages(pages_dir, 300, num_files=3)
+    idx_b = str(tmp_path / "idx_bcast")
+    m1 = build_index(pages_dir, idx_b, num_partitions=2)
+    assert m1["doclen_exchange"] == "broadcast"
+
+    monkeypatch.setattr(buildmod, "_DOCLEN_BCAST_BUDGET_BYTES", 0)
+    idx_r = str(tmp_path / "idx_range")
+    m2 = build_index(pages_dir, idx_r, num_partitions=2)
+    assert m2["doclen_exchange"] == "range"
+
+    def seg_rows(d):
+        t = pads.dataset(os.path.join(d, "segments"), partitioning="hive").to_table()
+        return sorted(
+            zip(
+                t["term"].to_pylist(), t["salt"].to_pylist(),
+                t["doc_ids"].to_pylist(), t["impacts"].to_pylist(),
+            )
+        )
+
+    assert seg_rows(idx_b) == seg_rows(idx_r)
+    r_b, r_r = IndexReader(idx_b), IndexReader(idx_r)
+    for q in ("filler doc", "the", "words body"):
+        assert r_b.search(q, k=10) == r_r.search(q, k=10), q
 
 
 def test_distributed_loser_reduce_matches_driver_path(tmp_path):

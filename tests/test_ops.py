@@ -50,6 +50,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 SQL_CHECKED = [
+    "events_keyset_page8",
     "q1_pricing_summary",
     "q3_top_orders",
     "q6_revenue",
@@ -125,6 +126,40 @@ def test_lsh_cosine_pairs_recall_vs_exact():
         assert abs(s - exact_sims[(a, b)]) < 1e-5
 
 
+def test_cosine_pairs_blocked_path_matches_broadcast_path():
+    """Force the above-budget branch (block-pair tasks, no corpus-wide
+    broadcast): identical pair set + sims to the broadcast fast path."""
+    from engine.ops.ann import cosine_dup_pairs
+
+    fast = _canon(_to_pandas(cosine_dup_pairs(SF)))
+    blocked = _canon(_to_pandas(cosine_dup_pairs(SF, broadcast_budget_bytes=0)))
+    pd.testing.assert_frame_equal(fast, blocked)
+
+
+def test_minhash_boilerplate_heavy_corpus(tmp_path):
+    """A corpus that is mostly one boilerplate text: the round-2 driver-dict
+    verification would have materialized every candidate doc's shingle set in
+    one ray.put; the distributed join path must return the full pair clique
+    (all docs pairwise jaccard 1.0) without that."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.ops.dedup import minhash_lsh_pairs
+
+    n = 60  # pairs = C(50,2) + a few uniques' non-pairs
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    texts = [text] * 50 + [f"unique document number {i} with its own words" for i in range(10)]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        tmp_path / "documents.parquet",
+    )
+    got = _to_pandas(minhash_lsh_pairs(str(tmp_path), threshold=0.9))
+    dup_pairs = got[(got["a"] < 50) & (got["b"] < 50)]
+    assert len(dup_pairs) == 50 * 49 // 2
+    assert (dup_pairs["jaccard"] == 1.0).all()
+
+
 def test_simhash_runs_and_is_deterministic():
     from engine.ops.dedup import simhash_pairs
 
@@ -149,6 +184,27 @@ def test_entry_smoke():
     res = _to_pandas(entrymod.entry())
     assert len(res) > 0
     assert list(res.columns) == ["query_id", "rank", "doc_id", "score_r6"]
+
+
+def test_keyset_cursor_resumes_and_exhausts(con):
+    """The general cursor (reference ec2/rds/paginate.py:5-68): pages are
+    disjoint, ordered, resumable from an arbitrary cursor, and the cursor
+    reports exhaustion."""
+    from engine.ops.relational import paginate_events
+
+    p1, c1 = paginate_events(SF, page_size=300)
+    p2, c2 = paginate_events(SF, after=c1, page_size=300)
+    want = con.sql(
+        "SELECT event_id, ts, user_id, event_type FROM events "
+        "ORDER BY ts, event_id LIMIT 600"
+    ).df()
+    got = pd.concat([p1, p2], ignore_index=True)
+    pd.testing.assert_frame_equal(_canon(got), _canon(want))
+    # resume mid-stream from a cursor computed independently
+    p3, c3 = paginate_events(SF, after=c2, page_size=300)
+    assert len(p3) == 300 and c3 is not None
+    p4, c4 = paginate_events(SF, after=c3, page_size=300)
+    assert len(p4) == 100 and c4 is None  # events has 1000 rows at sf0.001
 
 
 def test_q3_distributed_join_path_matches_broadcast_path(monkeypatch):

@@ -14,7 +14,7 @@ from engine.serve import QueryPool, ShardedQueryPool, build_sharded
 def served_index(tmp_path_factory):
     root = tmp_path_factory.mktemp("serve")
     pages_dir = str(root / "pages")
-    synth.write_pages(pages_dir, 500, num_files=4)
+    synth.write_pages(pages_dir, 500, num_files=8)
     index_dir = str(root / "index")
     build_index(pages_dir, index_dir, num_partitions=2)
     return index_dir
@@ -39,18 +39,21 @@ def test_pool_matches_local_reader(served_index):
 
 
 def test_sharded_pool_rank_identical_to_one_big_index(served_index, tmp_path):
-    """3 doc-shard indexes (global loser set + global avgdl baked into the
-    impacts, global df patched at serve time) answer every query
+    """8 doc-shard indexes (global loser set + global avgdl baked into the
+    impacts, global df Arrow-reduced at serve time) answer every query
     rank-identical — including float64 scores — to the single big index.
     The synth corpus's duplicate url lands its re-crawl in a different file
     than the original, so the cross-shard dedup path is genuinely hit."""
     import os
 
     pages_dir = os.path.join(os.path.dirname(served_index), "pages")
-    shard_dirs = build_sharded(pages_dir, str(tmp_path / "shards"), 3,
+    shard_dirs = build_sharded(pages_dir, str(tmp_path / "shards"), 8,
                                num_partitions=2)
     local = IndexReader(served_index)
-    pool = ShardedQueryPool(shard_dirs)
+    # 8 one-cpu actors would overcommit the 4-cpu test session (half the
+    # pool never schedules and scatter-gather blocks forever); serving
+    # actors are latency- not throughput-bound, so fractional cpus are fine
+    pool = ShardedQueryPool(shard_dirs, num_cpus=0.25)
     try:
         assert pool.n_docs == local.n_docs
         for q in synth.gen_queries_table(20).to_pylist():
