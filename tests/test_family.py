@@ -1,0 +1,105 @@
+"""Per-model index families (engine/family.py): several analyzer configs
+side-by-side under one root, selected by name at query time — the engine
+analog of the reference's per-model embedding tables
+(/root/reference/rds_schema.sql:45-58, EMBED_TABLE selection at
+/root/reference/streamlit_app.py:49)."""
+
+import glob
+import os
+
+import pytest
+
+from engine import synth
+from engine.analyze import AnalyzerConfig
+from engine.build import build_index
+from engine.family import FamilyReader, build_family
+from engine.query import IndexReader
+
+ANALYZERS = {
+    "default": AnalyzerConfig(),
+    "nostop": AnalyzerConfig(
+        stopwords=frozenset({synth.HEAD_TERMS[0]}), min_len=2
+    ),
+}
+
+
+@pytest.fixture(scope="module")
+def family(tmp_path_factory):
+    root = tmp_path_factory.mktemp("family")
+    pages_dir = str(root / "pages")
+    synth.write_pages(pages_dir, 300, num_files=3)
+    fam_root = str(root / "fam")
+    dirs = build_family(pages_dir, fam_root, ANALYZERS, num_partitions=2)
+    return pages_dir, fam_root, dirs
+
+
+def test_family_layout_and_model_listing(family):
+    _pages, fam_root, dirs = family
+    assert set(dirs) == {"default", "nostop"}
+    for name, d in dirs.items():
+        assert d == os.path.join(fam_root, f"model={name}")
+        assert os.path.exists(os.path.join(d, "stats.json"))
+    r = FamilyReader(fam_root)
+    assert r.models() == ["default", "nostop"]
+    assert r.analyzer("nostop").min_len == 2
+
+
+def test_family_members_match_standalone_builds(family, tmp_path):
+    """Each member must answer exactly like an independent single-analyzer
+    index over the same corpus — the family adds selection, not semantics."""
+    pages_dir, fam_root, _dirs = family
+    fam = FamilyReader(fam_root)
+    for name, cfg in ANALYZERS.items():
+        solo_dir = str(tmp_path / f"solo-{name}")
+        build_index(pages_dir, solo_dir, analyzer=cfg, num_partitions=2)
+        solo = IndexReader(solo_dir)
+        for q in synth.gen_queries_table(10).to_pylist():
+            assert fam.search(name, q["query_text"], k=q["k"]) == solo.search(
+                q["query_text"], k=q["k"]
+            ), (name, q["query_text"])
+
+
+def test_family_analyzers_actually_differ(family):
+    """The stopword model must drop its stopword term (the head term scores
+    zero hits) while the default model matches it."""
+    _pages, fam_root, _dirs = family
+    r = FamilyReader(fam_root)
+    head = synth.HEAD_TERMS[0]
+    assert r.search("default", head, k=5)
+    assert r.search("nostop", head, k=5) == []
+
+
+def test_family_rerun_is_noop_and_single_member_rebuilds(family):
+    """Re-running with unchanged configs resumes every member (no segment
+    rewrite); changing ONE model's analyzer rebuilds only that member."""
+    pages_dir, fam_root, dirs = family
+
+    def seg_mtimes(d):
+        return {
+            p: os.path.getmtime(p)
+            for p in glob.glob(os.path.join(d, "segments", "**", "*.parquet"),
+                               recursive=True)
+        }
+
+    before = {n: seg_mtimes(d) for n, d in dirs.items()}
+    build_family(pages_dir, fam_root, ANALYZERS, num_partitions=2)
+    after = {n: seg_mtimes(d) for n, d in dirs.items()}
+    assert before == after  # full resume: nothing rewritten
+
+    changed = dict(ANALYZERS)
+    changed["nostop"] = AnalyzerConfig(min_len=3)
+    build_family(pages_dir, fam_root, changed, num_partitions=2)
+    assert seg_mtimes(dirs["default"]) == before["default"]  # untouched
+    assert seg_mtimes(dirs["nostop"]) != before["nostop"]  # rebuilt
+    assert FamilyReader(fam_root).analyzer("nostop").min_len == 3
+    # restore for other tests running after (module fixture is shared)
+    build_family(pages_dir, fam_root, ANALYZERS, num_partitions=2)
+
+
+def test_family_rejects_unsafe_model_names(tmp_path):
+    with pytest.raises(ValueError):
+        build_family(
+            str(tmp_path), str(tmp_path / "f"), {"a/b": AnalyzerConfig()}
+        )
+    with pytest.raises(FileNotFoundError):
+        FamilyReader(str(tmp_path))
