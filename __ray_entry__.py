@@ -26,8 +26,8 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from engine.ops import (
-        ann, dedup, docsearch, enrich, listops, multimodal, multisource,
-        pagesearch, relational, textops,
+        ann, dedup, docsearch, embed, enrich, listops, multimodal,
+        multisource, pagesearch, relational, textops,
     )
 
     return {
@@ -77,6 +77,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_knn_topk": ann.lsh_knn_topk,  # approx: rows-only
         "cosine_dup_pairs": ann.cosine_dup_pairs,
         "lsh_cosine_dup_pairs": ann.lsh_cosine_dup_pairs,  # approx: rows-only
+        # registry-model embedding stage + self-retrieval (model inference:
+        # rows-only; pytest oracle re-derives the model per doc)
+        "doc_embed_knn": embed.doc_embed_knn,
         # enrichment + multimodal stages (stubbed externals: rows-only)
         "enrich_documents": enrich.enrich_documents,
         "media_features": multimodal.media_features,

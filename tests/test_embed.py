@@ -1,0 +1,119 @@
+"""Embedder registry + actor-pool embedding stage (engine/ops/embed.py).
+
+The oracle here is an INDEPENDENT per-doc Python reimplementation of the
+model spec (feature hashing + seeded Gaussian projection): the vectorized
+Arrow/numpy batch kernel must reproduce it bitwise."""
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from engine.ops.embed import (
+    EMBEDDERS,
+    HashedProjectionEmbedder,
+    _HASH_DIM,
+    doc_embed_knn,
+    embed_documents,
+    make_embedder,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _oracle_embed(text: str, emb: HashedProjectionEmbedder) -> np.ndarray:
+    """Slow loop-based reference of the model spec."""
+    toks = re.findall("[a-z0-9]+", text.lower())
+    hs = [
+        int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+        for t in toks
+    ]
+    feats = list(hs)
+    for a, b in zip(hs, hs[1:]):
+        feats.append(a ^ ((b * 0x9E3779B97F4A7C15) % (1 << 64)))
+    sparse = np.zeros(_HASH_DIM, dtype=np.float64)
+    for h in feats:
+        sparse[h % _HASH_DIM] += -1.0 if (h >> 63) else 1.0
+    x = sparse @ emb.proj
+    n = np.linalg.norm(x)
+    return (x / max(n, 1e-30)).astype(np.float32)
+
+
+def test_embed_batch_matches_per_doc_oracle():
+    emb = make_embedder("hashed-64")
+    texts = [
+        "The quick brown Fox jumps over the lazy dog",
+        "hash join table scan",
+        "",
+        "one",
+        "repeated repeated repeated words words",
+        "punctuation!!! only... splits, tokens_ok 123",
+    ]
+    got = emb.embed_batch(texts)
+    assert got.shape == (len(texts), 64) and got.dtype == np.float32
+    for i, t in enumerate(texts):
+        np.testing.assert_array_equal(got[i], _oracle_embed(t, emb), err_msg=t)
+
+
+def test_embedder_determinism_and_properties():
+    a = make_embedder("hashed-256")
+    b = make_embedder("hashed-256")  # fresh instance = fresh "model load"
+    texts = ["alpha beta gamma", "alpha beta gamma", "totally different words"]
+    ma, mb = a.embed_batch(texts), b.embed_batch(texts)
+    np.testing.assert_array_equal(ma, mb)  # same seed -> same weights
+    np.testing.assert_array_equal(ma[0], ma[1])  # same text -> same vector
+    norms = np.linalg.norm(ma.astype(np.float64), axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-6)  # L2-normalized
+    # shared-vocab docs are closer than disjoint-vocab docs
+    near = float(ma[0] @ a.embed_batch(["alpha beta gamma delta"])[0])
+    far = float(ma[0] @ ma[2])
+    assert near > 0.8 > far
+
+
+def test_registry_surface():
+    assert {"hashed-256", "hashed-64"} <= set(EMBEDDERS)
+    with pytest.raises(KeyError):
+        make_embedder("bert-large")  # no such weights in this sandbox
+
+
+def test_embed_documents_stage():
+    df = embed_documents(SF, model="hashed-64", num_cpus=0.5).to_pandas()
+    assert len(df) == 500
+    m = np.asarray([np.asarray(v) for v in df["embedding"]])
+    assert m.shape == (500, 64) and m.dtype == np.float32
+    # batch-split independence: same rows as a driver-side embed
+    emb = make_embedder("hashed-64")
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    want = emb.embed_batch(t["text"].combine_chunks())
+    order = np.argsort(df["doc_id"].to_numpy())
+    torder = np.argsort(t["doc_id"].to_numpy(zero_copy_only=False))
+    np.testing.assert_array_equal(m[order], want[torder])
+
+
+def test_doc_embed_knn_matches_bruteforce():
+    got = doc_embed_knn(SF, model="hashed-64", k=5)
+    assert list(got.columns) == ["query_doc", "rank", "doc_id", "sim_r"]
+    assert set(got["query_doc"]) == set(range(10))
+    assert (got.groupby("query_doc").size() == 5).all()
+
+    import pyarrow.parquet as pq
+
+    emb = make_embedder("hashed-64")
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    m = emb.embed_batch(t["text"].combine_chunks()).astype(np.float64)
+    rows = []
+    for qid in range(10):
+        qv = m[ids == qid][0]
+        sims = np.round(m @ qv, 6)
+        keep = ids != qid
+        cd, cs = ids[keep], sims[keep]
+        order = np.lexsort((cd, -cs))[:5]
+        for r, j in enumerate(order, 1):
+            rows.append((qid, r, int(cd[j]), float(cs[j])))
+    want = pd.DataFrame(rows, columns=["query_doc", "rank", "doc_id", "sim_r"])
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
