@@ -48,10 +48,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling_daily": relational.events_tumbling_daily,
         "events_page3": relational.events_page3,
         "events_keyset_page8": relational.events_keyset_page8,
+        "events_sessionize": relational.events_sessionize,
         "events_sample_stats": relational.events_sample_stats,
         "customers_without_recent_orders": relational.customers_without_recent_orders,
         "orders_semi_building": relational.orders_semi_building,
         "orders_topk": relational.orders_topk,
+        "orders_topn_per_customer": relational.orders_topn_per_customer,
         "orders_by_year": relational.orders_by_year,
         "parts_like": relational.parts_like,
         "orders_union_tiers": relational.orders_union_tiers,
@@ -71,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": textops.token_counts,
         "quality_scores": textops.quality_scores,
         "lang_id": textops.lang_id,
+        "redact_pii": textops.redact_pii,
         "fingerprints": textops.fingerprints,  # rows-only
         # similarity search over embeddings
         "knn_topk": ann.knn_topk,
@@ -109,10 +112,12 @@ def oracle_sql() -> dict[str, str]:
         "events_tumbling_daily": relational.EVENTS_TUMBLING_SQL,
         "events_page3": relational.EVENTS_PAGE3_SQL,
         "events_keyset_page8": relational.EVENTS_KEYSET_PAGE8_SQL,
+        "events_sessionize": relational.EVENTS_SESSIONIZE_SQL,
         "events_sample_stats": relational.EVENTS_SAMPLE_STATS_SQL,
         "customers_without_recent_orders": relational.CUSTOMERS_ANTI_SQL,
         "orders_semi_building": relational.ORDERS_SEMI_SQL,
         "orders_topk": relational.ORDERS_TOPK_SQL,
+        "orders_topn_per_customer": relational.ORDERS_TOPN_SQL,
         "orders_by_year": relational.ORDERS_BY_YEAR_SQL,
         "parts_like": relational.PARTS_LIKE_SQL,
         "orders_union_tiers": relational.ORDERS_UNION_SQL,
@@ -123,6 +128,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": textops.TOKEN_COUNTS_SQL,
         "quality_scores": textops.QUALITY_SCORES_SQL,
         "lang_id": textops.LANG_ID_SQL,
+        "redact_pii": textops.REDACT_PII_SQL,
         "knn_topk": ann.KNN_TOPK_SQL,
         "cosine_dup_pairs": ann.COSINE_DUP_SQL,
     }

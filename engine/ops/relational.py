@@ -800,3 +800,103 @@ SELECT n,
   round(sv / n + 1.96 * sqrt((sv2 / n - (sv / n) * (sv / n)) / n), 6) AS ci_high
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# §2.9 streaming, gap-based sessionization: the classic session-window
+# operator (a new session opens when a user's inter-event gap exceeds the
+# timeout).  Scale shape: ONE user-keyed shuffle, then per-user work is a
+# vectorized cumulative-sum over that user's events — the partitioning key
+# (user_id) is the same key the other event operators shuffle on, so a
+# multi-stage event pipeline reuses one co-partitioning.
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
+
+
+def events_sessionize(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+    def sessions_of_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        tsus = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        new = np.ones(len(g), dtype=np.int64)
+        if len(g) > 1:
+            new[1:] = (tsus[1:] - tsus[:-1] > _SESSION_GAP_US).astype(np.int64)
+        sess_no = np.cumsum(new)
+        bounds = np.nonzero(new)[0]
+        ends = np.concatenate((bounds[1:], [len(g)]))
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].iloc[bounds].to_numpy(),
+                "session_no": sess_no[bounds],
+                "session_start": g["ts"].iloc[bounds].to_numpy(),
+                "session_end": g["ts"].iloc[ends - 1].to_numpy(),
+                "n_events": (ends - bounds).astype(np.int64),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(sessions_of_user, batch_format="pandas")
+
+
+EVENTS_SESSIONIZE_SQL = """
+WITH marked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_no
+  FROM marked
+)
+SELECT user_id, session_no, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM sess GROUP BY user_id, session_no
+"""
+
+
+# ---------------------------------------------------------------------------
+# grouped top-N (window-rank family: row_number() OVER (PARTITION BY ...)).
+# Scale shape: map-side combine keeps at most N rows per key per batch
+# BEFORE the key shuffle (so the exchange carries O(keys * N), not the fact
+# table), then the per-key reduce re-ranks the survivors exactly.
+def orders_topn_per_customer(sf_dir: str, n: int = 2):
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def local_topn(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True],
+        )
+        return pa.Table.from_pandas(
+            df.groupby("o_custkey", sort=False).head(n), preserve_index=False
+        )
+
+    def topn_of_customer(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).head(n)
+        g = g.reset_index(drop=True)
+        g["rn"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["o_custkey", "rn", "o_orderkey", "o_totalprice"]]
+
+    return (
+        ds.map_batches(local_topn, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_custkey")
+        .map_groups(topn_of_customer, batch_format="pandas")
+    )
+
+
+ORDERS_TOPN_SQL = """
+SELECT o_custkey, rn, o_orderkey, o_totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+)
+WHERE rn <= 2
+"""

@@ -275,3 +275,68 @@ def fingerprints(sf_dir: str):
     return _read_docs(sf_dir, columns=["doc_id", "text"]).map_batches(
         fn, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction: the scrub stage every training-data pipeline runs before
+# tokenization.  Both Arrow (`replace_substring_regex`) and DuckDB
+# (`regexp_replace(..., 'g')`) execute RE2, so one pattern string is the
+# single source of truth for both sides.  The synthetic corpus contains no
+# PII, so the operator deterministically injects a contact line per doc
+# (same `||` expression in the SQL oracle) and the thing under test is the
+# redactor itself: patterns, ordering (emails before bare digit runs — an
+# address's local part may contain digits), and the redaction counts.
+_PII_RULES = (
+    # (pattern, replacement) applied in order
+    (r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{7,}\b", "<NUM>"),
+)
+
+
+def redact_pii(sf_dir: str):
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"]
+        ids_s = ids.cast(pa.string())
+        octet = pc.cast(pc.subtract(ids, pc.multiply(pc.divide(ids, 256), 256)), pa.string())
+        text = pc.binary_join_element_wise(
+            t["text"], " contact user", ids_s, "@mail.example.com ip 10.0.",
+            octet, ".7 ref 90210", ids_s, "55", "",
+        )
+        n = pa.array(np.zeros(len(t), dtype=np.int64), pa.int64())
+        for pat, repl in _PII_RULES:
+            n = pc.add(n, pc.count_substring_regex(text, pat).cast(pa.int64()))
+            text = pc.replace_substring_regex(text, pat, repl)
+        return pa.table(
+            {"doc_id": ids, "text_clean": text, "n_redacted": n}
+        )
+
+    return _read_docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+REDACT_PII_SQL = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@mail.example.com ip 10.0.'
+              || (doc_id % 256) || '.7 ref 90210' || doc_id || '55' AS text
+  FROM documents
+),
+counted AS (
+  SELECT doc_id, text,
+         len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS c1,
+         regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g') AS t1
+  FROM aug
+),
+counted2 AS (
+  SELECT doc_id, c1,
+         len(regexp_extract_all(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS c2,
+         regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2
+  FROM counted
+)
+SELECT doc_id,
+       regexp_replace(t2, '\b\d{7,}\b', '<NUM>', 'g') AS text_clean,
+       CAST(c1 + c2 + len(regexp_extract_all(t2, '\b\d{7,}\b')) AS BIGINT) AS n_redacted
+FROM counted2
+"""

@@ -51,6 +51,9 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 SQL_CHECKED = [
     "events_keyset_page8",
+    "events_sessionize",
+    "orders_topn_per_customer",
+    "redact_pii",
     "q1_pricing_summary",
     "q3_top_orders",
     "q6_revenue",
