@@ -49,11 +49,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_page3": relational.events_page3,
         "events_keyset_page8": relational.events_keyset_page8,
         "events_sessionize": relational.events_sessionize,
+        "events_attribution_asof": relational.events_attribution_asof,
+        "events_value_quantiles": relational.events_value_quantiles,
         "events_sample_stats": relational.events_sample_stats,
         "customers_without_recent_orders": relational.customers_without_recent_orders,
         "orders_semi_building": relational.orders_semi_building,
         "orders_topk": relational.orders_topk,
         "orders_topn_per_customer": relational.orders_topn_per_customer,
+        "orders_price_band_join": relational.orders_price_band_join,
         "orders_by_year": relational.orders_by_year,
         "parts_like": relational.parts_like,
         "orders_union_tiers": relational.orders_union_tiers,
@@ -113,11 +116,14 @@ def oracle_sql() -> dict[str, str]:
         "events_page3": relational.EVENTS_PAGE3_SQL,
         "events_keyset_page8": relational.EVENTS_KEYSET_PAGE8_SQL,
         "events_sessionize": relational.EVENTS_SESSIONIZE_SQL,
+        "events_attribution_asof": relational.EVENTS_ASOF_SQL,
+        "events_value_quantiles": relational.EVENTS_QUANTILES_SQL,
         "events_sample_stats": relational.EVENTS_SAMPLE_STATS_SQL,
         "customers_without_recent_orders": relational.CUSTOMERS_ANTI_SQL,
         "orders_semi_building": relational.ORDERS_SEMI_SQL,
         "orders_topk": relational.ORDERS_TOPK_SQL,
         "orders_topn_per_customer": relational.ORDERS_TOPN_SQL,
+        "orders_price_band_join": relational.ORDERS_PRICE_BAND_SQL,
         "orders_by_year": relational.ORDERS_BY_YEAR_SQL,
         "parts_like": relational.PARTS_LIKE_SQL,
         "orders_union_tiers": relational.ORDERS_UNION_SQL,

@@ -900,3 +900,163 @@ FROM (
 )
 WHERE rn <= 2
 """
+
+
+# ---------------------------------------------------------------------------
+# As-of join (attribution): match each purchase event to the same user's
+# latest click at-or-before it.  Ray Data has no ASOF JOIN; the idiomatic
+# composition (brief: "as-of join ... as a composition of map_batches +
+# groupby().map_groups + sort if semantics allow") is ONE user-keyed shuffle
+# of only the two event types involved (filter pushed into the parquet
+# read), then a per-user vectorized merge: sort both sides by ts and
+# `np.searchsorted` purchase timestamps into click timestamps.  user_id is
+# the same co-partitioning key every other event operator shuffles on.
+# Purchases with no prior click are dropped (inner as-of), mirroring
+# DuckDB's ASOF JOIN.
+def events_attribution_asof(sf_dir: str):
+    ds = _read(
+        sf_dir,
+        "events",
+        columns=["event_id", "user_id", "ts", "event_type"],
+        filter=pc.field("event_type").isin(["click", "purchase"]),
+    )
+
+    def asof_of_user(g: pd.DataFrame) -> pd.DataFrame:
+        is_click = (g["event_type"] == "click").to_numpy()
+        clicks = g[is_click].sort_values("ts")
+        purch = g[~is_click].sort_values("ts")
+        if len(clicks) == 0 or len(purch) == 0:
+            return pd.DataFrame(
+                {
+                    "purchase_id": pd.Series([], dtype="int64"),
+                    "user_id": pd.Series([], dtype="int64"),
+                    "purchase_ts": pd.Series([], dtype="datetime64[us]"),
+                    "click_ts": pd.Series([], dtype="datetime64[us]"),
+                    "gap_s": pd.Series([], dtype="float64"),
+                }
+            )
+        cts = clicks["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        pts = purch["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        idx = np.searchsorted(cts, pts, side="right") - 1
+        ok = idx >= 0
+        matched = cts[idx[ok]]
+        return pd.DataFrame(
+            {
+                "purchase_id": purch["event_id"].to_numpy()[ok],
+                "user_id": purch["user_id"].to_numpy()[ok],
+                "purchase_ts": purch["ts"].to_numpy()[ok],
+                "click_ts": matched.astype("datetime64[us]"),
+                "gap_s": np.round((pts[ok] - matched) / 1e6, 6),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(asof_of_user, batch_format="pandas")
+
+
+EVENTS_ASOF_SQL = """
+SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+       c.ts AS click_ts,
+       round((epoch_us(p.ts) - epoch_us(c.ts)) / 1e6, 6) AS gap_s
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# Range join against a small interval dimension: every order lands in the
+# price band whose [lo, hi) interval contains it.  The band table is tiny,
+# so the scale shape is broadcast-plus-binary-search inside map_batches
+# (never a shuffle): bounds are sorted, `np.searchsorted` assigns each row
+# its interval, and per-band partials combine map-side before a 4-row
+# groupby.  This is the interval analogue of the dict broadcast join (J5).
+_PRICE_BANDS = (
+    ("B1_budget", 0.0, 50_000.0),
+    ("B2_mid", 50_000.0, 150_000.0),
+    ("B3_high", 150_000.0, 300_000.0),
+    ("B4_premium", 300_000.0, 1e12),
+)
+
+
+def orders_price_band_join(sf_dir: str):
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"])
+    names = np.array([b[0] for b in _PRICE_BANDS])
+    los = np.array([b[1] for b in _PRICE_BANDS])
+
+    def band_partials(t: pa.Table) -> pa.Table:
+        price = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        band = np.searchsorted(los, price, side="right") - 1
+        n = np.bincount(band, minlength=len(names)).astype(np.int64)
+        rev = np.bincount(band, weights=price, minlength=len(names))
+        keep = n > 0
+        return pa.table(
+            {
+                "band": pa.array(names[keep]),
+                "n_orders": pa.array(n[keep]),
+                "revenue": pa.array(rev[keep]),
+            }
+        )
+
+    out = (
+        ds.map_batches(band_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("band")
+        .aggregate(Sum("n_orders", alias_name="n_orders"), Sum("revenue", alias_name="rev"))
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "band": t["band"],
+                "n_orders": t["n_orders"],
+                "revenue": pc.round(t["rev"], 2),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+ORDERS_PRICE_BAND_SQL = """
+SELECT band, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+FROM orders
+JOIN (VALUES ('B1_budget', 0, 50000), ('B2_mid', 50000, 150000),
+             ('B3_high', 150000, 300000), ('B4_premium', 300000, 1000000000000)
+     ) AS bands(band, lo, hi)
+  ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band
+"""
+
+
+# ---------------------------------------------------------------------------
+# Grouped exact quantiles (median / p90 / p99 of event value per type).
+# Exact grouped quantiles need each group's values co-located: one
+# event_type-keyed shuffle, then numpy's linear-interpolation quantile
+# (bitwise the same definition as DuckDB's quantile_cont).  At 100 TB a
+# group no longer fits one task; the scale path is a mergeable rank sketch
+# (KLL / t-digest) built map-side and merged in a tiny groupby - the exact
+# operator stays as the oracle anchor, the same pattern as
+# cosine_dup_pairs vs lsh_cosine_dup_pairs.
+def events_value_quantiles(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def quants(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["value"].to_numpy()
+        p50, p90, p99 = np.quantile(v, [0.5, 0.9, 0.99], method="linear")
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n": np.array([v.size], dtype=np.int64),
+                "p50": [round(p50, 6)],
+                "p90": [round(p90, 6)],
+                "p99": [round(p99, 6)],
+            }
+        )
+
+    return ds.groupby("event_type").map_groups(quants, batch_format="pandas")
+
+
+EVENTS_QUANTILES_SQL = """
+SELECT event_type, count(*) AS n,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+"""

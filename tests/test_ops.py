@@ -52,7 +52,10 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 SQL_CHECKED = [
     "events_keyset_page8",
     "events_sessionize",
+    "events_attribution_asof",
+    "events_value_quantiles",
     "orders_topn_per_customer",
+    "orders_price_band_join",
     "redact_pii",
     "q1_pricing_summary",
     "q3_top_orders",
