@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": textops.fingerprints,  # rows-only
         # similarity search over embeddings
         "knn_topk": ann.knn_topk,
+        "ivf_knn_topk": ann.ivf_knn_topk,  # rows-only (recall in tests)
         "lsh_knn_topk": ann.lsh_knn_topk,  # approx: rows-only
         "cosine_dup_pairs": ann.cosine_dup_pairs,
         "lsh_cosine_dup_pairs": ann.lsh_cosine_dup_pairs,  # approx: rows-only

@@ -500,3 +500,129 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= 0.4
 """
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: the classic cell-partitioned scale path (the
+# structure behind pgvector's `ivfflat` index, the reference's ANN storage —
+# /root/reference/rds_schema.sql).  Train k-means centroids on a BOUNDED
+# sample (driver-side, once), broadcast them, and have every scan batch
+# assign its vectors to cells and score only the vectors whose cell one of
+# the queries probes.  The corpus never shuffles; the only broadcast is
+# O(n_cells * dim) + the query matrix, both corpus-size-independent.
+_IVF_CELLS = 16
+_IVF_NPROBE = 4
+_IVF_TRAIN_CAP = 100_000  # sample bound: centroid training is O(cap * cells)
+
+
+def _train_centroids(
+    sample: np.ndarray, n_cells: int, n_iter: int = 10, seed: int = 7
+) -> np.ndarray:
+    """Spherical k-means (cosine) on a bounded sample, deterministic seed.
+    Returns (n_cells, dim) L2-normalized centroids."""
+    rng = np.random.default_rng(seed)
+    sn = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-30)
+    n_cells = min(n_cells, len(sn))
+    cent = sn[rng.choice(len(sn), size=n_cells, replace=False)]
+    for _ in range(n_iter):
+        assign = np.argmax(sn @ cent.T, axis=1)
+        for c in range(n_cells):
+            members = sn[assign == c]
+            if len(members):
+                cent[c] = members.sum(axis=0)
+        cent = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-30)
+    return cent
+
+
+class _IvfScanTopK:
+    """Actor-pool scan: per batch, one (n, cells) matmul assigns cells, then
+    one matmul scores ONLY the union of probed vectors; a query's sims are
+    masked to its own probed cells before the local top-k."""
+
+    def __init__(self, ref, k: int):
+        self.q_ids, self.qn, self.cent, self.probe = ray.get(ref)  # probe: (nq, cells) bool
+        self.k = k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, m = _emb_matrix(t)
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "sim": pa.array([], pa.float64()),
+            }
+        )
+        if len(ids) == 0:
+            return empty
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        cells = np.argmax(mn @ self.cent.T, axis=1)  # (n,)
+        wanted = self.probe[:, cells]  # (nq, n) bool
+        any_q = wanted.any(axis=0)
+        if not any_q.any():
+            return empty
+        ids, mn, wanted = ids[any_q], mn[any_q], wanted[:, any_q]
+        sims = mn @ self.qn.T  # (n_kept, nq)
+        sims = np.where(wanted.T, sims, -np.inf)
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(self.q_ids):
+            s = sims[:, qi]
+            live = np.nonzero(s > -np.inf)[0]
+            if not live.size:
+                continue
+            k = min(self.k, live.size)
+            top = live[np.argpartition(-s[live], k - 1)[:k]] if k < live.size else live
+            out_q.extend([int(qid)] * len(top))
+            out_v.extend(ids[top].tolist())
+            out_s.extend(s[top].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def ivf_knn_topk(
+    sf_dir: str,
+    k: int = K,
+    n_cells: int = _IVF_CELLS,
+    nprobe: int = _IVF_NPROBE,
+):
+    """Approximate cosine top-k via IVF cell pruning — rows-only (tests
+    assert recall vs knn_topk).  With nprobe == n_cells this is exactly
+    brute force; recall/cost is tuned by the probe fraction."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    pf = pq.ParquetFile(path)
+    want = min(_IVF_TRAIN_CAP, pf.metadata.num_rows)
+    got, n_seen = [], 0
+    for rb in pf.iter_batches(batch_size=16384, columns=["vec_id", "embedding"]):
+        got.append(pa.Table.from_batches([rb]))
+        n_seen += rb.num_rows
+        if n_seen >= want:
+            break
+    _, sample = _emb_matrix(pa.concat_tables(got))
+    cent = _train_centroids(sample, n_cells)
+
+    q_ids, q = _load_queries(sf_dir)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    order = np.argsort(qn @ cent.T, axis=1)[:, ::-1][:, : min(nprobe, len(cent))]
+    probe = np.zeros((len(q_ids), len(cent)), dtype=bool)
+    np.put_along_axis(probe, order, True, axis=1)
+
+    ref = ray.put((q_ids, qn, cent, probe))
+    ds = _read_emb(sf_dir).map_batches(
+        _IvfScanTopK,
+        fn_constructor_args=(ref, k),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        zero_copy_batch=True,
+    )
+    df = ds.to_pandas()  # tiny: n_batches * n_queries * k rows
+    df["sim_r"] = df["sim"].round(6)
+    df = df.sort_values(["query_id", "sim_r", "vec_id"], ascending=[True, False, True])
+    df = df.groupby("query_id", sort=False).head(k).reset_index(drop=True)
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    return df[["query_id", "rank", "vec_id", "sim_r"]]

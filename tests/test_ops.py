@@ -100,6 +100,23 @@ def test_lsh_recall_vs_bruteforce():
     assert np.mean(recalls) >= 0.5, recalls  # multi-probe LSH on 64-dim
 
 
+def test_ivf_recall_vs_bruteforce():
+    from engine.ops.ann import ivf_knn_topk, knn_topk
+
+    exact = _to_pandas(knn_topk(SF))
+    approx = _to_pandas(ivf_knn_topk(SF))
+    recalls = []
+    for qid in exact["query_id"].unique():
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        a = set(approx[approx["query_id"] == qid]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.5, recalls  # nprobe=4 of 16 cells
+
+    # nprobe == n_cells degenerates to exact brute force: rank-identical
+    full = _to_pandas(ivf_knn_topk(SF, n_cells=8, nprobe=8))
+    pd.testing.assert_frame_equal(full, exact)
+
+
 def test_minhash_estimates_jaccard():
     from engine.ops.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
 
