@@ -63,31 +63,51 @@ FROM documents GROUP BY md5(text)
 
 
 # ---------------------------------------------------------------------------
+_N_JACCARD_PARTS = 32
+
+
 def _shingle_rows(t: pa.Table) -> pa.Table:
-    """Distinct (doc_id, 3-gram shingle) rows per batch (shingles as the
-    joined token-triple string, mirroring the SQL oracle exactly)."""
-    doc_ids, shingles = [], []
+    """Distinct (doc_id, shingle, doc-set-size, partition) rows per batch.
+
+    Shingles are the joined token-triple string, mirroring the SQL oracle
+    exactly.  Each row carries its doc's set size `n` (known at emit time —
+    a doc is one input row, never split) so Jaccard needs no corpus-scale
+    size broadcast later, and a stable crc32 partition key so all rows of a
+    shingle co-locate under a coarse `groupby("part")` (32 groups) instead
+    of one sort group per distinct shingle (~1 group per row)."""
+    import zlib
+
+    doc_ids, shingles, ns, parts = [], [], [], []
     for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
         toks = tokenize(text)
-        for s in {
-            f"{toks[i]} {toks[i + 1]} {toks[i + 2]}" for i in range(len(toks) - 2)
-        }:
+        ss = {f"{toks[i]} {toks[i + 1]} {toks[i + 2]}" for i in range(len(toks) - 2)}
+        for s in ss:
             doc_ids.append(did)
             shingles.append(s)
+            ns.append(len(ss))
+            parts.append(zlib.crc32(s.encode()) % _N_JACCARD_PARTS)
     return pa.table(
-        {"doc_id": pa.array(doc_ids, pa.int64()), "tk": pa.array(shingles, pa.string())}
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "tk": pa.array(shingles, pa.string()),
+            "n": pa.array(ns, pa.int64()),
+            "part": pa.array(parts, pa.int64()),
+        }
     )
 
 
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8):
     """Exact 3-gram-shingle Jaccard similar pairs (a < b, jaccard >= threshold).
 
-    Plan: distinct (doc, shingle) rows -> groupby(shingle) emits candidate
-    pairs (pre-counted per group) -> groupby(pair) sums intersections ->
-    sizes are broadcast -> jaccard filter.  Quadratic in shingle-group size,
-    which is why the scale path is minhash_lsh_pairs; kept exact here as the
-    DuckDB-verifiable baseline.  Docs with < 3 tokens have no shingles and
-    never pair (same in the oracle).
+    Plan: distinct (doc, shingle, set-size) rows -> ONE coarse shuffle on a
+    32-way crc32(shingle) partition key (a shingle's whole posting co-locates
+    in one partition, so global df is visible there) -> per-partition
+    vectorized pair generation over ALL its shingle groups at once -> a tiny
+    groupby(pair) sums intersection counts; set sizes ride the pair rows, so
+    nothing corpus-scale is ever broadcast or driver-collected.  Quadratic in
+    shingle-group size, which is why the scale path is minhash_lsh_pairs;
+    kept exact here as the DuckDB-verifiable baseline.  Docs with < 3 tokens
+    have no shingles and never pair (same in the oracle).
 
     Hot-shingle cap (the postings hot-term design applied to shingles): a
     shingle shared by more than max(64, 10% of docs) documents is boilerplate
@@ -101,72 +121,106 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8):
     hot_cap = max(64.0, 0.1 * docs.count())
     tok = docs.map_batches(_shingle_rows, batch_format="pyarrow", zero_copy_batch=True)
 
-    # doc -> |token set|  (small: one row per doc)
-    def size_batch(t: pa.Table) -> pa.Table:
-        g = t.group_by("doc_id").aggregate([("tk", "count")])
-        return pa.table({"doc_id": g["doc_id"], "n": g["tk_count"].cast(pa.int64())})
-
-    sizes = (
-        tok.map_batches(size_batch, batch_format="pyarrow")
-        .groupby("doc_id")
-        .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()
-    )
-    size_of = dict(zip(sizes["doc_id"], sizes["n"]))
-    size_ref = ray.put(size_of)
-
-    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].to_numpy())
-        if ids.size > hot_cap:
-            # boilerplate shingle: marker row -> dropped-count log downstream
-            return pd.DataFrame({"a": [-1], "b": [-1], "i_part": [1]}).astype(
-                {"a": "int64", "b": "int64", "i_part": "int64"}
+    def pairs_of_partition(g: pd.DataFrame) -> pd.DataFrame:
+        """All candidate pairs of ALL shingle groups in one hash partition,
+        vectorized: factorize shingles, stable-sort rows by group code, walk
+        only the (rare) groups with 2..hot_cap members."""
+        empty = {
+            "a": pd.Series([], dtype="int64"),
+            "b": pd.Series([], dtype="int64"),
+            "i_part": pd.Series([], dtype="int64"),
+            "na": pd.Series([], dtype="int64"),
+            "nb": pd.Series([], dtype="int64"),
+            "ppart": pd.Series([], dtype="int64"),
+        }
+        codes, _ = pd.factorize(g["tk"], sort=False)
+        order = np.argsort(codes, kind="stable")
+        codes_s = codes[order]
+        docs_s = g["doc_id"].to_numpy()[order]
+        ns_s = g["n"].to_numpy()[order]
+        starts = np.nonzero(np.r_[True, codes_s[1:] != codes_s[:-1]])[0]
+        ends = np.r_[starts[1:], codes_s.size]
+        sizes = ends - starts
+        n_hot = int((sizes > hot_cap).sum())
+        live = (sizes >= 2) & (sizes <= hot_cap)
+        out = []
+        for s, e in zip(starts[live], ends[live]):
+            ids, nn = docs_s[s:e], ns_s[s:e]
+            o = np.argsort(ids)
+            ids, nn = ids[o], nn[o]
+            ai, bi = np.triu_indices(ids.size, k=1)
+            out.append((ids[ai], ids[bi], nn[ai], nn[bi]))
+        frames = []
+        if out:
+            a = np.concatenate([x[0] for x in out])
+            b = np.concatenate([x[1] for x in out])
+            na = np.concatenate([x[2] for x in out])
+            nb = np.concatenate([x[3] for x in out])
+            df = pd.DataFrame(
+                {"a": a, "b": b, "i_part": np.ones(a.size, dtype=np.int64),
+                 "na": na, "nb": nb}
             )
-        if ids.size < 2:
-            return pd.DataFrame({"a": [], "b": [], "i_part": []}).astype(
-                {"a": "int64", "b": "int64", "i_part": "int64"}
+            # intra-partition combine: the same pair appears once per shared
+            # shingle hashed here; collapse before the cross-partition shuffle
+            df = df.groupby(["a", "b"], sort=False, as_index=False).agg(
+                i_part=("i_part", "sum"), na=("na", "first"), nb=("nb", "first")
             )
-        ai, bi = np.triu_indices(ids.size, k=1)
-        return pd.DataFrame({"a": ids[ai], "b": ids[bi], "i_part": 1})
+            frames.append(df)
+        if n_hot:
+            # boilerplate shingles: one marker row -> dropped-count log later
+            frames.append(
+                pd.DataFrame({"a": [-1], "b": [-1], "i_part": [n_hot],
+                              "na": [0], "nb": [0]}).astype("int64")
+            )
+        if not frames:
+            return pd.DataFrame(empty)
+        df = pd.concat(frames, ignore_index=True)
+        # coarse pair-partition key: Ray's per-group Aggregate costs ~1 ms per
+        # distinct group; a 32-way partition + one vectorized pandas combine
+        # per partition does the same reduce at C speed
+        df["ppart"] = (df["a"] * 1_000_003 + df["b"]) % _N_JACCARD_PARTS
+        return df
+
+    def combine_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["a", "b"], sort=False, as_index=False).agg(
+            i=("i_part", "sum"), na=("na", "max"), nb=("nb", "max")
+        )
+        return out[["a", "b", "i", "na", "nb"]]
 
     inter = (
-        tok.groupby("tk")
-        .map_groups(pairs_of_group, batch_format="pandas")
-        .groupby(["a", "b"])
-        .aggregate(Sum("i_part", alias_name="i"))
+        tok.groupby("part")
+        .map_groups(pairs_of_partition, batch_format="pandas")
+        .groupby("ppart")
+        .map_groups(combine_pairs, batch_format="pandas")
     )
 
-    class _Jaccard:
-        def __init__(self):
-            self.size_of = ray.get(size_ref)
+    def jaccard_final(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        i = t["i"].to_numpy(zero_copy_only=False).astype(np.float64)
+        na = t["na"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = t["nb"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dropped = a == -1  # hot-shingle marker rows
+        if dropped.any():
+            import logging
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            a = t["a"].to_numpy(zero_copy_only=False)
-            b = t["b"].to_numpy(zero_copy_only=False)
-            i = t["i"].to_numpy(zero_copy_only=False).astype(np.float64)
-            dropped = a == -1  # hot-shingle marker rows
-            if dropped.any():
-                import logging
-
-                logging.getLogger(__name__).info(
-                    "ngram_jaccard_pairs: %d hot shingles (df > %d) dropped "
-                    "from intersection counting",
-                    int(i[dropped].sum()), int(hot_cap),
-                )
-                a, b, i = a[~dropped], b[~dropped], i[~dropped]
-            na = np.array([self.size_of[x] for x in a], dtype=np.float64)
-            nb = np.array([self.size_of[x] for x in b], dtype=np.float64)
-            j = i / (na + nb - i)
-            keep = j >= threshold
-            return pa.table(
-                {
-                    "a": pa.array(a[keep], pa.int64()),
-                    "b": pa.array(b[keep], pa.int64()),
-                    "jaccard": pa.array(np.round(j[keep], 6), pa.float64()),
-                }
+            logging.getLogger(__name__).info(
+                "ngram_jaccard_pairs: %d hot shingles (df > %d) dropped "
+                "from intersection counting",
+                int(i[dropped].sum()), int(hot_cap),
             )
+            a, b, i, na, nb = a[~dropped], b[~dropped], i[~dropped], na[~dropped], nb[~dropped]
+        j = i / (na + nb - i)
+        keep = j >= threshold
+        return pa.table(
+            {
+                "a": pa.array(a[keep], pa.int64()),
+                "b": pa.array(b[keep], pa.int64()),
+                "jaccard": pa.array(np.round(j[keep], 6), pa.float64()),
+            }
+        )
 
-    return inter.map_batches(_Jaccard, batch_format="pyarrow", concurrency=(1, 4))
+    return inter.map_batches(jaccard_final, batch_format="pyarrow")
 
 
 NGRAM_JACCARD_SQL = """
