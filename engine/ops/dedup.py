@@ -260,6 +260,7 @@ WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
 # ---------------------------------------------------------------------------
 _N_PERM = 64
 _N_BANDS = 16  # 16 bands x 4 rows
+_N_CAND_PARTS = 64  # coarse partitions for bucket/pair reduces
 _SHINGLE_K = 3
 
 # 64-bit mixing constants (splitmix64 / xxhash finalizer family)
@@ -410,13 +411,18 @@ class _MinHasher:
             bh = _mix2(bh, s3[:, r])
         bh = (bh >> np.uint64(1)).astype(np.int64)  # int64-safe
         doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        band_col = np.repeat(np.arange(_N_BANDS, dtype=np.int64), n_docs)
+        bh_col = bh.reshape(-1)
+        # coarse bucket-partition key: all rows of one (band, bh) bucket
+        # co-locate under a ~64-way groupby instead of one sort group per
+        # bucket (Ray's map_groups costs ~1 ms per group)
+        part = (bh_col ^ (band_col << np.int64(13))) % _N_CAND_PARTS
         return pa.table(
             {
-                "band": pa.array(
-                    np.repeat(np.arange(_N_BANDS, dtype=np.int32), n_docs), pa.int32()
-                ),
-                "bh": pa.array(bh.reshape(-1), pa.int64()),
+                "band": pa.array(band_col.astype(np.int32), pa.int32()),
+                "bh": pa.array(bh_col, pa.int64()),
                 "doc_id": pa.array(np.tile(doc_ids, _N_BANDS), pa.int64()),
+                "part": pa.array(part, pa.int64()),
             }
         )
 
@@ -460,18 +466,46 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.6):
         _MinHasher, batch_format="pyarrow", concurrency=(1, 8), zero_copy_batch=True
     )
 
-    def cand_of_group(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(g["doc_id"].to_numpy())
-        if ids.size < 2:
-            return pd.DataFrame({"a": [], "b": []}).astype({"a": "int64", "b": "int64"})
-        ai, bi = np.triu_indices(ids.size, k=1)
-        return pd.DataFrame({"a": ids[ai], "b": ids[bi]})
+    def cand_of_partition(g: pd.DataFrame) -> pd.DataFrame:
+        """Candidate pairs of ALL (band, bh) buckets in one hash partition:
+        lexsort rows by bucket, walk only buckets with >= 2 rows (rare —
+        buckets are near-unique away from true near-dups)."""
+        empty = {
+            "a": pd.Series([], dtype="int64"),
+            "b": pd.Series([], dtype="int64"),
+            "ppart": pd.Series([], dtype="int64"),
+        }
+        band = g["band"].to_numpy().astype(np.int64)
+        bh = g["bh"].to_numpy()
+        doc = g["doc_id"].to_numpy()
+        order = np.lexsort((doc, bh, band))
+        band_s, bh_s, doc_s = band[order], bh[order], doc[order]
+        brk = np.r_[True, (band_s[1:] != band_s[:-1]) | (bh_s[1:] != bh_s[:-1])]
+        starts = np.nonzero(brk)[0]
+        ends = np.r_[starts[1:], band_s.size]
+        out = []
+        for s, e in zip(starts[ends - starts >= 2], ends[ends - starts >= 2]):
+            ids = np.unique(doc_s[s:e])
+            if ids.size < 2:
+                continue
+            ai, bi = np.triu_indices(ids.size, k=1)
+            out.append((ids[ai], ids[bi]))
+        if not out:
+            return pd.DataFrame(empty)
+        a = np.concatenate([x[0] for x in out])
+        b = np.concatenate([x[1] for x in out])
+        df = pd.DataFrame({"a": a, "b": b}).drop_duplicates()
+        df["ppart"] = (df["a"] * 1_000_003 + df["b"]) % _N_CAND_PARTS
+        return df
 
     cands = (
-        bands.groupby(["band", "bh"])
-        .map_groups(cand_of_group, batch_format="pandas")
-        .groupby(["a", "b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")  # distinct pairs
+        bands.groupby("part")
+        .map_groups(cand_of_partition, batch_format="pandas")
+        .groupby("ppart")
+        .map_groups(  # global distinct (a pair can surface in many buckets)
+            lambda g: g.drop_duplicates(["a", "b"])[["a", "b"]],
+            batch_format="pandas",
+        )
     ).materialize()
 
     # ids only — per-doc fixed 8 bytes, never the shingle sets
