@@ -46,6 +46,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_latest_per_user": relational.events_latest_per_user,
         "events_pivot": relational.events_pivot,
         "events_tumbling_daily": relational.events_tumbling_daily,
+        "events_hopping_daily": relational.events_hopping_daily,
+        "events_user_deltas": relational.events_user_deltas,
         "events_page3": relational.events_page3,
         "events_keyset_page8": relational.events_keyset_page8,
         "events_sessionize": relational.events_sessionize,
@@ -114,6 +116,8 @@ def oracle_sql() -> dict[str, str]:
         "events_latest_per_user": relational.EVENTS_LATEST_SQL,
         "events_pivot": relational.EVENTS_PIVOT_SQL,
         "events_tumbling_daily": relational.EVENTS_TUMBLING_SQL,
+        "events_hopping_daily": relational.EVENTS_HOPPING_SQL,
+        "events_user_deltas": relational.EVENTS_USER_DELTAS_SQL,
         "events_page3": relational.EVENTS_PAGE3_SQL,
         "events_keyset_page8": relational.EVENTS_KEYSET_PAGE8_SQL,
         "events_sessionize": relational.EVENTS_SESSIONIZE_SQL,

@@ -200,8 +200,11 @@ def run_bench() -> dict:
         ("q6_revenue", relational.q6_revenue),
         ("events_latest_per_user", relational.events_latest_per_user),
         ("exact_dedup", dedup.exact_dedup),
+        ("minhash_lsh_pairs", dedup.minhash_lsh_pairs),
+        ("events_sessionize", relational.events_sessionize),
         ("token_counts", textops.token_counts),
         ("knn_topk", ann.knn_topk),
+        ("ivf_knn_topk", ann.ivf_knn_topk),
     ]:
         best = None
         for _ in range(2):  # best-of-2: single shots swing with neighbor load

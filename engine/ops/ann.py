@@ -131,6 +131,7 @@ SELECT query_id, rank, vec_id, sim_r FROM ranked WHERE rank <= {K}
 # ---------------------------------------------------------------------------
 _N_PLANES = 6  # bits per table
 _N_TABLES = 16  # independent hash tables (classic LSH amplification)
+_N_PAIR_PARTS = 64  # coarse partitions for bucket/pair reduces
 
 
 class _LshBucketer:
@@ -442,54 +443,70 @@ def lsh_cosine_dup_pairs(sf_dir: str, threshold: float = 0.4):
                 pa.array(offsets, pa.int64()),
                 pa.array(flat_emb.reshape(-1), pa.float64()),
             )
+            # coarse bucket-partition key: one sort group per LSH bucket
+            # costs ~1 ms each in Ray's map_groups; 64 coarse groups do the
+            # same co-location with vectorized per-partition pairing
+            bucket = keys.T.reshape(-1)
             return pa.table(
                 {
-                    "bucket": pa.array(keys.T.reshape(-1), pa.int64()),
+                    "bucket": pa.array(bucket, pa.int64()),
                     "vec_id": pa.array(np.tile(ids, T), pa.int64()),
                     "emb": lists,
+                    "part": pa.array(bucket % _N_PAIR_PARTS, pa.int64()),
                 }
             )
 
-    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("vec_id").sort_values("vec_id")
+    def pairs_of_partition(g: pd.DataFrame) -> pd.DataFrame:
+        """Pairs of ALL buckets in one hash partition: sort rows by bucket,
+        matmul only the (rare) buckets with >= 2 members."""
+        empty = {
+            "a": pd.Series([], dtype="int64"),
+            "b": pd.Series([], dtype="int64"),
+            "sim": pd.Series([], dtype="float64"),
+            "ppart": pd.Series([], dtype="int64"),
+        }
+        g = g.drop_duplicates(["bucket", "vec_id"])
+        bkt = g["bucket"].to_numpy()
         ids = g["vec_id"].to_numpy()
-        if ids.size < 2:
-            return pd.DataFrame({"a": [], "b": [], "sim": []}).astype(
-                {"a": "int64", "b": "int64", "sim": "float64"}
-            )
-        m = np.asarray([np.asarray(e) for e in g["emb"]], dtype=np.float64)
-        sims = m @ m.T
-        ai, bi = np.nonzero(np.triu(sims >= threshold, k=1))
-        return pd.DataFrame(
-            {"a": ids[ai], "b": ids[bi], "sim": sims[ai, bi]}
-        )
+        order = np.lexsort((ids, bkt))
+        bkt_s, ids_s = bkt[order], ids[order]
+        embs = g["emb"].to_numpy()[order]
+        starts = np.nonzero(np.r_[True, bkt_s[1:] != bkt_s[:-1]])[0]
+        ends = np.r_[starts[1:], bkt_s.size]
+        out = []
+        for s, e in zip(starts[ends - starts >= 2], ends[ends - starts >= 2]):
+            sub_ids = ids_s[s:e]
+            m = np.asarray([np.asarray(x) for x in embs[s:e]], dtype=np.float64)
+            sims = m @ m.T
+            ai, bi = np.nonzero(np.triu(sims >= threshold, k=1))
+            out.append((sub_ids[ai], sub_ids[bi], sims[ai, bi]))
+        if not out:
+            return pd.DataFrame(empty)
+        a = np.concatenate([x[0] for x in out])
+        b = np.concatenate([x[1] for x in out])
+        sim = np.concatenate([x[2] for x in out])
+        df = pd.DataFrame({"a": a, "b": b, "sim": sim})
+        # intra-partition combine before the cross-partition distinct
+        df = df.groupby(["a", "b"], sort=False, as_index=False).agg(sim=("sim", "max"))
+        df["ppart"] = (df["a"] * 1_000_003 + df["b"]) % _N_PAIR_PARTS
+        return df
 
-    from ray.data.aggregate import Max
+    def combine_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["a", "b"], sort=False, as_index=False).agg(sim=("sim", "max"))
+        out["sim_r"] = out["sim"].round(6)
+        return out[["a", "b", "sim_r"]]
 
-    pairs = (
+    return (
         _read_emb(sf_dir)
         .map_batches(
             _BucketWithVec, batch_format="pyarrow", concurrency=(1, 4),
             zero_copy_batch=True,
         )
-        .groupby("bucket")
-        .map_groups(pairs_of_bucket, batch_format="pandas")
-        .groupby(["a", "b"])
-        .aggregate(Max("sim", alias_name="sim"))
+        .groupby("part")
+        .map_groups(pairs_of_partition, batch_format="pandas")
+        .groupby("ppart")
+        .map_groups(combine_pairs, batch_format="pandas")
     )
-
-    def final(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "a": t["a"],
-                "b": t["b"],
-                "sim_r": pa.array(
-                    np.round(t["sim"].to_numpy(zero_copy_only=False), 6), pa.float64()
-                ),
-            }
-        )
-
-    return pairs.map_batches(final, batch_format="pyarrow")
 
 
 COSINE_DUP_SQL = """

@@ -643,35 +643,66 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3):
         s = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
         shifts = np.uint64(16) * np.arange(4, dtype=np.uint64)
         keys = ((s[None, :] >> shifts[:, None]) & np.uint64(0xFFFF)).astype(np.int64)
+        band = np.repeat(np.arange(4, dtype=np.int64), len(d))
+        key = keys.reshape(-1)
+        # coarse bucket-partition key (see minhash): one sort group per
+        # (band, key) bucket costs ~1 ms each in Ray's map_groups
+        part = (key ^ (band << np.int64(13))) % _N_CAND_PARTS
         return pa.table(
             {
-                "band": pa.array(
-                    np.repeat(np.arange(4, dtype=np.int32), len(d)), pa.int32()
-                ),
-                "key": pa.array(keys.reshape(-1), pa.int64()),
+                "band": pa.array(band.astype(np.int32), pa.int32()),
+                "key": pa.array(key, pa.int64()),
                 "doc_id": pa.array(np.tile(d, 4), pa.int64()),
                 "simhash": pa.array(np.tile(s.astype(np.int64), 4), pa.int64()),
+                "part": pa.array(part, pa.int64()),
             }
         )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        hs = g["simhash"].to_numpy().astype(np.uint64)
-        if ids.size < 2:
-            return pd.DataFrame({"a": [], "b": [], "hamming": []}).astype(
-                {"a": "int64", "b": "int64", "hamming": "int64"}
+    def pairs_of_partition(g: pd.DataFrame) -> pd.DataFrame:
+        """Verified pairs of ALL (band, key) buckets in one hash partition."""
+        empty = {
+            "a": pd.Series([], dtype="int64"),
+            "b": pd.Series([], dtype="int64"),
+            "hamming": pd.Series([], dtype="int64"),
+            "ppart": pd.Series([], dtype="int64"),
+        }
+        band = g["band"].to_numpy().astype(np.int64)
+        key = g["key"].to_numpy()
+        doc = g["doc_id"].to_numpy()
+        hsh = g["simhash"].to_numpy().astype(np.uint64)
+        order = np.lexsort((doc, key, band))
+        band_s, key_s, doc_s, hsh_s = band[order], key[order], doc[order], hsh[order]
+        brk = np.r_[True, (band_s[1:] != band_s[:-1]) | (key_s[1:] != key_s[:-1])]
+        starts = np.nonzero(brk)[0]
+        ends = np.r_[starts[1:], band_s.size]
+        out = []
+        for s, e in zip(starts[ends - starts >= 2], ends[ends - starts >= 2]):
+            ids, hs = doc_s[s:e], hsh_s[s:e]
+            ai, bi = np.triu_indices(ids.size, k=1)
+            x = hs[ai] ^ hs[bi]
+            ham = (
+                np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1)
+                .sum(axis=1)
+                .astype(np.int64)
             )
-        ai, bi = np.triu_indices(ids.size, k=1)
-        x = hs[ai] ^ hs[bi]
-        ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1).astype(np.int64)
-        keep = ham <= max_hamming
-        return pd.DataFrame({"a": ids[ai][keep], "b": ids[bi][keep], "hamming": ham[keep]})
+            keep = ham <= max_hamming
+            out.append((ids[ai][keep], ids[bi][keep], ham[keep]))
+        if not out:
+            return pd.DataFrame(empty)
+        a = np.concatenate([x[0] for x in out])
+        b = np.concatenate([x[1] for x in out])
+        ham = np.concatenate([x[2] for x in out])
+        df = pd.DataFrame({"a": a, "b": b, "hamming": ham}).drop_duplicates(["a", "b"])
+        df["ppart"] = (df["a"] * 1_000_003 + df["b"]) % _N_CAND_PARTS
+        return df
 
     return (
         sh.map_batches(explode, batch_format="pyarrow")
-        .groupby(["band", "key"])
-        .map_groups(pairs, batch_format="pandas")
-        .groupby(["a", "b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        .groupby("part")
+        .map_groups(pairs_of_partition, batch_format="pandas")
+        .groupby("ppart")
+        .map_groups(  # a pair can agree on bands hashed to different parts
+            lambda g: g.drop_duplicates(["a", "b"])[["a", "b", "hamming"]],
+            batch_format="pandas",
+        )
     )

@@ -1060,3 +1060,105 @@ SELECT event_type, count(*) AS n,
        round(quantile_cont(value, 0.99), 6) AS p99
 FROM events GROUP BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# §2.9 streaming, hopping (sliding) window aggregate: a 3-day window
+# advancing by 1 day.  The streaming idiom: each event REPLICATES into the
+# w/hop windows that contain it inside `map_batches` (vectorized tile), a
+# per-batch partial collapses to (window, count, sum) rows BEFORE the
+# shuffle, and the final groupby moves only window-grain rows — the
+# exchange is O(windows), never O(events * w/hop).
+_HOP_WINDOW_DAYS = 3
+
+
+def events_hopping_daily(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+    w = _HOP_WINDOW_DAYS
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        val = t["value"].to_numpy(zero_copy_only=False)
+        day = ts // US_PER_DAY * US_PER_DAY
+        # windows containing ts: starts day-(w-1)d .. day
+        starts = (
+            np.tile(day, w)
+            - np.repeat(np.arange(w, dtype=np.int64), len(ts)) * US_PER_DAY
+        )
+        vals = np.tile(val, w)
+        t2 = pa.table(
+            {
+                "window_start": pa.array(starts, pa.int64()).cast(pa.timestamp("us")),
+                "value": pa.array(vals, pa.float64()),
+            }
+        )
+        g = t2.group_by("window_start").aggregate([("value", "sum"), ("value", "count")])
+        return g
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("window_start")
+        .aggregate(
+            Sum("value_sum", alias_name="s"),
+            Sum("value_count", alias_name="n"),
+        )
+    )
+    df = agg.to_pandas()
+    df["sum_value"] = df["s"].round(4)
+    return df[["window_start", "n", "sum_value"]]
+
+
+EVENTS_HOPPING_SQL = """
+SELECT date_trunc('day', ts) - to_days(k) AS window_start,
+       count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events CROSS JOIN (VALUES (0), (1), (2)) AS hops(k)
+GROUP BY window_start
+"""
+
+
+# ---------------------------------------------------------------------------
+# lag/lead window family: per-user deltas between consecutive events
+# (inter-event gap + value change).  Same single user-keyed shuffle as
+# sessionize/as-of; per group the lag is one vectorized shift.  First event
+# per user has no predecessor and is dropped (inner lag), so every output
+# column stays non-null.
+def events_user_deltas(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
+
+    def deltas_of_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        tsus = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        val = g["value"].to_numpy()
+        if len(g) < 2:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "event_id": pd.Series([], dtype="int64"),
+                    "gap_s": pd.Series([], dtype="float64"),
+                    "value_delta": pd.Series([], dtype="float64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy()[1:],
+                "event_id": g["event_id"].to_numpy()[1:],
+                "gap_s": np.round((tsus[1:] - tsus[:-1]) / 1e6, 6),
+                "value_delta": np.round(val[1:] - val[:-1], 6),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(deltas_of_user, batch_format="pandas")
+
+
+EVENTS_USER_DELTAS_SQL = """
+SELECT user_id, event_id,
+       round((epoch_us(ts) - epoch_us(prev_ts)) / 1e6, 6) AS gap_s,
+       round(value - prev_value, 6) AS value_delta
+FROM (
+  SELECT user_id, event_id, ts, value,
+         lag(ts) OVER w AS prev_ts, lag(value) OVER w AS prev_value
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+WHERE prev_ts IS NOT NULL
+"""

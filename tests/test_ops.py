@@ -52,6 +52,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 SQL_CHECKED = [
     "events_keyset_page8",
     "events_sessionize",
+    "events_hopping_daily",
+    "events_user_deltas",
     "events_attribution_asof",
     "events_value_quantiles",
     "orders_topn_per_customer",
