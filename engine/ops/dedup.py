@@ -25,8 +25,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data as rd
-from ray.data.aggregate import Min, Sum
-
 from ..analyze import SPLIT_PATTERN, tokenize, tokenize_counts_arrow
 
 _MERSENNE = (1 << 61) - 1
@@ -38,21 +36,38 @@ def _read_docs(sf_dir: str, columns=None) -> rd.Dataset:
 
 # ---------------------------------------------------------------------------
 def exact_dedup(sf_dir: str):
-    """Exact content dedup: md5(text) -> (hash, keep_id=min doc_id, n_dups)."""
+    """Exact content dedup: md5(text) -> (hash, keep_id=min doc_id, n_dups).
+
+    The reduce key (content hash) is corpus-cardinality, so the combine is
+    NOT one Ray group per hash (per-group dispatch cost grows with group
+    count): map-side partials carry a coarse hash-prefix partition key and
+    one vectorized pandas groupby per partition finishes the reduce."""
 
     def hash_batch(t: pa.Table) -> pa.Table:
         hs = [hashlib.md5(x.encode("utf-8")).hexdigest() for x in t["text"].to_pylist()]
         t2 = pa.table({"h": pa.array(hs, pa.string()), "doc_id": t["doc_id"]})
         g = t2.group_by("h").aggregate([("doc_id", "min"), ("doc_id", "count")])
+        part = [int(x[:8], 16) % _N_CAND_PARTS for x in g["h"].to_pylist()]
         return pa.table(
-            {"h": g["h"], "keep_part": g["doc_id_min"], "n_part": g["doc_id_count"]}
+            {
+                "h": g["h"],
+                "keep_part": g["doc_id_min"],
+                "n_part": g["doc_id_count"],
+                "part": pa.array(part, pa.int64()),
+            }
         )
+
+    def dedup_of_partition(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("h", sort=False, as_index=False).agg(
+            keep_id=("keep_part", "min"), n_dups=("n_part", "sum")
+        )
+        return out[["h", "keep_id", "n_dups"]]
 
     return (
         _read_docs(sf_dir, columns=["doc_id", "text"])
         .map_batches(hash_batch, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("h")
-        .aggregate(Min("keep_part", alias_name="keep_id"), Sum("n_part", alias_name="n_dups"))
+        .groupby("part")
+        .map_groups(dedup_of_partition, batch_format="pandas")
     )
 
 

@@ -20,11 +20,24 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Min, Sum
+from ray.data.aggregate import Sum
 
 from .joins import broadcast_join
 
 US_PER_DAY = 86_400_000_000
+
+# High-cardinality reduces do NOT use one Ray sort-group per key: Ray's
+# groupby().map_groups / .aggregate() cost grows with the number of groups
+# (measured ~17 s for 100k groups over 2M trivial rows on this box), because
+# each group is sliced and dispatched separately.  Instead, keys hash into
+# _N_KEY_PARTS coarse partitions (one shuffle, same co-location guarantee)
+# and ONE vectorized pandas/numpy kernel reduces ALL keys of a partition at
+# C speed.  At cluster scale, raise _N_KEY_PARTS toward the task-slot count.
+_N_KEY_PARTS = 64
+
+
+def _keypart(ids: np.ndarray) -> np.ndarray:
+    return (ids.astype(np.int64) * 0x9E3779B1 % (1 << 31)) % _N_KEY_PARTS
 
 
 def _read(sf_dir: str, table: str, columns=None, filter=None) -> rd.Dataset:
@@ -342,10 +355,15 @@ def events_latest_per_user(sf_dir: str):
         # map-side combine: keep the latest (ts, event_id) row per user
         df = t.to_pandas()
         idx = df.sort_values(["ts", "event_id"]).groupby("user_id", sort=False).tail(1)
+        idx["part"] = _keypart(idx["user_id"].to_numpy())
         return pa.Table.from_pandas(idx, preserve_index=False)
 
-    def latest_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"]).tail(1)
+    def latest_of_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            g.sort_values(["ts", "event_id"])
+            .groupby("user_id", sort=False)
+            .tail(1)
+        )
         return pd.DataFrame(
             {
                 "user_id": g["user_id"].values,
@@ -357,8 +375,8 @@ def events_latest_per_user(sf_dir: str):
 
     return (
         ds.map_batches(latest_in_batch, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("user_id")
-        .map_groups(latest_group, batch_format="pandas")
+        .groupby("part")
+        .map_groups(latest_of_partition, batch_format="pandas")
     )
 
 
@@ -381,18 +399,22 @@ def events_pivot(sf_dir: str):
             res[f"max_{et}"] = m
         res["n_events"] = df.groupby("user_id").size()
         res.index.name = "user_id"
-        return pa.Table.from_pandas(res.reset_index(), preserve_index=False)
+        res = res.reset_index()
+        res["part"] = _keypart(res["user_id"].to_numpy())
+        return pa.Table.from_pandas(res, preserve_index=False)
 
-    agg = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("user_id")
-        .aggregate(
-            Max("max_click", alias_name="max_click", ignore_nulls=True),
-            Max("max_purchase", alias_name="max_purchase", ignore_nulls=True),
-            Sum("n_events", alias_name="n_events"),
+    def pivot_of_partition(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("user_id", sort=False, as_index=False).agg(
+            max_click=("max_click", "max"),
+            max_purchase=("max_purchase", "max"),
+            n_events=("n_events", "sum"),
         )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(pivot_of_partition, batch_format="pandas")
     )
-    return agg
 
 
 EVENTS_PIVOT_SQL = """
@@ -815,26 +837,53 @@ _SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
 def events_sessionize(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
 
-    def sessions_of_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        tsus = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        new = np.ones(len(g), dtype=np.int64)
-        if len(g) > 1:
-            new[1:] = (tsus[1:] - tsus[:-1] > _SESSION_GAP_US).astype(np.int64)
-        sess_no = np.cumsum(new)
-        bounds = np.nonzero(new)[0]
-        ends = np.concatenate((bounds[1:], [len(g)]))
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "part", pa.array(_keypart(t["user_id"].to_numpy(zero_copy_only=False)))
+        )
+
+    def sessions_of_partition(g: pd.DataFrame) -> pd.DataFrame:
+        """ALL users of one partition in one vectorized pass: sort by
+        (user, ts, event_id); a session opens at a user boundary or a gap;
+        per-user session numbers come from the global cumsum minus a
+        forward-filled per-user base."""
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "session_no": pd.Series([], dtype="int64"),
+                    "session_start": pd.Series([], dtype="datetime64[us]"),
+                    "session_end": pd.Series([], dtype="datetime64[us]"),
+                    "n_events": pd.Series([], dtype="int64"),
+                }
+            )
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy()
+        tsus = ts.astype("datetime64[us]").astype(np.int64)
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        gap = np.r_[True, (tsus[1:] - tsus[:-1]) > _SESSION_GAP_US]
+        new = new_user | gap
+        sno_g = np.cumsum(new)
+        base = np.maximum.accumulate(np.where(new_user, sno_g - 1, -1))
+        session_no = sno_g - base
+        starts = np.nonzero(new)[0]
+        ends = np.r_[starts[1:], len(g)]
         return pd.DataFrame(
             {
-                "user_id": g["user_id"].iloc[bounds].to_numpy(),
-                "session_no": sess_no[bounds],
-                "session_start": g["ts"].iloc[bounds].to_numpy(),
-                "session_end": g["ts"].iloc[ends - 1].to_numpy(),
-                "n_events": (ends - bounds).astype(np.int64),
+                "user_id": u[starts],
+                "session_no": session_no[starts],
+                "session_start": ts[starts],
+                "session_end": ts[ends - 1],
+                "n_events": (ends - starts).astype(np.int64),
             }
         )
 
-    return ds.groupby("user_id").map_groups(sessions_of_user, batch_format="pandas")
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(sessions_of_partition, batch_format="pandas")
+    )
 
 
 EVENTS_SESSIONIZE_SQL = """
@@ -873,20 +922,32 @@ def orders_topn_per_customer(sf_dir: str, n: int = 2):
             ["o_custkey", "o_totalprice", "o_orderkey"],
             ascending=[True, False, True],
         )
-        return pa.Table.from_pandas(
-            df.groupby("o_custkey", sort=False).head(n), preserve_index=False
-        )
+        df = df.groupby("o_custkey", sort=False).head(n)
+        df["part"] = _keypart(df["o_custkey"].to_numpy())
+        return pa.Table.from_pandas(df, preserve_index=False)
 
-    def topn_of_customer(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).head(n)
-        g = g.reset_index(drop=True)
-        g["rn"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["o_custkey", "rn", "o_orderkey", "o_totalprice"]]
+    def topn_of_partition(g: pd.DataFrame) -> pd.DataFrame:
+        """ALL customers of one partition in one vectorized pass: sort by
+        (cust, price desc, orderkey); within-customer rank = global index
+        minus the customer's start index."""
+        g = g.sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True],
+        )
+        c = g["o_custkey"].to_numpy()
+        new = np.r_[True, c[1:] != c[:-1]]
+        starts = np.nonzero(new)[0]
+        sizes = np.diff(np.r_[starts, len(g)])
+        rn = np.arange(len(g), dtype=np.int64) - np.repeat(starts, sizes) + 1
+        keep = rn <= n
+        out = g[keep].copy()
+        out["rn"] = rn[keep]
+        return out[["o_custkey", "rn", "o_orderkey", "o_totalprice"]]
 
     return (
         ds.map_batches(local_topn, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("o_custkey")
-        .map_groups(topn_of_customer, batch_format="pandas")
+        .groupby("part")
+        .map_groups(topn_of_partition, batch_format="pandas")
     )
 
 
@@ -921,36 +982,57 @@ def events_attribution_asof(sf_dir: str):
         filter=pc.field("event_type").isin(["click", "purchase"]),
     )
 
-    def asof_of_user(g: pd.DataFrame) -> pd.DataFrame:
-        is_click = (g["event_type"] == "click").to_numpy()
-        clicks = g[is_click].sort_values("ts")
-        purch = g[~is_click].sort_values("ts")
-        if len(clicks) == 0 or len(purch) == 0:
-            return pd.DataFrame(
-                {
-                    "purchase_id": pd.Series([], dtype="int64"),
-                    "user_id": pd.Series([], dtype="int64"),
-                    "purchase_ts": pd.Series([], dtype="datetime64[us]"),
-                    "click_ts": pd.Series([], dtype="datetime64[us]"),
-                    "gap_s": pd.Series([], dtype="float64"),
-                }
-            )
-        cts = clicks["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        pts = purch["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        idx = np.searchsorted(cts, pts, side="right") - 1
-        ok = idx >= 0
-        matched = cts[idx[ok]]
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "part", pa.array(_keypart(t["user_id"].to_numpy(zero_copy_only=False)))
+        )
+
+    def asof_of_partition(g: pd.DataFrame) -> pd.DataFrame:
+        """ALL users of one partition in one vectorized pass: sort by
+        (user, ts, clicks-before-purchases); the matching click for every
+        row is the forward-max of click indices (ASOF's `>=` is inclusive,
+        hence clicks first at equal ts), guarded to the same user."""
+        empty = pd.DataFrame(
+            {
+                "purchase_id": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype="int64"),
+                "purchase_ts": pd.Series([], dtype="datetime64[us]"),
+                "click_ts": pd.Series([], dtype="datetime64[us]"),
+                "gap_s": pd.Series([], dtype="float64"),
+            }
+        )
+        if g.empty:
+            return empty
+        g = g.assign(_p=(g["event_type"] == "purchase").astype(np.int8))
+        g = g.sort_values(["user_id", "ts", "_p", "event_id"])
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy()
+        tsus = ts.astype("datetime64[us]").astype(np.int64)
+        is_p = g["_p"].to_numpy() == 1
+        idx = np.arange(len(g), dtype=np.int64)
+        last_click = np.maximum.accumulate(np.where(~is_p, idx, -1))
+        li = last_click[is_p]
+        ok = li >= 0
+        ok[ok] = u[li[ok]] == u[is_p][ok]  # click must be the same user's
+        if not ok.any():
+            return empty
+        li = li[ok]
+        pts = tsus[is_p][ok]
         return pd.DataFrame(
             {
-                "purchase_id": purch["event_id"].to_numpy()[ok],
-                "user_id": purch["user_id"].to_numpy()[ok],
-                "purchase_ts": purch["ts"].to_numpy()[ok],
-                "click_ts": matched.astype("datetime64[us]"),
-                "gap_s": np.round((pts[ok] - matched) / 1e6, 6),
+                "purchase_id": g["event_id"].to_numpy()[is_p][ok],
+                "user_id": u[is_p][ok],
+                "purchase_ts": ts[is_p][ok],
+                "click_ts": ts[li],
+                "gap_s": np.round((pts - tsus[li]) / 1e6, 6),
             }
         )
 
-    return ds.groupby("user_id").map_groups(asof_of_user, batch_format="pandas")
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(asof_of_partition, batch_format="pandas")
+    )
 
 
 EVENTS_ASOF_SQL = """
@@ -1125,10 +1207,14 @@ GROUP BY window_start
 def events_user_deltas(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
 
-    def deltas_of_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        tsus = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        val = g["value"].to_numpy()
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "part", pa.array(_keypart(t["user_id"].to_numpy(zero_copy_only=False)))
+        )
+
+    def deltas_of_partition(g: pd.DataFrame) -> pd.DataFrame:
+        """ALL users of one partition in one vectorized pass: sort by
+        (user, ts, event_id), diff, and drop each user's first row."""
         if len(g) < 2:
             return pd.DataFrame(
                 {
@@ -1138,16 +1224,27 @@ def events_user_deltas(sf_dir: str):
                     "value_delta": pd.Series([], dtype="float64"),
                 }
             )
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        u = g["user_id"].to_numpy()
+        tsus = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        val = g["value"].to_numpy()
+        same = np.r_[False, u[1:] == u[:-1]]
+        gap = np.r_[np.int64(0), tsus[1:] - tsus[:-1]]
+        dv = np.r_[0.0, val[1:] - val[:-1]]
         return pd.DataFrame(
             {
-                "user_id": g["user_id"].to_numpy()[1:],
-                "event_id": g["event_id"].to_numpy()[1:],
-                "gap_s": np.round((tsus[1:] - tsus[:-1]) / 1e6, 6),
-                "value_delta": np.round(val[1:] - val[:-1], 6),
+                "user_id": u[same],
+                "event_id": g["event_id"].to_numpy()[same],
+                "gap_s": np.round(gap[same] / 1e6, 6),
+                "value_delta": np.round(dv[same], 6),
             }
         )
 
-    return ds.groupby("user_id").map_groups(deltas_of_user, batch_format="pandas")
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(deltas_of_partition, batch_format="pandas")
+    )
 
 
 EVENTS_USER_DELTAS_SQL = """
