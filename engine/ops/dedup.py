@@ -530,28 +530,37 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.6):
 
     _SH_TYPE = pa.list_(pa.uint64())
 
+    def _docpart(ids: np.ndarray) -> np.ndarray:
+        return (ids.astype(np.int64) * 0x9E3779B1 % (1 << 31)) % _N_CAND_PARTS
+
     def pair_sides(t: pa.Table) -> pa.Table:
         a = t["a"].to_numpy(zero_copy_only=False)
         b = t["b"].to_numpy(zero_copy_only=False)
         n = len(a)
+        doc = np.concatenate([a, b])
         return pa.table(
             {
-                "doc_id": pa.array(np.concatenate([a, b]), pa.int64()),
+                "doc_id": pa.array(doc, pa.int64()),
                 "a": pa.array(np.concatenate([a, a]), pa.int64()),
                 "b": pa.array(np.concatenate([b, b]), pa.int64()),
                 "shingles": pa.nulls(2 * n, _SH_TYPE),
+                "docpart": pa.array(_docpart(doc), pa.int64()),
             }
         )
 
     def shingle_store_rows(t: pa.Table) -> pa.Table:
         sh = _shingle_set_rows(t)
         n = sh.num_rows
+        doc = sh["doc_id"].cast(pa.int64())
         return pa.table(
             {
-                "doc_id": sh["doc_id"].cast(pa.int64()),
+                "doc_id": doc,
                 "a": pa.array(np.full(n, -1, np.int64), pa.int64()),
                 "b": pa.array(np.full(n, -1, np.int64), pa.int64()),
                 "shingles": sh["shingles"],
+                "docpart": pa.array(
+                    _docpart(doc.to_numpy(zero_copy_only=False)), pa.int64()
+                ),
             }
         )
 
@@ -563,45 +572,76 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.6):
 
     sides = cands.map_batches(pair_sides, batch_format="pyarrow")
 
-    def attach(g: pd.DataFrame) -> pd.DataFrame:
+    def attach_of_partition(g: pd.DataFrame) -> pd.DataFrame:
+        """ALL candidate docs of one doc-hash partition at once: a pandas
+        many-to-one merge attaches each doc's shingle set to its pair-side
+        rows (was one Ray group per candidate doc — per-group dispatch cost
+        melts on a boilerplate-heavy corpus where candidates ~ corpus)."""
         is_store = g["a"].to_numpy() == -1
+        store_rows = g[is_store][["doc_id", "shingles"]]
         side = g[~is_store]
-        if side.empty or not is_store.any():
+        if side.empty or store_rows.empty:
             return pd.DataFrame(
-                {"a": [], "b": [], "shingles": []}
-            ).astype({"a": "int64", "b": "int64", "shingles": "object"})
-        sh = g["shingles"][is_store].iloc[0]
-        out = side[["a", "b"]].copy()
-        out["shingles"] = [sh] * len(out)
-        return out
+                {
+                    "a": pd.Series([], dtype="int64"),
+                    "b": pd.Series([], dtype="int64"),
+                    "shingles": pd.Series([], dtype="object"),
+                    "ppart": pd.Series([], dtype="int64"),
+                }
+            )
+        out = side[["doc_id", "a", "b"]].merge(store_rows, on="doc_id", how="inner")
+        out["ppart"] = (out["a"] * 1_000_003 + out["b"]) % _N_CAND_PARTS
+        return out[["a", "b", "shingles", "ppart"]]
 
-    def check(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"a": [], "b": [], "jaccard": []}).astype(
-            {"a": "int64", "b": "int64", "jaccard": "float64"}
+    def check_of_partition(g: pd.DataFrame) -> pd.DataFrame:
+        """Exact Jaccard for ALL pairs of one pair-hash partition: sort by
+        (a, b) so each pair's two side rows are adjacent, then one numpy
+        intersect per pair (no per-pair DataFrame or Ray group)."""
+        empty = pd.DataFrame(
+            {
+                "a": pd.Series([], dtype="int64"),
+                "b": pd.Series([], dtype="int64"),
+                "jaccard": pd.Series([], dtype="float64"),
+            }
         )
-        if len(g) != 2:  # a side doc missing from the store (shouldn't happen)
+        if g.empty:
             return empty
-        sa = np.asarray(g["shingles"].iloc[0], dtype=np.uint64)
-        sb = np.asarray(g["shingles"].iloc[1], dtype=np.uint64)
-        inter = np.intersect1d(sa, sb, assume_unique=True).size
-        denom = sa.size + sb.size - inter
-        j = inter / denom if denom else 1.0
-        if j < threshold:
+        g = g.sort_values(["a", "b"])
+        a = g["a"].to_numpy()
+        b = g["b"].to_numpy()
+        sh = g["shingles"].to_numpy()
+        brk = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        starts = np.nonzero(brk)[0]
+        ends = np.r_[starts[1:], a.size]
+        out_a, out_b, out_j = [], [], []
+        for s, e in zip(starts, ends):
+            if e - s != 2:  # a side doc missing from the store (shouldn't happen)
+                continue
+            sa = np.asarray(sh[s], dtype=np.uint64)
+            sb = np.asarray(sh[s + 1], dtype=np.uint64)
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            denom = sa.size + sb.size - inter
+            j = inter / denom if denom else 1.0
+            if j >= threshold:
+                out_a.append(a[s])
+                out_b.append(b[s])
+                out_j.append(round(j, 6))
+        if not out_a:
             return empty
         return pd.DataFrame(
             {
-                "a": [int(g["a"].iloc[0])],
-                "b": [int(g["b"].iloc[0])],
-                "jaccard": [round(j, 6)],
+                "a": np.array(out_a, dtype=np.int64),
+                "b": np.array(out_b, dtype=np.int64),
+                "jaccard": np.array(out_j, dtype=np.float64),
             }
         )
 
     return (
         sides.union(store)
-        .groupby("doc_id")
-        .map_groups(attach, batch_format="pandas")
-        .groupby(["a", "b"])
-        .map_groups(check, batch_format="pandas")
+        .groupby("docpart")
+        .map_groups(attach_of_partition, batch_format="pandas")
+        .groupby("ppart")
+        .map_groups(check_of_partition, batch_format="pandas")
     )
 
 
