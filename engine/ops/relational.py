@@ -177,21 +177,25 @@ def q3_top_orders(sf_dir: str):
     #   those 10 with a pruned isin read.  Ray's sort-based groupby costs
     #   ~4s of fixed shuffle overhead at this input size; the partial
     #   stream is distinct-key-bounded, not fact-sized.
-    # - above the budget the same plan runs fully distributed: Ray groupby
-    #   reduce + hash join, both sides Datasets end to end.
-    keys = np.sort(
-        np.concatenate(
-            [
-                b["o_orderkey"].to_numpy(zero_copy_only=False)
-                for b in orders.select_columns(["o_orderkey"]).iter_batches(
-                    batch_format="pyarrow", batch_size=None
-                )
-            ]
-            or [np.empty(0, np.int64)]
-        )
-    )
+    # - above the budget NOTHING order-scale touches the driver: partials
+    #   combine per coarse key-hash partition (vectorized reduceat — not one
+    #   Ray group per order), hash-join the qualifying orders for the
+    #   semi-filter + o_orderdate, local top-10 per block, tiny global head.
+    orders = orders.materialize()  # used for the branch count AND the chosen branch
+    n_qualifying = orders.count()
     parts = li.map_batches(rev_partial, batch_format="pyarrow", zero_copy_batch=True)
-    if keys.size <= _Q3_BCAST_KEY_BUDGET:
+    if n_qualifying <= _Q3_BCAST_KEY_BUDGET:
+        keys = np.sort(
+            np.concatenate(
+                [
+                    b["o_orderkey"].to_numpy(zero_copy_only=False)
+                    for b in orders.select_columns(["o_orderkey"]).iter_batches(
+                        batch_format="pyarrow", batch_size=None
+                    )
+                ]
+                or [np.empty(0, np.int64)]
+            )
+        )
         ids_l, sums_l = [], []
         for b in parts.iter_batches(batch_format="pyarrow", batch_size=None):
             ids_l.append(b["l_orderkey"].to_numpy(zero_copy_only=False))
@@ -221,7 +225,31 @@ def q3_top_orders(sf_dir: str):
         df["o_orderdate"] = df["o_orderkey"].map(date_of).astype("datetime64[us]")
         return df[["o_orderkey", "o_orderdate", "revenue"]].reset_index(drop=True)
 
-    rev = parts.groupby("l_orderkey").aggregate(Sum("rev_sum", alias_name="revenue"))
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "part", pa.array(_keypart(t["l_orderkey"].to_numpy(zero_copy_only=False)))
+        )
+
+    def combine_of_partition(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["l_orderkey"].to_numpy()
+        sums = g["rev_sum"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids, sums = ids[order], sums[order]
+        starts = np.nonzero(np.r_[True, ids[1:] != ids[:-1]])[0] if ids.size else np.empty(0, np.int64)
+        return pd.DataFrame(
+            {
+                "l_orderkey": ids[starts],
+                "revenue": np.round(np.add.reduceat(sums, starts), 2)
+                if ids.size
+                else np.empty(0),
+            }
+        )
+
+    rev = (
+        parts.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(combine_of_partition, batch_format="pandas")
+    )
     joined = rev.join(
         orders.select_columns(["o_orderkey", "o_orderdate"]),
         "inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",),
@@ -229,7 +257,6 @@ def q3_top_orders(sf_dir: str):
 
     def local_top(t: pa.Table) -> pa.Table:
         df_ = t.to_pandas()
-        df_["revenue"] = df_["revenue"].round(2)
         return pa.Table.from_pandas(
             df_.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(10),
             preserve_index=False,
@@ -276,13 +303,13 @@ def q5_nation_revenue(sf_dir: str):
             "l_orderkey"
         ).aggregate([("rev", "sum")])
 
-    rev = (
-        li.map_batches(rev_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("l_orderkey")
-        .aggregate(Sum("rev_sum", alias_name="rev"))
-    )
+    # NO global order-grain reduce: the target grain is n_name (5 groups), so
+    # batch-local partials join directly (the hash join co-locates by key; a
+    # partial row matches its order like a total would) and the only global
+    # aggregate is the 5-row nation sum.
+    rev = li.map_batches(rev_partial, batch_format="pyarrow", zero_copy_batch=True)
     joined = rev.join(orders, "inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",))
-    out = joined.groupby("n_name").aggregate(Sum("rev", alias_name="revenue")).to_pandas()
+    out = joined.groupby("n_name").aggregate(Sum("rev_sum", alias_name="revenue")).to_pandas()
     out["revenue"] = out["revenue"].round(2)
     return out[["n_name", "revenue"]]
 
