@@ -1286,3 +1286,96 @@ FROM (
 )
 WHERE prev_ts IS NOT NULL
 """
+
+
+# ---------------------------------------------------------------------------
+# Distinct counting, exact + sketch.  Exact count-distinct needs every key
+# co-located once (one coarse-partitioned shuffle of per-batch-unique keys);
+# the HLL sketch is the streaming/100-TB path: per-batch partials are 4096
+# (register, max_rank) rows regardless of input size, merged with one tiny
+# max-reduce — mergeable across batches, partitions, days, or clusters.
+def events_distinct_users(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def uniq_partial(t: pa.Table) -> pa.Table:
+        u = np.unique(t["user_id"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {"user_id": pa.array(u, pa.int64()), "part": pa.array(_keypart(u))}
+        )
+
+    def count_of_partition(g: pd.DataFrame) -> pd.DataFrame:
+        n = int(pd.unique(g["user_id"]).size)
+        return pd.DataFrame({"n_part": np.array([n], dtype=np.int64)})
+
+    parts = (
+        ds.map_batches(uniq_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(count_of_partition, batch_format="pandas")
+        .to_pandas()
+    )
+    return pd.DataFrame({"n_users": np.array([parts["n_part"].sum()], dtype=np.int64)})
+
+
+EVENTS_DISTINCT_USERS_SQL = """
+SELECT count(DISTINCT user_id) AS n_users FROM events
+"""
+
+
+_HLL_P = 12  # 4096 registers; relative error ~ 1.04/sqrt(m) ~ 1.6%
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = (x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15))
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _clz64(x: np.ndarray) -> np.ndarray:
+    """Vectorized count-leading-zeros for uint64 (binary search, no float
+    round-trip — log2-via-float64 mis-floors near 2^53+ boundaries)."""
+    y = x.copy()
+    res = np.zeros(x.shape, np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        z = (y >> np.uint64(64 - s)) == 0
+        res[z] += s
+        y[z] = y[z] << np.uint64(s)
+    return res
+
+
+def events_distinct_users_hll(sf_dir: str, p: int = _HLL_P):
+    """HyperLogLog distinct-user estimate — rows-only (tests assert within
+    tolerance of the exact count; the estimator applies the standard
+    linear-counting small-range correction)."""
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    m = 1 << p
+
+    def hll_partial(t: pa.Table) -> pa.Table:
+        h = _splitmix64(t["user_id"].to_numpy(zero_copy_only=False))
+        reg = (h >> np.uint64(64 - p)).astype(np.int64)
+        w = h << np.uint64(p)
+        rank = np.where(w == 0, np.int64(64 - p + 1), _clz64(w) + 1)
+        order = np.lexsort((-rank, reg))
+        reg_s, rank_s = reg[order], rank[order]
+        first = np.r_[True, reg_s[1:] != reg_s[:-1]]
+        return pa.table(
+            {
+                "reg": pa.array(reg_s[first], pa.int64()),
+                "rank": pa.array(rank_s[first], pa.int64()),
+            }
+        )
+
+    regs = (
+        ds.map_batches(hll_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("reg")
+        .max("rank")
+        .to_pandas()
+    )  # <= 4096 rows however large the input
+    M = np.zeros(m, np.int64)
+    M[regs["reg"].to_numpy()] = regs["max(rank)"].to_numpy()
+    alpha = 0.7213 / (1 + 1.079 / m)
+    e = alpha * m * m / np.sum(np.exp2(-M.astype(np.float64)))
+    zeros = int((M == 0).sum())
+    if e <= 2.5 * m and zeros:
+        e = m * np.log(m / zeros)  # linear counting small-range correction
+    return pd.DataFrame({"n_users_est": np.array([int(round(e))], dtype=np.int64)})

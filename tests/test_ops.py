@@ -52,6 +52,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 SQL_CHECKED = [
     "events_keyset_page8",
     "events_sessionize",
+    "events_distinct_users",
     "events_hopping_daily",
     "events_user_deltas",
     "events_attribution_asof",
@@ -100,6 +101,16 @@ def test_lsh_recall_vs_bruteforce():
         a = set(approx[approx["query_id"] == qid]["vec_id"])
         recalls.append(len(e & a) / len(e))
     assert np.mean(recalls) >= 0.5, recalls  # multi-probe LSH on 64-dim
+
+
+def test_hll_distinct_within_tolerance():
+    from engine.ops.relational import events_distinct_users, events_distinct_users_hll
+
+    exact = int(events_distinct_users(SF)["n_users"].iloc[0])
+    est = int(events_distinct_users_hll(SF)["n_users_est"].iloc[0])
+    # 4096 registers; at n << m the linear-counting correction applies and
+    # the estimate should be within a few percent of the exact count
+    assert abs(est - exact) / exact <= 0.05, (est, exact)
 
 
 def test_ivf_recall_vs_bruteforce():
