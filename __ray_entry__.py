@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": relational.events_sessionize,
         "events_attribution_asof": relational.events_attribution_asof,
         "events_value_quantiles": relational.events_value_quantiles,
+        "events_value_quantiles_sketch": relational.events_value_quantiles_sketch,  # rows-only (sketch)
         "events_sample_stats": relational.events_sample_stats,
         "events_distinct_users": relational.events_distinct_users,
         "events_distinct_users_hll": relational.events_distinct_users_hll,  # rows-only (sketch)

@@ -1379,3 +1379,67 @@ def events_distinct_users_hll(sf_dir: str, p: int = _HLL_P):
     if e <= 2.5 * m and zeros:
         e = m * np.log(m / zeros)  # linear counting small-range correction
     return pd.DataFrame({"n_users_est": np.array([int(round(e))], dtype=np.int64)})
+
+
+# ---------------------------------------------------------------------------
+# Grouped-quantile SCALE path: a mergeable bottom-k (KMV) uniform sample per
+# group.  Each batch keeps, per group, the k rows whose splitmix64(event_id)
+# hash is smallest — a deterministic, order-independent selection, so
+# partials from any number of batches / partitions / days merge by union +
+# re-truncate-to-k (duplicates collapse by event_id if an event is ever
+# re-ingested).  The exchange then carries AT MOST k rows per group however
+# large the input, and the pooled bottom-k is a uniform without-replacement
+# sample of the group (every subset of size k of distinct hashes is equally
+# likely), so per-group quantiles on it are unbiased order-statistics
+# estimates.  When a group has n <= k rows the sketch is EXACT.  The exact
+# operator (events_value_quantiles) is the oracle anchor; tests assert the
+# default-k sketch matches it exactly at fixture scale and a small-k sketch
+# lands within tolerance.
+_QSKETCH_K = 256  # at 100 TB raise to ~4096 for tail (p99) accuracy
+
+
+def events_value_quantiles_sketch(sf_dir: str, k: int = _QSKETCH_K):
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def _bottom_k(et: pa.ChunkedArray, h: np.ndarray) -> np.ndarray:
+        """Row indices of the k smallest hashes per event_type group."""
+        codes_arr = et.combine_chunks().dictionary_encode()
+        codes = codes_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((h, codes))
+        codes_s = codes[order]
+        starts = np.flatnonzero(np.r_[True, codes_s[1:] != codes_s[:-1]])
+        lens = np.diff(np.r_[starts, codes_s.size])
+        rank_in_group = np.arange(codes_s.size) - np.repeat(starts, lens)
+        return order[rank_in_group < k]
+
+    def sample_batch(t: pa.Table) -> pa.Table:
+        h = _splitmix64(t["event_id"].to_numpy(zero_copy_only=False))
+        keep = _bottom_k(t["event_type"], h)
+        idx = pa.array(keep)
+        return pa.table(
+            {
+                "event_type": t["event_type"].take(idx),
+                "value": t["value"].take(idx),
+                "h": pa.array(h[keep], pa.uint64()),
+            }
+        )
+
+    def quants(g: pd.DataFrame) -> pd.DataFrame:
+        pooled = g.nsmallest(k, "h") if len(g) > k else g
+        v = pooled["value"].to_numpy()
+        p50, p90, p99 = np.quantile(v, [0.5, 0.9, 0.99], method="linear")
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n_sampled": np.array([v.size], dtype=np.int64),
+                "p50": [round(p50, 6)],
+                "p90": [round(p90, 6)],
+                "p99": [round(p99, 6)],
+            }
+        )
+
+    return (
+        ds.map_batches(sample_batch, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .map_groups(quants, batch_format="pandas")
+    )

@@ -103,6 +103,31 @@ def test_lsh_recall_vs_bruteforce():
     assert np.mean(recalls) >= 0.5, recalls  # multi-probe LSH on 64-dim
 
 
+def test_quantile_sketch_within_tolerance():
+    from engine.ops.relational import (
+        events_value_quantiles,
+        events_value_quantiles_sketch,
+    )
+
+    exact = _to_pandas(events_value_quantiles(SF)).set_index("event_type")
+
+    # default k (256) >= every group's n at fixture scale -> sketch is EXACT
+    sk = _to_pandas(events_value_quantiles_sketch(SF)).set_index("event_type")
+    assert set(sk.index) == set(exact.index)
+    for et in exact.index:
+        for q in ("p50", "p90", "p99"):
+            assert abs(sk.loc[et, q] - exact.loc[et, q]) < 1e-9, (et, q)
+
+    # small k (a genuine ~1/3 subsample) must land within tolerance; the
+    # bottom-k selection is hash-deterministic so this never flakes
+    sk64 = _to_pandas(events_value_quantiles_sketch(SF, k=64)).set_index("event_type")
+    assert (sk64["n_sampled"] == 64).all()
+    spread = exact["p99"].max() - exact["p50"].min()
+    for et in exact.index:
+        assert abs(sk64.loc[et, "p50"] - exact.loc[et, "p50"]) <= 0.15 * spread
+        assert abs(sk64.loc[et, "p90"] - exact.loc[et, "p90"]) <= 0.20 * spread
+
+
 def test_hll_distinct_within_tolerance():
     from engine.ops.relational import events_distinct_users, events_distinct_users_hll
 
