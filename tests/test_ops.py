@@ -100,7 +100,39 @@ def test_lsh_recall_vs_bruteforce():
         e = set(exact[exact["query_id"] == qid]["vec_id"])
         a = set(approx[approx["query_id"] == qid]["vec_id"])
         recalls.append(len(e & a) / len(e))
-    assert np.mean(recalls) >= 0.5, recalls  # multi-probe LSH on 64-dim
+    # query-directed multiprobe (budget 6) is deterministic on the fixed
+    # planes/fixtures; measured 0.967 at sf0.001, 1.0 at sf0.01
+    assert np.mean(recalls) >= 0.9, recalls
+
+
+def test_lsh_probe_set_genuinely_prunes():
+    """Per-query, the probe set must NOT degenerate to a full scan: on these
+    near-uniform fixtures budget-6 query-directed probing scans ~79% of the
+    corpus per query (vs 99.8% for uniform radius-1 probing at the same
+    recall).  Uniform-random vectors are LSH's worst case — real embedding
+    clusters prune far harder — so the bar is deliberately loose; the
+    multi-query UNION saturates by design (each query adds its own ~79%)."""
+    import pyarrow.parquet as pq
+    from engine.ops.ann import (
+        _LshBucketer,
+        _emb_matrix,
+        _load_queries,
+        _query_directed_probes,
+    )
+
+    b = _LshBucketer()
+    _, q = _load_queries(SF)
+    t = pq.read_table(SF + "/embeddings.parquet")
+    _, m = _emb_matrix(t)
+    keys = b.keys_of(m)
+    fracs = []
+    for qv in q:
+        probe = np.array(
+            sorted(_query_directed_probes(b, qv[None, :], 6)), dtype=np.int64
+        )
+        pos = np.minimum(np.searchsorted(probe, keys), probe.size - 1)
+        fracs.append((probe[pos] == keys).any(axis=1).mean())
+    assert np.mean(fracs) <= 0.85, fracs
 
 
 def test_quantile_sketch_within_tolerance():
