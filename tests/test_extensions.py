@@ -135,26 +135,109 @@ def test_multimodal_features():
     assert sniff_content_type(b"\x89PNG\r\n\x1a\nxx") == "image/png"
     assert sniff_content_type(b"") == "application/empty"
     assert sniff_content_type(b"random bytes here") == "application/octet-stream"
-    df = _to_pandas(media_features(SF))
+    df = _to_pandas(media_features(SF)).set_index("media_id").sort_index()
     assert len(df) == 200
-    assert set(df.columns) == {"media_id", "content_type", "n_bytes", "decoded", "embedding"}
-    types = df.set_index("media_id")["content_type"]
-    assert types[0] == "application/zip"
-    assert types[1] == "application/gzip"
-    assert types[2] == "image/png"
-    assert types[3] == "application/empty"
-    assert (types[4:] == "text/html").all()
-    assert not df["decoded"].any()  # decoder is stubbed
+    types = df["content_type"]
+    assert types[0] == "image/png"
+    assert types[1] == "image/bmp"
+    assert types[2] == "image/x-portable-pixmap"
+    assert types[3] == "audio/wav"
+    assert types[4] == "image/jpeg"
+    assert types[5] == "application/zip"
+    assert types[6] == "application/gzip"
+    assert types[7] == "application/empty"
+    assert (types[8:] == "text/html").all()
+    # PNG/BMP/PPM/WAV decode for REAL; all three image encodings carry the
+    # same source array so their features agree exactly
+    assert df.loc[[0, 1, 2, 3], "decoded"].all()
+    assert not df.loc[4:, "decoded"].any()  # JPEG stub + non-media rows
+    assert (df.loc[[0, 1, 2], "width"] == 32).all()
+    assert (df.loc[[0, 1, 2], "height"] == 24).all()
+    assert df.loc[0, "mean_lum"] == df.loc[1, "mean_lum"] == df.loc[2, "mean_lum"]
+    t0, t1, t2 = (np.array(df.loc[i, "thumb"]) for i in (0, 1, 2))
+    assert np.array_equal(t0, t1) and np.array_equal(t0, t2)
+    assert abs(df.loc[3, "duration_s"] - 1.0) < 1e-9
+    assert abs(df.loc[3, "rms"] - (10_000 / 32768) / np.sqrt(2)) < 1e-3
     embs = np.array(df["embedding"].tolist())
     assert embs.shape == (200, 16)
     assert np.allclose(np.linalg.norm(embs, axis=1), 1.0, atol=1e-5)
 
 
-def test_decode_image_stub_raises():
+def test_media_codecs_roundtrip():
+    from engine.ops import mediacodec as mc
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(17, 23, 3), dtype=np.uint8)
+    assert np.array_equal(mc.decode_png(mc.encode_png(img)), img)
+    assert np.array_equal(mc.decode_bmp(mc.encode_bmp(img)), img)
+    assert np.array_equal(mc.decode_ppm(mc.encode_ppm(img)), img)
+    gray = rng.integers(0, 256, size=(9, 11), dtype=np.uint8)
+    assert np.array_equal(mc.decode_png(mc.encode_png(gray))[:, :, 0], gray)
+    rgba = rng.integers(0, 256, size=(5, 7, 4), dtype=np.uint8)
+    assert np.array_equal(mc.decode_png(mc.encode_png(rgba)), rgba)
+    # all five PNG row filters unfilter correctly: re-encode with each
+    # filter type by hand and decode
+    import struct
+    import zlib
+
+    for f in (0, 1, 2, 3, 4):
+        h, w, c = img.shape
+        rows = img.reshape(h, w * c).astype(np.int32)
+        raw = bytearray()
+        prior = np.zeros(w * c, np.int32)
+        for y in range(h):
+            raw.append(f)
+            rec = rows[y]
+            if f == 0:
+                filt = rec
+            elif f == 1:
+                left = np.concatenate([np.zeros(c, np.int32), rec[:-c]])
+                filt = (rec - left) & 0xFF
+            elif f == 2:
+                filt = (rec - prior) & 0xFF
+            elif f == 3:
+                left = np.concatenate([np.zeros(c, np.int32), rec[:-c]])
+                filt = (rec - (left + prior) // 2) & 0xFF
+            else:
+                left = np.concatenate([np.zeros(c, np.int32), rec[:-c]])
+                ul = np.concatenate([np.zeros(c, np.int32), prior[:-c]])
+                from engine.ops.mediacodec import _paeth
+
+                pred = _paeth(
+                    left.astype(np.uint8),
+                    prior.astype(np.uint8),
+                    ul.astype(np.uint8),
+                ).astype(np.int32)
+                filt = (rec - pred) & 0xFF
+            raw.extend(filt.astype(np.uint8).tobytes())
+            prior = rec
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        from engine.ops.mediacodec import _png_chunk
+
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b"")
+        )
+        assert np.array_equal(mc.decode_png(png), img), f"filter {f}"
+    # audio roundtrip + frame sampling
+    tone = rng.integers(-30000, 30000, size=(8000, 2), dtype=np.int16)
+    dec, rate = mc.decode_wav(mc.encode_wav(tone, rate=8000))
+    assert rate == 8000 and np.array_equal(dec, tone)
+    frames = mc.sample_audio_frames(dec, rate, frame_s=0.25, hop_s=0.25)
+    assert frames.shape == (4, 2000, 2)
+    assert np.array_equal(frames[1], tone[2000:4000])
+    # resize: exact on integer downscale
+    small = mc.resize_nearest(img, 17, 23)
+    assert np.array_equal(small, img)
+
+
+def test_decode_image_jpeg_stub_raises():
     from engine.ops.multimodal import decode_image
 
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG\r\n\x1a\n")
+        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
 
 
 # ---------------------------------------------------------------------------
