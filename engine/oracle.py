@@ -124,6 +124,57 @@ class OracleIndex:
             return rescored[:k]
         return ranked[:k]
 
+    def search_boolean(
+        self,
+        query_text: str,
+        k: int = 10,
+        lang_filter: str | None = None,
+        ts_min: int | None = None,
+        ts_max: int | None = None,
+    ) -> list[tuple[int, float]]:
+        """Exhaustive boolean-operator BM25 (engine/query.py parse_query
+        syntax): must/must-not/phrase/not-phrase eligibility, then plain
+        BM25 over the unique scoring terms in ascending term order —
+        the conformance target of IndexReader.search_boolean."""
+        from .query import contains_sequence, parse_query
+
+        bq = parse_query(query_text, self.analyzer)
+        scoring = bq.scoring_terms
+        if not scoring:
+            return []
+        required = set(bq.required_terms)
+        excluded = set(bq.must_not)
+        scores: dict[int, float] = {}
+        for t in scoring:  # ascending term order == engine summation order
+            plist = self.postings.get(t)
+            if not plist:
+                continue
+            w = self.idf(t)
+            for did, tf in plist.items():
+                doc = self.docs[did]
+                if not self._allowed(doc, lang_filter, ts_min, ts_max):
+                    continue
+                if any(r not in doc.tf for r in required):
+                    continue
+                if any(x in doc.tf for x in excluded):
+                    continue
+                impact = tf * (K1 + 1.0) / (
+                    tf + K1 * ((1.0 - B) + (B * doc.doclen) / self.avgdl)
+                )
+                scores[did] = scores.get(did, 0.0) + w * impact
+        if bq.phrases or bq.not_phrases:
+            from .analyze import tokenize as _tok
+
+            def _ok(did: int) -> bool:
+                toks = _tok(self.docs[did].text, self.analyzer)
+                return all(
+                    contains_sequence(toks, p) for p in bq.phrases
+                ) and not any(contains_sequence(toks, p) for p in bq.not_phrases)
+
+            scores = {d: s for d, s in scores.items() if _ok(d)}
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]
+
 
 def expected_topk_table(pages: pa.Table, queries: pa.Table) -> pa.Table:
     """Golden expected_topk table (FIXTURES.md §3) for a query table."""

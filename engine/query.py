@@ -27,6 +27,8 @@ from __future__ import annotations
 import heapq
 import json
 import os
+import re
+from dataclasses import dataclass
 
 import numpy as np
 import pyarrow as pa
@@ -34,8 +36,112 @@ import pyarrow.compute as pc
 import pyarrow.dataset as pads
 
 from . import codec
-from .analyze import AnalyzerConfig, tokenize
+from .analyze import DEFAULT_ANALYZER, AnalyzerConfig, tokenize
 from .schema import term_bucket, ts_to_us
+
+
+# ----------------------------------------------------------------------
+# Boolean query language (fulltext surface beyond the reference's implicit
+# OR-of-terms: the reference's query box, streamlit_app.py:165-205, feeds the
+# raw string to the embedder; our BM25 engine adds the classic operators)
+#
+#   window agg          ->  should-terms (BM25 disjunction, >=1 must match)
+#   +join               ->  must-term   (required; still scores)
+#   -scan               ->  must-not    (excluded; never scores)
+#   "hash join"         ->  phrase      (tokens required ADJACENT, in order;
+#                                        its terms also score like should)
+#   -"slow query"       ->  not-phrase  (docs with the adjacent sequence drop)
+#
+# Semantics: candidates = docs matching >=1 scoring term, AND all must /
+# phrase terms, AND none of the must-not terms, AND every phrase adjacency,
+# AND no not-phrase adjacency.  Score = plain BM25 over the unique scoring
+# terms (should + must + phrase terms) in ascending lexicographic order, so
+# scores are bitwise-identical to an unadorned query over the same terms.
+
+_PHRASE_RE = re.compile(r'([+-]?)"([^"]*)"')
+
+
+@dataclass(frozen=True)
+class BoolQuery:
+    should: tuple[str, ...]
+    must: tuple[str, ...]
+    must_not: tuple[str, ...]
+    phrases: tuple[tuple[str, ...], ...]
+    not_phrases: tuple[tuple[str, ...], ...]
+
+    @property
+    def scoring_terms(self) -> list[str]:
+        ts = set(self.should) | set(self.must)
+        for p in self.phrases:
+            ts.update(p)
+        return sorted(ts)
+
+    @property
+    def required_terms(self) -> list[str]:
+        ts = set(self.must)
+        for p in self.phrases:
+            ts.update(p)
+        return sorted(ts)
+
+
+def parse_query(text: str, analyzer: AnalyzerConfig = DEFAULT_ANALYZER) -> BoolQuery:
+    """Parse the +/-/"..." operators, tokenizing every operand with the
+    index analyzer (so `+Window,` matches the indexed token `window`).
+
+    A quoted phrase that analyzes to a single token folds into must /
+    must_not (adjacency of one token is just presence); an operand that
+    analyzes to nothing (stopword, punctuation) is dropped.
+    """
+    phrases: list[tuple[str, ...]] = []
+    not_phrases: list[tuple[str, ...]] = []
+    should: list[str] = []
+    must: list[str] = []
+    must_not: list[str] = []
+
+    def _take_phrase(m: re.Match) -> str:
+        toks = tuple(tokenize(m.group(2), analyzer))
+        neg = m.group(1) == "-"
+        if len(toks) == 1:
+            (must_not if neg else must).append(toks[0])
+        elif toks:
+            (not_phrases if neg else phrases).append(toks)
+        return " "
+
+    rest = _PHRASE_RE.sub(_take_phrase, text)
+    for raw in rest.split():
+        sign = ""
+        if raw[0] in "+-":
+            sign, raw = raw[0], raw[1:]
+        toks = tokenize(raw, analyzer)
+        if not toks:
+            continue
+        dst = must if sign == "+" else must_not if sign == "-" else should
+        dst.extend(toks)
+    return BoolQuery(
+        tuple(should), tuple(must), tuple(must_not),
+        tuple(phrases), tuple(not_phrases),
+    )
+
+
+def contains_sequence(toks: list[str], phrase: tuple[str, ...]) -> bool:
+    """True iff `phrase` occurs as a contiguous run in `toks`."""
+    m = len(phrase)
+    if m == 0:
+        return True
+    if m == 1:
+        return phrase[0] in toks
+    first = phrase[0]
+    want = list(phrase)
+    n = len(toks)
+    i = 0
+    while True:
+        try:
+            i = toks.index(first, i, n - m + 1)
+        except ValueError:
+            return False
+        if toks[i : i + m] == want:
+            return True
+        i += 1
 
 
 class _LRU(dict):
@@ -312,6 +418,18 @@ class IndexReader:
         (ILIKE '%x%'); ``doc_ids_filter`` an id allow-set (semi-join).
         """
         terms = sorted(set(tokenize(query_text, self.analyzer)))
+        term_chunks, total_postings = self._gather_chunks(terms)
+        pool = max(50, 10 * k) if prior_weight > 0.0 else k
+        mask = self._filter_mask(
+            lang_filter, ts_min, ts_max, url_contains, doc_ids_filter
+        )
+        top = self._dispatch(term_chunks, pool, mask, method, total_postings)
+        if prior_weight > 0.0:
+            top = self._rerank(top, prior_weight)
+        return top[:k]
+
+    def _gather_chunks(self, terms) -> tuple[list[tuple[str, float, list]], int]:
+        """Decode (cached) posting chunks for a sorted unique term list."""
         term_chunks: list[tuple[str, float, list]] = []
         total_postings = 0
         for t in terms:
@@ -322,10 +440,15 @@ class IndexReader:
             if chunks:
                 term_chunks.append((t, w, chunks))
                 total_postings += sum(c[0].size for c in chunks)
-        pool = max(50, 10 * k) if prior_weight > 0.0 else k
-        mask = self._filter_mask(
-            lang_filter, ts_min, ts_max, url_contains, doc_ids_filter
-        )
+        return term_chunks, total_postings
+
+    def _dispatch(
+        self, term_chunks, pool: int, mask, method: str, total_postings: int
+    ) -> list[tuple[int, float]]:
+        """Route to the cheapest exact scoring path (shared by search and
+        search_boolean — every path returns the same ranked list)."""
+        if not term_chunks:
+            return []
         use_vec = method == "vectorized" or (
             method == "auto" and total_postings <= self.VECTORIZED_POSTINGS_LIMIT
         )
@@ -334,32 +457,114 @@ class IndexReader:
             # impacts — O(df) work and memory, no dense n_docs array and no
             # document-at-a-time pivoting (which degenerates on head terms:
             # nothing prunes when every doc matches the only term)
-            top = self._single_term(term_chunks[0], pool, mask)
-        elif method == "auto" and total_postings * 4 <= self.n_docs:
+            return self._single_term(term_chunks[0], pool, mask)
+        if method == "auto" and total_postings * 4 <= self.n_docs:
             # selective multi-term query: sparse accumulation over the
             # candidate postings only (sort + reduceat) — O(p log p) for p
             # postings instead of allocating and scanning O(n_docs) dense
             # arrays; float64-identical to the dense path (same per-doc
             # term-order summation)
-            top = self._sparse(term_chunks, pool, mask)
-        elif method in ("auto", "maxscore"):
+            return self._sparse(term_chunks, pool, mask)
+        if method in ("auto", "maxscore"):
             # multi-term with a head term: MaxScore pruning keeps the work
             # proportional to the SELECTIVE terms' postings instead of the
             # head term's (the dense scan is O(n_docs + total_postings)
             # per query no matter how selective the query is)
-            top = self._maxscore(term_chunks, pool, mask)
-        elif use_vec:
-            top = self._vectorized(term_chunks, pool, mask)
-        else:
-            cursors = [
-                _Cursor(t, w, ids, impacts, bl, bm)
-                for t, w, chunks in term_chunks
-                for ids, impacts, bl, bm in chunks
-            ]
-            top = self._bmw(cursors, pool, self._allowed_fn(mask))
-        if prior_weight > 0.0:
-            top = self._rerank(top, prior_weight)
-        return top[:k]
+            return self._maxscore(term_chunks, pool, mask)
+        if use_vec:
+            return self._vectorized(term_chunks, pool, mask)
+        cursors = [
+            _Cursor(t, w, ids, impacts, bl, bm)
+            for t, w, chunks in term_chunks
+            for ids, impacts, bl, bm in chunks
+        ]
+        return self._bmw(cursors, pool, self._allowed_fn(mask))
+
+    def search_boolean(
+        self,
+        query_text: str,
+        k: int = 10,
+        lang_filter: str | None = None,
+        ts_min: int | None = None,
+        ts_max: int | None = None,
+        url_contains: str | None = None,
+        doc_ids_filter=None,
+        method: str = "auto",
+    ) -> list[tuple[int, float]]:
+        """Boolean-operator BM25 top-k (see `parse_query` for the syntax).
+
+        Execution shape:
+        - must / must-not terms compile into the SAME docmeta-aligned bool
+          mask the metadata filters use (presence scatter off the cached
+          posting->position maps) — candidate generation then prunes them
+          for free in every scoring path, including BMW block skipping.
+          At 10^12 docs the mask becomes the partitioned filter bitmap of
+          `_filter_mask`; per-shard n_docs stays bounded under doc-sharded
+          serving (engine/serve.py), so the dense bool array is per-shard.
+        - phrases run match-then-verify: rank by BM25 over the phrase's
+          terms (adjacency is impossible without all terms present — the
+          presence mask already enforces that), then verify adjacency
+          against the doc store for the top pool only, growing the pool
+          geometrically until k survivors or candidates are exhausted.
+          Verification cost is O(pool * doclen) per deepening round and
+          never touches docs outside the ranked pool; the scale path for
+          phrase-heavy workloads is a positional index, which this layout
+          leaves room for (positions would ride the posting chunks).
+        """
+        bq = parse_query(query_text, self.analyzer)
+        scoring = bq.scoring_terms
+        required = bq.required_terms
+        if not scoring:
+            return []  # pure-negative query: nothing to rank
+        if any(self._df.get(t, 0) <= 0 for t in required):
+            return []
+        mask = self._filter_mask(
+            lang_filter, ts_min, ts_max, url_contains, doc_ids_filter
+        )
+        excluded = sorted(set(bq.must_not))
+        if required or excluded:
+            self._load_docmeta()
+            n = self._docmeta[0].size
+            if mask is None:
+                mask = np.ones(n, dtype=bool)
+            for t in required:
+                pres = np.zeros(n, dtype=bool)
+                for ci, (ids, _imp, _bl, _bm) in enumerate(self._load_chunks(t)):
+                    pres[self._chunk_positions(t, ci, ids)] = True
+                mask &= pres
+            for t in excluded:
+                for ci, (ids, _imp, _bl, _bm) in enumerate(self._load_chunks(t)):
+                    mask[self._chunk_positions(t, ci, ids)] = False
+            if not mask.any():
+                return []
+        term_chunks, total_postings = self._gather_chunks(scoring)
+        if not term_chunks:
+            return []
+        if not bq.phrases and not bq.not_phrases:
+            return self._dispatch(term_chunks, k, mask, method, total_postings)[:k]
+        verified: dict[int, bool] = {}
+        pool = max(50, 4 * k)
+        while True:
+            top = self._dispatch(term_chunks, pool, mask, method, total_postings)
+            unseen = [d for d, _ in top if d not in verified]
+            if unseen:
+                tbl = self.fetch_docs(unseen, columns=["doc_id", "warc_ts", "text"])
+                for did, txt in zip(
+                    tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()
+                ):
+                    verified[int(did)] = self._phrases_ok(txt, bq)
+                for d in unseen:  # doc-store miss counts as failed verify
+                    verified.setdefault(d, False)
+            out = [(d, s) for d, s in top if verified.get(d)]
+            if len(out) >= k or len(top) < pool:
+                return out[:k]
+            pool *= 4
+
+    def _phrases_ok(self, text: str, bq: BoolQuery) -> bool:
+        toks = tokenize(text, self.analyzer)
+        return all(contains_sequence(toks, p) for p in bq.phrases) and not any(
+            contains_sequence(toks, p) for p in bq.not_phrases
+        )
 
     def _chunk_positions(self, term: str, chunk_i: int, ids: np.ndarray) -> np.ndarray:
         """Positions of a chunk's doc ids within the global sorted doc table

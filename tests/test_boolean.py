@@ -1,0 +1,137 @@
+"""Boolean query language conformance: +must / -not / "phrase" operators,
+rank- and float64-score-identical between the distributed index and the
+exhaustive oracle across every scoring path (engine/query.py parse_query)."""
+
+import numpy as np
+import pytest
+
+from engine import synth
+from engine.analyze import tokenize
+from engine.build import build_index
+from engine.oracle import OracleIndex
+from engine.query import IndexReader, contains_sequence, parse_query
+
+N_DOCS = 400
+
+
+@pytest.fixture(scope="module")
+def bool_index(tmp_path_factory):
+    root = tmp_path_factory.mktemp("boolidx")
+    pages_dir = str(root / "pages")
+    index_dir = str(root / "index")
+    synth.write_pages(pages_dir, N_DOCS, num_files=4)
+    build_index(pages_dir, index_dir, num_partitions=2)
+    oracle = OracleIndex(synth.gen_pages_table(N_DOCS))
+    return IndexReader(index_dir), oracle
+
+
+def _sample_phrase(oracle: OracleIndex, n: int, skip: int = 0) -> list[str]:
+    """An adjacent token run actually present in some doc (deterministic)."""
+    did = sorted(oracle.docs)[7 + skip]
+    toks = tokenize(oracle.docs[did].text, oracle.analyzer)
+    return toks[3 : 3 + n]
+
+
+def _query_set(oracle: OracleIndex) -> list[str]:
+    h = synth.HEAD_TERMS
+    p2 = _sample_phrase(oracle, 2)
+    p3 = _sample_phrase(oracle, 3, skip=5)
+    return [
+        f"{h[0]} +{h[1]}",
+        f"{h[0]} -{h[1]}",
+        f"+{h[0]} +{h[2]} {h[3]}",
+        f'{h[0]} "{p2[0]} {p2[1]}"',
+        f'{h[0]} -"{p2[0]} {p2[1]}"',
+        f'"{p3[0]} {p3[1]} {p3[2]}"',
+        f'"{h[1]}" {h[4]}',  # single-token phrase folds to +must
+        f"{h[5]} {h[6]} -{h[0]} -{h[1]}",
+    ]
+
+
+def test_parse_query():
+    bq = parse_query('window +agg -scan "hash join" -"slow query" +Big,')
+    assert bq.should == ("window",)
+    assert bq.must == ("agg", "big")
+    assert bq.must_not == ("scan",)
+    assert bq.phrases == (("hash", "join"),)
+    assert bq.not_phrases == (("slow", "query"),)
+    assert bq.scoring_terms == ["agg", "big", "hash", "join", "window"]
+    assert bq.required_terms == ["agg", "big", "hash", "join"]
+    # single-token phrases fold into must / must_not
+    bq = parse_query('"solo" -"gone"')
+    assert bq.must == ("solo",) and bq.must_not == ("gone",)
+    assert bq.phrases == () and bq.not_phrases == ()
+    # empty operands vanish
+    bq = parse_query('+... "" - ')
+    assert bq == parse_query("")
+
+
+def test_contains_sequence():
+    toks = "a b c a b d".split()
+    assert contains_sequence(toks, ("a", "b", "d"))
+    assert contains_sequence(toks, ("a", "b", "c"))
+    assert not contains_sequence(toks, ("c", "b"))
+    assert not contains_sequence(toks, ("b", "d", "x"))
+    assert contains_sequence(toks, ("d",))
+    assert contains_sequence(toks, ())
+    assert not contains_sequence([], ("a",))
+
+
+@pytest.mark.parametrize("method", ["auto", "bmw", "vectorized", "maxscore"])
+def test_boolean_rank_identical(bool_index, method):
+    reader, oracle = bool_index
+    for q in _query_set(oracle):
+        exp = oracle.search_boolean(q, k=10)
+        got = reader.search_boolean(q, k=10, method=method)
+        assert [d for d, _ in got] == [d for d, _ in exp], (q, method)
+        for (gd, gs), (ed, es) in zip(got, exp):
+            assert gs == es, (q, method, gd, gs, es)
+
+
+def test_boolean_semantics(bool_index):
+    reader, oracle = bool_index
+    h = synth.HEAD_TERMS
+    res = reader.search_boolean(f"{h[0]} +{h[1]} -{h[2]}", k=20)
+    assert res, "head terms should co-occur in a Zipf corpus"
+    docs = reader.fetch_docs(
+        [d for d, _ in res], columns=["doc_id", "warc_ts", "text"]
+    )
+    for txt in docs["text"].to_pylist():
+        toks = set(tokenize(txt, reader.analyzer))
+        assert h[1] in toks and h[2] not in toks
+    # phrase results actually contain the adjacent sequence
+    p2 = _sample_phrase(oracle, 2)
+    res = reader.search_boolean(f'"{p2[0]} {p2[1]}"', k=20)
+    assert res, "sampled phrase must match its source doc"
+    docs = reader.fetch_docs(
+        [d for d, _ in res], columns=["doc_id", "warc_ts", "text"]
+    )
+    for txt in docs["text"].to_pylist():
+        assert contains_sequence(tokenize(txt, reader.analyzer), tuple(p2))
+
+
+def test_boolean_empty_cases(bool_index):
+    reader, _ = bool_index
+    h = synth.HEAD_TERMS
+    assert reader.search_boolean(f"-{h[0]}", k=5) == []  # pure negative
+    assert reader.search_boolean(f"{h[0]} +zzqqnothing", k=5) == []
+    assert reader.search_boolean('"zzqq nothing"', k=5) == []
+    assert reader.search_boolean("", k=5) == []
+
+
+def test_boolean_composes_with_filters(bool_index):
+    reader, oracle = bool_index
+    h = synth.HEAD_TERMS
+    q = f"{h[0]} +{h[1]}"
+    exp = oracle.search_boolean(q, k=10, lang_filter="en")
+    got = reader.search_boolean(q, k=10, lang_filter="en")
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    docs = reader.fetch_docs([d for d, _ in got], columns=["doc_id", "lang", "warc_ts"])
+    assert set(docs["lang"].to_pylist()) <= {"en"}
+
+
+def test_boolean_plain_query_matches_search(bool_index):
+    """No operators -> identical to plain BM25 search (scores bitwise)."""
+    reader, _ = bool_index
+    q = f"{synth.HEAD_TERMS[0]} {synth.HEAD_TERMS[3]}"
+    assert reader.search_boolean(q, k=10) == reader.search(q, k=10)
