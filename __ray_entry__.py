@@ -33,6 +33,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship: full index build + BM25 top-k (SURVEY.md §3, K1/K2)
         "bm25_docs_topk": docsearch.bm25_docs_topk,
+        # boolean query language: +must / -not / "phrase" over the same index
+        "docs_boolean_topk": docsearch.bm25_docs_boolean,
         # pages-path flagship: HTML extraction + keep-latest-by-url dedup +
         # filtered (lang, warc_ts) BM25 search — the full ingest chain
         "pages_bm25_topk": pagesearch.pages_bm25_topk,
@@ -109,6 +111,7 @@ def oracle_sql() -> dict[str, str]:
         "authors_unnest_distinct": listops.AUTHORS_UNNEST_SQL,
         "docs_author_overlap": listops.AUTHOR_OVERLAP_SQL,
         "bm25_docs_topk": docsearch.BM25_DOCS_SQL,
+        "docs_boolean_topk": docsearch.BOOL_DOCS_SQL,
         "pages_bm25_topk": pagesearch.PAGES_BM25_SQL,
         "pages_bm25_urlfilter": pagesearch.PAGES_URLFILTER_SQL,
         "q1_pricing_summary": relational.Q1_SQL,

@@ -70,6 +70,108 @@ def bm25_docs_topk(sf_dir: str, k: int = K) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r6"])
 
 
+BOOL_DOC_QUERIES = [
+    "window +agg -scan",
+    '"hash join" table',
+    'customer -"slow query"',
+    "+order +line part",
+    '"window agg" -batch',
+    'spark "table scan merge"',  # rare tri-phrase: exercises pool deepening
+]
+
+
+def bm25_docs_boolean(sf_dir: str, k: int = K) -> pd.DataFrame:
+    """Boolean-operator BM25 top-k (engine/query.py parse_query syntax:
+    +must, -not, "phrase") -> (query_id, rank, doc_id, score_r6), gated
+    against a pure-SQL oracle that mirrors the eligibility rules with
+    contains() over space-joined normalized tokens."""
+    reader = _index_for(sf_dir)
+    rows = []
+    for qid, qtext in enumerate(BOOL_DOC_QUERIES):
+        res = reader.search_boolean(qtext, k=2 * k)
+        res = [(int(np.int64(np.uint64(d))), round(s, 6)) for d, s in res]
+        res.sort(key=lambda t: (-t[1], t[0]))
+        for rank, (did, s) in enumerate(res[:k], 1):
+            rows.append((qid, rank, did, s))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r6"])
+
+
+def _bool_docs_sql() -> str:
+    """The boolean oracle: BM25 scores over each query's scoring terms
+    (identical CTE chain to BM25_DOCS_SQL) filtered by per-query
+    eligibility — term presence / absence / phrase adjacency checked with
+    contains() on ' '-padded normalized token text, the exact token space
+    the engine's analyzer produces."""
+    from ..query import parse_query
+
+    values, elig_selects = [], []
+    for qid, qtext in enumerate(BOOL_DOC_QUERIES):
+        bq = parse_query(qtext)
+        for term in bq.scoring_terms:
+            values.append(f"({qid}, '{term}')")
+        conds = []
+        for t in bq.required_terms:
+            conds.append(f"contains(n.ntext, ' {t} ')")
+        for t in sorted(set(bq.must_not)):
+            conds.append(f"NOT contains(n.ntext, ' {t} ')")
+        for p in bq.phrases:
+            conds.append(f"contains(n.ntext, ' {' '.join(p)} ')")
+        for p in bq.not_phrases:
+            conds.append(f"NOT contains(n.ntext, ' {' '.join(p)} ')")
+        where = " AND ".join(conds) if conds else "TRUE"
+        elig_selects.append(
+            f"SELECT {qid} AS query_id, n.doc_id FROM norm n WHERE {where}"
+        )
+    vals = ", ".join(values)
+    elig = "\n  UNION ALL ".join(elig_selects)
+    return f"""
+WITH queries(query_id, term) AS (VALUES {vals}),
+tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS tk
+  FROM documents
+),
+norm AS (
+  SELECT doc_id,
+         ' ' || array_to_string(
+                 list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             x -> x <> ''), ' ') || ' ' AS ntext
+  FROM documents
+),
+elig AS (
+  {elig}
+),
+tf AS (SELECT doc_id, tk, count(*) AS tf FROM tok GROUP BY doc_id, tk),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
+),
+df AS (SELECT tk, count(*) AS df FROM tf GROUP BY tk),
+contrib AS (
+  SELECT q.query_id, tf.doc_id,
+         ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1)
+           * tf.tf * ({K1} + 1.0)
+           / (tf.tf + {K1} * ((1.0 - {B}) + ({B} * dl.dl) / s.avgdl)) AS c
+  FROM queries q
+  JOIN tf ON tf.tk = q.term
+  JOIN df ON df.tk = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+scores AS (SELECT query_id, doc_id, sum(c) AS score FROM contrib GROUP BY query_id, doc_id),
+ranked AS (
+  SELECT s.query_id, s.doc_id, round(s.score, 6) AS score_r6,
+         row_number() OVER (PARTITION BY s.query_id
+                            ORDER BY round(s.score, 6) DESC, s.doc_id) AS rank
+  FROM scores s
+  JOIN elig e ON e.query_id = s.query_id AND e.doc_id = s.doc_id
+)
+SELECT query_id, rank, doc_id, score_r6 FROM ranked WHERE rank <= {K}
+"""
+
+
 def _bm25_docs_sql() -> str:
     values = []
     for qid, qtext in enumerate(DOC_QUERIES):
@@ -114,3 +216,4 @@ SELECT query_id, rank, doc_id, score_r6 FROM ranked WHERE rank <= {K}
 
 
 BM25_DOCS_SQL = _bm25_docs_sql()
+BOOL_DOCS_SQL = _bool_docs_sql()
