@@ -132,6 +132,87 @@ def tokenize_counts_arrow(
     return doc_idx, terms, counts.astype(np.int32), doclens
 
 
+def tokenize_positions_arrow(
+    texts: pa.ChunkedArray | pa.Array,
+    cfg: AnalyzerConfig = DEFAULT_ANALYZER,
+) -> tuple[np.ndarray, pa.Array, np.ndarray, np.ndarray, pa.ListArray]:
+    """tokenize_counts_arrow + per-(doc, term) token positions.
+
+    Positions index into the ANALYZED token stream (post stopword/min_len
+    filtering), matching `tokenize()`'s output list — phrase adjacency is
+    defined on that stream on both the index and the verify/oracle sides.
+    Returns the counts tuple plus a list<int32> array of ascending positions
+    aligned with the (doc_idx, term, tf) rows.
+    """
+    n_docs = len(texts)
+    empty_pos = pa.ListArray.from_arrays(
+        pa.array([0], pa.int32()), pa.array([], pa.int32())
+    ).slice(0, 0)
+    if n_docs == 0:
+        return (
+            np.empty(0, np.int64), pa.array([], pa.string()),
+            np.empty(0, np.int32), np.zeros(0, np.int32), empty_pos,
+        )
+    lower = pc.utf8_lower(texts)
+    lists = pc.split_pattern_regex(lower, pattern=SPLIT_PATTERN)
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    offsets = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = lists.flatten()
+    parents = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(offsets))
+    if len(flat) == 0:
+        return (
+            np.empty(0, np.int64), pa.array([], pa.string()),
+            np.empty(0, np.int32), np.zeros(n_docs, np.int32), empty_pos,
+        )
+    de = flat.dictionary_encode()
+    if isinstance(de, pa.ChunkedArray):
+        de = de.combine_chunks()
+    codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = de.dictionary
+    drop = np.zeros(len(vocab), dtype=bool)
+    empty_code = pc.index(vocab, "").as_py()
+    if empty_code >= 0:
+        drop[empty_code] = True
+    if cfg.min_len > 1:
+        lens = pc.utf8_length(vocab).to_numpy(zero_copy_only=False)
+        drop |= lens < cfg.min_len
+    if cfg.stopwords:
+        is_stop = pc.is_in(
+            vocab, value_set=pa.array(sorted(cfg.stopwords))
+        ).to_numpy(zero_copy_only=False)
+        drop |= is_stop
+    if drop.any():
+        keep = ~drop[codes]
+        codes = codes[keep]
+        parents = parents[keep]
+    doclens = np.bincount(parents, minlength=n_docs).astype(np.int32)
+    if codes.size == 0:
+        return (
+            np.empty(0, np.int64), pa.array([], pa.string()),
+            np.empty(0, np.int32), doclens, empty_pos,
+        )
+    # position of each kept token within its doc's analyzed stream
+    doc_starts = np.concatenate(([0], np.cumsum(doclens)))[:-1].astype(np.int64)
+    pos_in_doc = np.arange(parents.size, dtype=np.int64) - doc_starts[parents]
+    nv = len(vocab)
+    key = parents * nv + codes
+    order = np.argsort(key, kind="stable")  # stable: positions stay ascending
+    skey = key[order]
+    bounds = np.nonzero(np.diff(skey))[0] + 1
+    starts = np.concatenate(([0], bounds))
+    counts = np.diff(np.concatenate((starts, [skey.size])))
+    ukey = skey[starts]
+    doc_idx = ukey // nv
+    term_idx = ukey % nv
+    terms = vocab.take(pa.array(term_idx, pa.int64()))
+    positions = pa.ListArray.from_arrays(
+        pa.array(np.concatenate(([0], np.cumsum(counts))), pa.int32()),
+        pa.array(pos_in_doc[order].astype(np.int32), pa.int32()),
+    )
+    return doc_idx, terms, counts.astype(np.int32), doclens, positions
+
+
 class Tokenizer:
     """Actor-pool stage: extracted batch -> partial postings batch.
 
@@ -140,24 +221,35 @@ class Tokenizer:
     per-token rows ever hit the shuffle).
     """
 
-    def __init__(self, cfg: AnalyzerConfig = DEFAULT_ANALYZER) -> None:
+    def __init__(
+        self,
+        cfg: AnalyzerConfig = DEFAULT_ANALYZER,
+        with_positions: bool = False,
+    ) -> None:
         # analyzer state built once per actor (RE2 pattern compilation warms
         # on first call; do it here, not per batch)
         self.cfg = cfg
+        self.with_positions = with_positions
         pc.split_pattern_regex(pa.array(["warm up 1"]), pattern=SPLIT_PATTERN)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        doc_idx, terms, tfs, doclens = tokenize_counts_arrow(
-            batch.column("text"), self.cfg
-        )
-        return pa.table(
-            {
-                "term": terms.cast(pa.string()),
-                "doc_id": pa.array(doc_ids[doc_idx], pa.uint64()),
-                "tf": pa.array(tfs, pa.int32()),
-                "doclen": pa.array(doclens[doc_idx], pa.int32()),
-            }
-        )
+        if self.with_positions:
+            doc_idx, terms, tfs, doclens, positions = tokenize_positions_arrow(
+                batch.column("text"), self.cfg
+            )
+        else:
+            doc_idx, terms, tfs, doclens = tokenize_counts_arrow(
+                batch.column("text"), self.cfg
+            )
+        cols = {
+            "term": terms.cast(pa.string()),
+            "doc_id": pa.array(doc_ids[doc_idx], pa.uint64()),
+            "tf": pa.array(tfs, pa.int32()),
+            "doclen": pa.array(doclens[doc_idx], pa.int32()),
+        }
+        if self.with_positions:
+            cols["positions"] = positions
+        return pa.table(cols)
 
 

@@ -60,7 +60,9 @@ from .schema import (
     NUM_DOC_RANGES,
     NUM_SALTS,
     NUM_TERM_BUCKETS,
+    PARTIAL_POSTINGS_POS_SCHEMA,
     PARTIAL_POSTINGS_SCHEMA,
+    SEGMENT_POS_SCHEMA,
     SEGMENT_SCHEMA,
     term_bucket,
 )
@@ -144,6 +146,7 @@ def build_index(
     avgdl_override: float | None = None,
     stop_after_postings: bool = False,
     input_filter=None,
+    store_positions: bool = False,
 ) -> dict:
     """Build (or resume) the full index under ``index_dir``. Returns metrics.
 
@@ -166,7 +169,15 @@ def build_index(
     ``input_filter`` is an optional ``pyarrow.dataset`` Expression pushed
     into every input read (the reference's free-form ``--condition`` WHERE
     hook, ec2/parse_arxiv_papers/__main__.py:176) — rows it rejects never
-    leave storage; the expression is part of the lineage fingerprints."""
+    leave storage; the expression is part of the lineage fingerprints.
+
+    ``store_positions`` builds a POSITIONAL index: per-(term, doc) token
+    positions (in the analyzed stream) ride the partial postings and are
+    packed into each segment chunk (codec.poslist_encode), so phrase
+    queries (engine/query.py search_boolean) resolve adjacency from the
+    index instead of re-reading doc text.  It is part of the postings
+    lineage fingerprint — toggling it re-runs tokenize+merge but reuses
+    the extract phase."""
     if isinstance(input_path, str):
         if os.path.isdir(input_path):
             files = [
@@ -287,7 +298,10 @@ def build_index(
         pid: fingerprint_files(pfiles) + "+L" + loser_content_fp + x_tag + filt_tag
         for pid, pfiles in parts.items()
     }
-    post_fp = {pid: ext_fp[pid] + "+A" + a_hash + f"+G{n_bg}" for pid in parts}
+    p_tag = "+P1" if store_positions else ""
+    post_fp = {
+        pid: ext_fp[pid] + "+A" + a_hash + f"+G{n_bg}" + p_tag for pid in parts
+    }
 
     fused_todo = []
     for pid in parts:
@@ -340,7 +354,7 @@ def build_index(
         wave = _run_shard_wave(
             ds, fused_todo, n_bg, analyzer, tokenize_batch_size, concurrency,
             partials_root=partials_root, docmeta_root=docmeta_root,
-            docstore_root=extracted_root,
+            docstore_root=extracted_root, store_positions=store_positions,
         )
         for pid in fused_todo:
             man.record_partition(
@@ -384,7 +398,7 @@ def build_index(
         wave = _run_shard_wave(
             ds, todo, n_bg, analyzer, tokenize_batch_size, concurrency,
             partials_root=partials_root, docmeta_root=docmeta_root,
-            docstore_root=None,
+            docstore_root=None, store_positions=store_positions,
         )
         for pid in todo:
             man.record_partition(
@@ -436,6 +450,7 @@ def build_index(
             "num_salts": NUM_SALTS,
             "num_buckets": NUM_TERM_BUCKETS,
             "analyzer": analyzer.to_json(),
+            "positions": bool(store_positions),
         }
         with open(stats_path + ".tmp", "w") as f:
             json.dump(stats, f, indent=1)
@@ -543,8 +558,11 @@ def build_index(
             os.replace(dfs_tmp, dfs_root)
             if not os.listdir(tmp):  # empty corpus: keep a readable layout
                 os.makedirs(os.path.join(tmp, "bucket=0"), exist_ok=True)
+                empty_seg = (
+                    SEGMENT_POS_SCHEMA if store_positions else SEGMENT_SCHEMA
+                )
                 pa.parquet.write_table(
-                    SEGMENT_SCHEMA.empty_table().drop_columns(["bucket"]),
+                    empty_seg.empty_table().drop_columns(["bucket"]),
                     os.path.join(tmp, "bucket=0", "empty.parquet"),
                 )
         # n_terms/n_hot_terms are informational; fill them into stats.json
@@ -763,8 +781,9 @@ class _TokenizeAndShard(_PidTokenizer):
     """
 
     def __init__(self, analyzer, partials_tmp: str, docmeta_tmp: str,
-                 docstore_tmp: str | None, n_bg: int):
-        super().__init__(analyzer)
+                 docstore_tmp: str | None, n_bg: int,
+                 store_positions: bool = False):
+        super().__init__(analyzer, with_positions=store_positions)
         self.partials_tmp = partials_tmp
         self.docmeta_tmp = docmeta_tmp
         self.docstore_tmp = docstore_tmp
@@ -869,7 +888,15 @@ class _TokenizeAndShard(_PidTokenizer):
             bg = uniq_bucket[codes] % self.n_bg
             key = p_pid_codes * self.n_bg + bg
             order = np.argsort(key, kind="stable")
-            t2 = postings.select(["term", "doc_id", "tf"]).take(pa.array(order))
+            pcols = ["term", "doc_id", "tf"] + (
+                ["positions"] if self.with_positions else []
+            )
+            pschema = (
+                PARTIAL_POSTINGS_POS_SCHEMA
+                if self.with_positions
+                else PARTIAL_POSTINGS_SCHEMA
+            )
+            t2 = postings.select(pcols).take(pa.array(order))
             key = key[order]
             bounds = np.nonzero(np.diff(key))[0] + 1
             starts = np.concatenate(([0], bounds))
@@ -890,16 +917,14 @@ class _TokenizeAndShard(_PidTokenizer):
                 os.makedirs(d, exist_ok=True)
                 path = os.path.join(d, f"part-{hh.hexdigest()}.parquet")
                 bgs = [int(key[s0] % self.n_bg) for s0, _ in runs]
-                schema = PARTIAL_POSTINGS_SCHEMA.with_metadata(
-                    {"bgs": json.dumps(bgs)}
-                )
+                schema = pschema.with_metadata({"bgs": json.dumps(bgs)})
                 with pa.parquet.ParquetWriter(
                     path, schema,
                     use_dictionary=["term"],  # terms dict-encode; ids don't
                     compression="zstd", compression_level=1,
                 ) as w:
                     for (s0, e0), bgv in zip(runs, bgs):
-                        sub = t2.slice(s0, e0 - s0).cast(PARTIAL_POSTINGS_SCHEMA)
+                        sub = t2.slice(s0, e0 - s0).cast(pschema)
                         w.write_table(sub, row_group_size=max(1, e0 - s0))
                         out_pid.append(pid)
                         out_bg.append(bgv)
@@ -927,6 +952,7 @@ def _run_shard_wave(
     ds: rd.Dataset, pids: list[str], n_bg: int, analyzer,
     tokenize_batch_size, concurrency, *,
     partials_root: str, docmeta_root: str, docstore_root: str | None,
+    store_positions: bool = False,
 ) -> _WaveResult:
     """Run the fused tokenize+shard wave into tmp dirs, then promote each
     pid dir of partials/, docmeta/ (and the doc store, on the cold path)
@@ -949,7 +975,7 @@ def _run_shard_wave(
     try:
         meta = ds.map_batches(
             _TokenizeAndShard,
-            fn_constructor_args=(analyzer, ptmp, mtmp, stmp, n_bg),
+            fn_constructor_args=(analyzer, ptmp, mtmp, stmp, n_bg, store_positions),
             batch_format="pyarrow",
             batch_size=tokenize_batch_size,
             # fixed-size pool: all actors start with the phase (an
@@ -964,7 +990,11 @@ def _run_shard_wave(
             docs = meta[meta["bg"] < 0]
             for pid, r in docs.groupby("pid")["rows"].sum().items():
                 n_rows[pid] = int(r)
-        schemas = [PARTIAL_POSTINGS_SCHEMA, DOCMETA_SCHEMA]
+        schemas = [
+            PARTIAL_POSTINGS_POS_SCHEMA if store_positions
+            else PARTIAL_POSTINGS_SCHEMA,
+            DOCMETA_SCHEMA,
+        ]
         finals = [partials_root, docmeta_root]
         if stmp is not None:
             no_pid = pa.schema([f for f in EXTRACTED_SCHEMA if f.name != "pid"])
@@ -1170,6 +1200,8 @@ def _compress_bucket(
     per-posting impacts) -> one compressed chunk row per term in the group
     (SURVEY.md §7.2 step 5)."""
     if group.num_rows == 0:
+        if "positions" in group.column_names:
+            return SEGMENT_POS_SCHEMA.empty_table()
         return SEGMENT_SCHEMA.empty_table()
     terms = group.column("term")
     de = terms.combine_chunks() if isinstance(terms, pa.ChunkedArray) else terms
@@ -1183,6 +1215,7 @@ def _compress_bucket(
     order = np.lexsort((doc_ids, codes))
     codes, doc_ids = codes[order], doc_ids[order]
     tfs, impacts = tfs[order], impacts[order]
+    row_sel = order  # original row index per output row (positions gather)
     # guard: an exact-duplicate input row split across blocks of one file can
     # emit the same (term, doc) twice; a doc lives in exactly one salt group
     # per term, so the duplicates are adjacent here — keep the first
@@ -1192,12 +1225,22 @@ def _compress_bucket(
         if not uniq.all():
             codes, doc_ids = codes[uniq], doc_ids[uniq]
             tfs, impacts = tfs[uniq], impacts[uniq]
+            row_sel = row_sel[uniq]
+    with_pos = "positions" in group.column_names
+    if with_pos:
+        pos_col = group.column("positions")
+        if isinstance(pos_col, pa.ChunkedArray):
+            pos_col = pos_col.combine_chunks()
+        pos_col = pos_col.take(pa.array(row_sel, pa.int64()))
+        pos_offsets = pos_col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        pos_offsets = pos_offsets - pos_offsets[0]  # flatten() trims any slice
+        pos_flat = pos_col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
     bounds = np.nonzero(np.diff(codes))[0] + 1
     starts = np.concatenate(([0], bounds))
     ends = np.concatenate((bounds, [len(codes)]))
     rows = {k: [] for k in (
         "term", "df_chunk", "doc_ids", "tfs", "impacts",
-        "block_last_doc", "block_max_impact",
+        "block_last_doc", "block_max_impact", "positions",
     )}
     for s0, e0 in zip(starts, ends):
         ids_t = doc_ids[s0:e0]
@@ -1210,20 +1253,27 @@ def _compress_bucket(
         rows["impacts"].append(codec.floats_encode(imp_t))
         rows["block_last_doc"].append(block_last.tolist())
         rows["block_max_impact"].append(block_max.tolist())
+        if with_pos:
+            flat = pos_flat[pos_offsets[s0] : pos_offsets[e0]]
+            lens = np.diff(pos_offsets[s0 : e0 + 1])
+            rows["positions"].append(
+                codec.poslist_encode(flat.astype(np.uint64), lens)
+            )
     n = len(rows["term"])
-    return pa.table(
-        {
-            "term": pa.array(rows["term"], pa.string()),
-            "salt": pa.array([salt] * n, pa.int32()),
-            "bucket": pa.array([bucket] * n, pa.int32()),
-            "df_chunk": pa.array(rows["df_chunk"], pa.int64()),
-            "doc_ids": pa.array(rows["doc_ids"], pa.binary()),
-            "tfs": pa.array(rows["tfs"], pa.binary()),
-            "impacts": pa.array(rows["impacts"], pa.binary()),
-            "block_last_doc": pa.array(rows["block_last_doc"], pa.list_(pa.uint64())),
-            "block_max_impact": pa.array(rows["block_max_impact"], pa.list_(pa.float64())),
-        }
-    )
+    cols = {
+        "term": pa.array(rows["term"], pa.string()),
+        "salt": pa.array([salt] * n, pa.int32()),
+        "bucket": pa.array([bucket] * n, pa.int32()),
+        "df_chunk": pa.array(rows["df_chunk"], pa.int64()),
+        "doc_ids": pa.array(rows["doc_ids"], pa.binary()),
+        "tfs": pa.array(rows["tfs"], pa.binary()),
+        "impacts": pa.array(rows["impacts"], pa.binary()),
+        "block_last_doc": pa.array(rows["block_last_doc"], pa.list_(pa.uint64())),
+        "block_max_impact": pa.array(rows["block_max_impact"], pa.list_(pa.float64())),
+    }
+    if with_pos:
+        cols["positions"] = pa.array(rows["positions"], pa.binary())
+    return pa.table(cols)
 
 
 _EMPTY_LOSERS = pa.table(

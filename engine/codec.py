@@ -286,6 +286,40 @@ def delta_decode(buf: bytes, count: int | None = None) -> np.ndarray:
     return np.cumsum(deltas, dtype=np.uint64)
 
 
+def poslist_encode(flat: np.ndarray, lens: np.ndarray) -> bytes:
+    """Concatenated per-posting position lists -> one tagged-codec buffer.
+
+    `flat` holds every posting's ascending token positions back to back;
+    `lens` (== per-posting tf) gives the split points.  Within each posting
+    the first position is stored absolute and the rest as deltas, so the
+    whole stream is small non-negative ints that PFor/varint pack tightly.
+    Lens are NOT stored — the segment's tfs column already carries them.
+    """
+    v = np.ascontiguousarray(flat, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    d = np.empty_like(v)
+    d[0] = v[0]
+    np.subtract(v[1:], v[:-1], out=d[1:])
+    starts = np.concatenate(([0], np.cumsum(lens)))[:-1].astype(np.int64)
+    d[starts] = v[starts]  # reset the delta chain at each posting boundary
+    return ints_encode(d)
+
+
+def poslist_decode(buf: bytes, lens: np.ndarray) -> np.ndarray:
+    """Inverse of poslist_encode: flat ascending positions per posting."""
+    total = int(np.sum(lens))
+    if total == 0:
+        return np.empty(0, dtype=np.int32)
+    d = ints_decode(buf, total).astype(np.int64)
+    cs = np.cumsum(d)
+    starts = np.concatenate(([0], np.cumsum(lens)))[:-1].astype(np.int64)
+    base = cs[starts] - d[starts]  # cumsum value just before each posting
+    return (cs - np.repeat(base, np.asarray(lens, dtype=np.int64))).astype(
+        np.int32
+    )
+
+
 def floats_encode(values: np.ndarray) -> bytes:
     """float64 little-endian raw bytes (impacts are not integer-compressible)."""
     return np.ascontiguousarray(values, dtype="<f8").tobytes()

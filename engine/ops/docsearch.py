@@ -41,12 +41,14 @@ def _index_for(sf_dir: str) -> IndexReader:
         return _reader_cache[key]
     src = os.path.join(sf_dir, "documents.parquet")
     tag = hashlib.blake2b(
-        f"{key}:{os.path.getsize(src)}".encode(), digest_size=8
+        f"{key}:{os.path.getsize(src)}:p1".encode(), digest_size=8
     ).hexdigest()
     index_dir = os.path.join(tempfile.gettempdir(), f"rayft_docidx_{tag}")
+    # positional: the boolean gate's phrase queries then run adjacency off
+    # the index (the scale path) while the SQL oracle checks the results
     build_index(
         src, index_dir, num_partitions=2, input_kind="documents",
-        tokenize_batch_size=256,
+        tokenize_batch_size=256, store_positions=True,
     )
     reader = IndexReader(index_dir)
     _reader_cache[key] = reader

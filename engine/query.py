@@ -217,6 +217,7 @@ class IndexReader:
             self.stats = json.load(f)
         self.n_docs = self.stats["n_docs"]
         self.avgdl = self.stats["avgdl"]
+        self.has_positions = bool(self.stats.get("positions", False))
         self.analyzer = AnalyzerConfig.from_json(self.stats.get("analyzer"))
         df_tbl = pads.dataset(os.path.join(index_dir, "dfs")).to_table()
         self._df = dict(
@@ -232,6 +233,7 @@ class IndexReader:
         self._chunk_cache: _LRU = _LRU(cap=4096)  # term -> decoded chunks
         self._bucket_tables: _LRU = _LRU(cap=8)  # bucket -> (table, term index)
         self._pos_cache: _LRU = _LRU(cap=4096)  # (term, chunk) -> positions
+        self._tpos_cache: _LRU = _LRU(cap=512)  # term -> decoded token positions
         self._url_mask_cache: _LRU = _LRU(cap=64)  # url pattern -> doc mask
         # maxscore scratch: candidate membership (bool) and candidate rank
         # (int32) over docmeta positions, allocated once per reader and
@@ -252,7 +254,17 @@ class IndexReader:
         """
         cached = self._bucket_tables.get(bucket)
         if cached is None:
-            tbl = self._segments.to_table(filter=pc.field("bucket") == bucket)
+            cols = None
+            if self.has_positions:
+                # scoring never touches positions; don't drag the heaviest
+                # column of a positional index through every query's read
+                cols = [
+                    "term", "salt", "df_chunk", "doc_ids", "tfs",
+                    "impacts", "block_last_doc", "block_max_impact",
+                ]
+            tbl = self._segments.to_table(
+                filter=pc.field("bucket") == bucket, columns=cols
+            )
             terms = tbl["term"].to_pylist()
             index: dict[str, list[int]] = {}
             for i, t in enumerate(terms):
@@ -507,9 +519,10 @@ class IndexReader:
           against the doc store for the top pool only, growing the pool
           geometrically until k survivors or candidates are exhausted.
           Verification cost is O(pool * doclen) per deepening round and
-          never touches docs outside the ranked pool; the scale path for
-          phrase-heavy workloads is a positional index, which this layout
-          leaves room for (positions would ride the posting chunks).
+          never touches docs outside the ranked pool.  On an index built
+          with ``store_positions=True`` verification instead intersects
+          the per-posting position lists (O(pool * tf) decode + merge,
+          no doc-store read) — the scale path for phrase-heavy workloads.
         """
         bq = parse_query(query_text, self.analyzer)
         scoring = bq.scoring_terms
@@ -547,7 +560,12 @@ class IndexReader:
         while True:
             top = self._dispatch(term_chunks, pool, mask, method, total_postings)
             unseen = [d for d, _ in top if d not in verified]
-            if unseen:
+            if unseen and self.has_positions:
+                # positional index: adjacency straight off the posting
+                # chunks — no doc-store read, no re-tokenize
+                for d in unseen:
+                    verified[d] = self._phrases_ok_positional(d, bq)
+            elif unseen:
                 tbl = self.fetch_docs(unseen, columns=["doc_id", "warc_ts", "text"])
                 for did, txt in zip(
                     tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()
@@ -564,6 +582,59 @@ class IndexReader:
         toks = tokenize(text, self.analyzer)
         return all(contains_sequence(toks, p) for p in bq.phrases) and not any(
             contains_sequence(toks, p) for p in bq.not_phrases
+        )
+
+    # ---- positional phrase evaluation (store_positions=True indexes) -----
+    def _token_positions(self, term: str):
+        """Decoded per-chunk (doc_ids, posting offsets, flat positions) for a
+        term — read from the segment files' positions column on demand
+        (scoring reads never load it), LRU-cached per term."""
+        data = self._tpos_cache.get(term)
+        if data is None:
+            tbl = self._segments.to_table(
+                filter=(pc.field("bucket") == term_bucket(term))
+                & (pc.field("term") == term),
+                columns=["term", "df_chunk", "doc_ids", "tfs", "positions"],
+            )
+            data = []
+            for row in range(tbl.num_rows):
+                n = tbl["df_chunk"][row].as_py()
+                ids = codec.delta_decode(tbl["doc_ids"][row].as_py(), n)
+                lens = codec.ints_decode(tbl["tfs"][row].as_py(), n).astype(np.int64)
+                offs = np.concatenate(([0], np.cumsum(lens)))
+                flat = codec.poslist_decode(tbl["positions"][row].as_py(), lens)
+                data.append((ids, offs, flat))
+            self._tpos_cache[term] = data
+        return data
+
+    def _positions_of(self, term: str, doc: int) -> np.ndarray:
+        """Ascending analyzed-stream positions of `term` in `doc` (empty if
+        the doc lacks the term)."""
+        d64 = np.uint64(doc)
+        for ids, offs, flat in self._token_positions(term):
+            i = int(np.searchsorted(ids, d64))
+            if i < ids.size and ids[i] == d64:
+                return flat[offs[i] : offs[i + 1]]
+        return np.empty(0, np.int32)
+
+    def _phrase_present(self, doc: int, phrase: tuple[str, ...]) -> bool:
+        """Adjacency via position-list intersection: survivors of step i are
+        the start positions whose i-th successor exists in term i's list."""
+        cand = self._positions_of(phrase[0], doc).astype(np.int64)
+        for i, t in enumerate(phrase[1:], start=1):
+            if cand.size == 0:
+                return False
+            nxt = self._positions_of(t, doc).astype(np.int64)
+            if nxt.size == 0:
+                return False
+            j = np.searchsorted(nxt, cand + i)
+            j = np.minimum(j, nxt.size - 1)
+            cand = cand[nxt[j] == cand + i]
+        return cand.size > 0
+
+    def _phrases_ok_positional(self, doc: int, bq: BoolQuery) -> bool:
+        return all(self._phrase_present(doc, p) for p in bq.phrases) and not any(
+            self._phrase_present(doc, p) for p in bq.not_phrases
         )
 
     def _chunk_positions(self, term: str, chunk_i: int, ids: np.ndarray) -> np.ndarray:

@@ -93,6 +93,15 @@ PARTIAL_POSTINGS_SCHEMA = pa.schema(
     ]
 )
 
+# positional variant (build_index(store_positions=True)): per-(term, doc)
+# ascending token positions in the ANALYZED stream ride the posting rows so
+# phrase queries resolve adjacency from the index instead of re-reading and
+# re-tokenizing doc text (the verify fallback).  Lens == tf, so the segment
+# side stores only the packed flat positions.
+PARTIAL_POSTINGS_POS_SCHEMA = PARTIAL_POSTINGS_SCHEMA.append(
+    pa.field("positions", pa.list_(pa.int32()))
+)
+
 # merged, compressed posting chunks — one row per (term, salt) group
 SEGMENT_SCHEMA = pa.schema(
     [
@@ -107,6 +116,10 @@ SEGMENT_SCHEMA = pa.schema(
         pa.field("block_max_impact", pa.list_(pa.float64())),
     ]
 )
+
+# positional segments: per-posting position lists packed into one buffer per
+# chunk (codec.poslist_encode; the tfs column carries the split lengths)
+SEGMENT_POS_SCHEMA = SEGMENT_SCHEMA.append(pa.field("positions", pa.binary()))
 
 
 def ts_to_us(v) -> int | None:
