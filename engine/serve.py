@@ -31,6 +31,9 @@ class QueryActor:
     def search(self, query_text: str, **kw) -> list[tuple[int, float]]:
         return self.reader.search(query_text, **kw)
 
+    def search_boolean(self, query_text: str, **kw) -> list[tuple[int, float]]:
+        return self.reader.search_boolean(query_text, **kw)
+
     def search_batch(self, queries: list[dict]) -> list[list[tuple[int, float]]]:
         return [self.reader.search(q.pop("query_text"), **q) for q in queries]
 
@@ -52,6 +55,9 @@ class QueryPool:
 
     def search(self, query_text: str, **kw):
         return ray.get(self._next().search.remote(query_text, **kw))
+
+    def search_boolean(self, query_text: str, **kw):
+        return ray.get(self._next().search_boolean.remote(query_text, **kw))
 
     def search_many(self, queries: list[dict]) -> list[list[tuple[int, float]]]:
         """Fan a query list across the pool; results in input order."""
@@ -100,6 +106,14 @@ class ShardQueryActor:
 
     def search(self, query_text: str, **kw) -> list[tuple[int, float]]:
         return self.reader.search(query_text, **kw)
+
+    def search_boolean(self, query_text: str, **kw) -> list[tuple[int, float]]:
+        # boolean eligibility is doc-local (must/not masks, phrase
+        # adjacency all resolve within the doc's own shard) and scores use
+        # the injected GLOBAL df, so shard-local boolean top-k merges
+        # exactly like plain search.  A required term missing from THIS
+        # shard empties the local presence mask, not the global result.
+        return self.reader.search_boolean(query_text, **kw)
 
 
 def build_sharded(
@@ -188,6 +202,14 @@ class ShardedQueryPool:
 
     def search(self, query_text: str, k: int = 10, **kw):
         futs = [a.search.remote(query_text, k=k, **kw) for a in self.actors]
+        merged = [hit for res in ray.get(futs) for hit in res]
+        merged.sort(key=lambda t: (-t[1], t[0]))
+        return merged[:k]
+
+    def search_boolean(self, query_text: str, k: int = 10, **kw):
+        futs = [
+            a.search_boolean.remote(query_text, k=k, **kw) for a in self.actors
+        ]
         merged = [hit for res in ray.get(futs) for hit in res]
         merged.sort(key=lambda t: (-t[1], t[0]))
         return merged[:k]

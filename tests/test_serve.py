@@ -63,5 +63,15 @@ def test_sharded_pool_rank_identical_to_one_big_index(served_index, tmp_path):
         # metadata filters work per shard (each shard owns its docmeta)
         want = local.search("the", k=10, lang_filter="en")
         assert pool.search("the", k=10, lang_filter="en") == want
+        # boolean operators: eligibility is doc-local, scores use the
+        # injected global df, so the shard merge stays score-identical
+        h = synth.HEAD_TERMS
+        for bq in (
+            f"{h[0]} +{h[1]}",
+            f"{h[0]} -{h[1]}",
+            f'{h[2]} "{h[0]} {h[1]}"',
+        ):
+            want = local.search_boolean(bq, k=10)
+            assert pool.search_boolean(bq, k=10) == want, bq
     finally:
         pool.shutdown()
