@@ -556,16 +556,19 @@ class IndexReader:
         if not bq.phrases and not bq.not_phrases:
             return self._dispatch(term_chunks, k, mask, method, total_postings)[:k]
         verified: dict[int, bool] = {}
-        pool = max(50, 4 * k)
-        while True:
-            top = self._dispatch(term_chunks, pool, mask, method, total_postings)
-            unseen = [d for d, _ in top if d not in verified]
-            if unseen and self.has_positions:
+
+        def _verify_batch(docs: list[int]) -> None:
+            unseen = [d for d in docs if d not in verified]
+            if not unseen:
+                return
+            if self.has_positions:
                 # positional index: adjacency straight off the posting
-                # chunks — no doc-store read, no re-tokenize
-                for d in unseen:
-                    verified[d] = self._phrases_ok_positional(d, bq)
-            elif unseen:
+                # chunks — no doc-store read, no re-tokenize, vectorized
+                # over the whole batch
+                ok = self._phrases_ok_positional_many(unseen, bq)
+                for d, o in zip(unseen, ok):
+                    verified[d] = bool(o)
+            else:
                 tbl = self.fetch_docs(unseen, columns=["doc_id", "warc_ts", "text"])
                 for did, txt in zip(
                     tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()
@@ -573,10 +576,37 @@ class IndexReader:
                     verified[int(did)] = self._phrases_ok(txt, bq)
                 for d in unseen:  # doc-store miss counts as failed verify
                     verified.setdefault(d, False)
-            out = [(d, s) for d, s in top if verified.get(d)]
-            if len(out) >= k or len(top) < pool:
+
+        # candidate count is bounded by the required-term presence masks
+        # (every phrase term is required).  On a positional index a failed
+        # first round jumps straight to that bound and verifies lazily in
+        # rank order — per-doc verification is a cheap position-list merge,
+        # so the head of the ranked list usually settles k without touching
+        # the tail.  On a text-verify index each fetch_docs call scans the
+        # doc store, so rounds verify in ONE batched fetch and the pool
+        # grows geometrically to keep the number of scans logarithmic.
+        bound = int(mask.sum()) if required else None
+        pool = max(50, 4 * k)
+        while True:
+            top = self._dispatch(term_chunks, pool, mask, method, total_postings)
+            out: list[tuple[int, float]] = []
+            if self.has_positions:
+                step = max(256, 4 * k)  # batched-vectorized: bigger bites
+                i = 0
+                while i < len(top) and len(out) < k:
+                    chunk = top[i : i + step]
+                    _verify_batch([d for d, _ in chunk])
+                    out.extend((d, s) for d, s in chunk if verified.get(d))
+                    i += step
+            else:
+                _verify_batch([d for d, _ in top])
+                out = [(d, s) for d, s in top if verified.get(d)]
+            if len(out) >= k or len(top) < pool or pool == bound:
                 return out[:k]
-            pool *= 4
+            if self.has_positions and bound is not None:
+                pool = bound
+            else:
+                pool = min(pool * 4, bound) if bound is not None else pool * 4
 
     def _phrases_ok(self, text: str, bq: BoolQuery) -> bool:
         toks = tokenize(text, self.analyzer)
@@ -617,25 +647,78 @@ class IndexReader:
                 return flat[offs[i] : offs[i + 1]]
         return np.empty(0, np.int32)
 
-    def _phrase_present(self, doc: int, phrase: tuple[str, ...]) -> bool:
-        """Adjacency via position-list intersection: survivors of step i are
-        the start positions whose i-th successor exists in term i's list."""
-        cand = self._positions_of(phrase[0], doc).astype(np.int64)
-        for i, t in enumerate(phrase[1:], start=1):
-            if cand.size == 0:
-                return False
-            nxt = self._positions_of(t, doc).astype(np.int64)
-            if nxt.size == 0:
-                return False
-            j = np.searchsorted(nxt, cand + i)
-            j = np.minimum(j, nxt.size - 1)
-            cand = cand[nxt[j] == cand + i]
-        return cand.size > 0
+    def _term_positions_for_docs(
+        self, term: str, docs: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Gather `term`'s positions for every doc in `docs` at once ->
+        (doc-index-in-docs repeated per position, flat positions)."""
+        drep_l, vals_l = [], []
+        cand_idx = np.arange(docs.size, dtype=np.int64)
+        for ids, offs, flat in self._token_positions(term):
+            if ids.size == 0:
+                continue
+            idx = np.searchsorted(ids, docs)
+            idx_c = np.minimum(idx, ids.size - 1)
+            found = ids[idx_c] == docs
+            if not found.any():
+                continue
+            fidx = idx_c[found]
+            starts = offs[fidx]
+            ls = offs[fidx + 1] - starts
+            total = int(ls.sum())
+            cum = np.concatenate(([0], np.cumsum(ls)))[:-1]
+            gather = (
+                np.arange(total, dtype=np.int64)
+                - np.repeat(cum, ls)
+                + np.repeat(starts, ls)
+            )
+            drep_l.append(np.repeat(cand_idx[found], ls))
+            vals_l.append(flat[gather].astype(np.int64))
+        if not drep_l:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        return np.concatenate(drep_l), np.concatenate(vals_l)
 
-    def _phrases_ok_positional(self, doc: int, bq: BoolQuery) -> bool:
-        return all(self._phrase_present(doc, p) for p in bq.phrases) and not any(
-            self._phrase_present(doc, p) for p in bq.not_phrases
-        )
+    def _phrase_present_many(
+        self, docs: np.ndarray, phrase: tuple[str, ...]
+    ) -> np.ndarray:
+        """Vectorized adjacency over a candidate batch: term i's positions
+        shifted by -i all collapse onto the phrase's start position, so a
+        (doc, start) key seen len(phrase) times marks a match.  Cost is the
+        total positions of the phrase's terms over the batch — no per-doc
+        Python loop."""
+        m = len(phrase)
+        ok = np.ones(docs.size, dtype=bool)
+        keys_l = []
+        for i, t in enumerate(phrase):
+            drep, vals = self._term_positions_for_docs(t, docs)
+            present = np.zeros(docs.size, dtype=bool)
+            present[drep] = True
+            ok &= present
+            if not ok.any():
+                return ok
+            vals = vals - i
+            valid = vals >= 0
+            keys_l.append((drep[valid] << np.int64(32)) | vals[valid])
+        ukey, cnt = np.unique(np.concatenate(keys_l), return_counts=True)
+        hit = (ukey[cnt == m] >> np.int64(32)).astype(np.int64)
+        res = np.zeros(docs.size, dtype=bool)
+        res[hit] = True
+        return res & ok
+
+    def _phrases_ok_positional_many(
+        self, docs: list[int], bq: BoolQuery
+    ) -> np.ndarray:
+        arr = np.asarray(docs, dtype=np.uint64)
+        ok = np.ones(arr.size, dtype=bool)
+        for p in bq.phrases:
+            if not ok.any():
+                return ok
+            ok &= self._phrase_present_many(arr, p)
+        for p in bq.not_phrases:
+            if not ok.any():
+                return ok
+            ok &= ~self._phrase_present_many(arr, p)
+        return ok
 
     def _chunk_positions(self, term: str, chunk_i: int, ids: np.ndarray) -> np.ndarray:
         """Positions of a chunk's doc ids within the global sorted doc table
