@@ -98,20 +98,31 @@ def bm25_docs_boolean(sf_dir: str, k: int = K) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r6"])
 
 
-def _bool_docs_sql() -> str:
-    """The boolean oracle: BM25 scores over each query's scoring terms
-    (identical CTE chain to BM25_DOCS_SQL) filtered by per-query
+def _bool_docs_sql(query_set: list[str]) -> str:
+    """The boolean/wildcard oracle: BM25 scores over each query's scoring
+    terms (identical CTE chain to BM25_DOCS_SQL) filtered by per-query
     eligibility — term presence / absence / phrase adjacency checked with
-    contains() on ' '-padded normalized token text, the exact token space
-    the engine's analyzer produces."""
-    from ..query import parse_query
+    contains() on ' '-padded normalized token text (the exact token space
+    the engine's analyzer produces), and wildcard prefixes expanded against
+    the df table with the engine's (df DESC, term ASC) LIMIT cap."""
+    from ..query import MAX_PREFIX_EXPANSIONS, parse_query
 
-    values, elig_selects = [], []
-    for qid, qtext in enumerate(BOOL_DOC_QUERIES):
+    values, px_ctes, q_selects, elig_selects = [], [], [], []
+
+    def _px(qid: int, j: int, prefix: str) -> str:
+        name = f"px{qid}_{j}"
+        px_ctes.append(
+            f"{name} AS (SELECT tk FROM df WHERE tk LIKE '{prefix}%' "
+            f"ORDER BY df DESC, tk LIMIT {MAX_PREFIX_EXPANSIONS})"
+        )
+        return name
+
+    for qid, qtext in enumerate(query_set):
         bq = parse_query(qtext)
         for term in bq.scoring_terms:
             values.append(f"({qid}, '{term}')")
         conds = []
+        j = 0
         for t in bq.required_terms:
             conds.append(f"contains(n.ntext, ' {t} ')")
         for t in sorted(set(bq.must_not)):
@@ -120,15 +131,42 @@ def _bool_docs_sql() -> str:
             conds.append(f"contains(n.ntext, ' {' '.join(p)} ')")
         for p in bq.not_phrases:
             conds.append(f"NOT contains(n.ntext, ' {' '.join(p)} ')")
+        for prefix in bq.should_prefix:
+            name = _px(qid, j, prefix); j += 1
+            q_selects.append(
+                f"SELECT {qid} AS query_id, tk AS term FROM {name}"
+            )
+        for prefix in bq.must_prefix:
+            name = _px(qid, j, prefix); j += 1
+            q_selects.append(
+                f"SELECT {qid} AS query_id, tk AS term FROM {name}"
+            )
+            conds.append(
+                "EXISTS (SELECT 1 FROM tf t2 WHERE t2.doc_id = n.doc_id "
+                f"AND t2.tk IN (SELECT tk FROM {name}))"
+            )
+        for prefix in bq.must_not_prefix:
+            name = _px(qid, j, prefix); j += 1
+            conds.append(
+                "NOT EXISTS (SELECT 1 FROM tf t2 WHERE t2.doc_id = n.doc_id "
+                f"AND t2.tk IN (SELECT tk FROM {name}))"
+            )
         where = " AND ".join(conds) if conds else "TRUE"
         elig_selects.append(
             f"SELECT {qid} AS query_id, n.doc_id FROM norm n WHERE {where}"
         )
-    vals = ", ".join(values)
+    q_parts = []
+    if values:
+        q_parts.append(
+            "SELECT * FROM (VALUES " + ", ".join(values)
+            + ") AS v(query_id, term)"
+        )
+    q_parts.extend(q_selects)
+    queries_cte = "\n  UNION ".join(q_parts)  # UNION: dedupe literal+expansion
+    px_block = ("," + ",\n".join(px_ctes)) if px_ctes else ""
     elig = "\n  UNION ALL ".join(elig_selects)
     return f"""
-WITH queries(query_id, term) AS (VALUES {vals}),
-tok AS (
+WITH tok AS (
   SELECT doc_id,
          unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
                             x -> x <> '')) AS tk
@@ -141,16 +179,19 @@ norm AS (
                              x -> x <> ''), ' ') || ' ' AS ntext
   FROM documents
 ),
-elig AS (
-  {elig}
-),
 tf AS (SELECT doc_id, tk, count(*) AS tf FROM tok GROUP BY doc_id, tk),
 dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
 stats AS (
   SELECT (SELECT count(*) FROM documents) AS n,
          (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
 ),
-df AS (SELECT tk, count(*) AS df FROM tf GROUP BY tk),
+df AS (SELECT tk, count(*) AS df FROM tf GROUP BY tk){px_block},
+queries AS (
+  {queries_cte}
+),
+elig AS (
+  {elig}
+),
 contrib AS (
   SELECT q.query_id, tf.doc_id,
          ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1)
@@ -217,5 +258,30 @@ SELECT query_id, rank, doc_id, score_r6 FROM ranked WHERE rank <= {K}
 """
 
 
+WILDCARD_DOC_QUERIES = [
+    "wind* table",
+    "+cust* order",
+    "s* join",
+    "hash -jo*",
+    "pa* +agg",
+    'quer* "order line"',
+]
+
+
+def bm25_docs_wildcard(sf_dir: str, k: int = K) -> pd.DataFrame:
+    """Wildcard/prefix queries (`data*` expands against the index
+    vocabulary, df-capped) -> (query_id, rank, doc_id, score_r6)."""
+    reader = _index_for(sf_dir)
+    rows = []
+    for qid, qtext in enumerate(WILDCARD_DOC_QUERIES):
+        res = reader.search_boolean(qtext, k=2 * k)
+        res = [(int(np.int64(np.uint64(d))), round(s, 6)) for d, s in res]
+        res.sort(key=lambda t: (-t[1], t[0]))
+        for rank, (did, s) in enumerate(res[:k], 1):
+            rows.append((qid, rank, did, s))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r6"])
+
+
 BM25_DOCS_SQL = _bm25_docs_sql()
-BOOL_DOCS_SQL = _bool_docs_sql()
+BOOL_DOCS_SQL = _bool_docs_sql(BOOL_DOC_QUERIES)
+WILDCARD_DOCS_SQL = _bool_docs_sql(WILDCARD_DOC_QUERIES)

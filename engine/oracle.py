@@ -136,14 +136,39 @@ class OracleIndex:
         syntax): must/must-not/phrase/not-phrase eligibility, then plain
         BM25 over the unique scoring terms in ascending term order —
         the conformance target of IndexReader.search_boolean."""
-        from .query import contains_sequence, parse_query
+        from .query import MAX_PREFIX_EXPANSIONS, contains_sequence, parse_query
 
         bq = parse_query(query_text, self.analyzer)
-        scoring = bq.scoring_terms
+
+        def _expand(prefix: str) -> list[str]:
+            cands = sorted(
+                ((t, len(p)) for t, p in self.postings.items()
+                 if t.startswith(prefix)),
+                key=lambda x: (-x[1], x[0]),
+            )
+            return sorted(t for t, _ in cands[:MAX_PREFIX_EXPANSIONS])
+
+        exp_should: list[str] = []
+        must_groups: list[set[str]] = []
+        exp_not: list[str] = []
+        for p in bq.should_prefix:
+            exp_should.extend(_expand(p))
+        for p in bq.must_prefix:
+            g = _expand(p)
+            if not g:
+                return []
+            must_groups.append(set(g))
+        for p in bq.must_not_prefix:
+            exp_not.extend(_expand(p))
+        scoring = sorted(
+            set(bq.scoring_terms)
+            | set(exp_should)
+            | {t for g in must_groups for t in g}
+        )
         if not scoring:
             return []
         required = set(bq.required_terms)
-        excluded = set(bq.must_not)
+        excluded = set(bq.must_not) | set(exp_not)
         scores: dict[int, float] = {}
         for t in scoring:  # ascending term order == engine summation order
             plist = self.postings.get(t)
@@ -157,6 +182,10 @@ class OracleIndex:
                 if any(r not in doc.tf for r in required):
                     continue
                 if any(x in doc.tf for x in excluded):
+                    continue
+                if any(
+                    not any(g_t in doc.tf for g_t in g) for g in must_groups
+                ):
                     continue
                 impact = tf * (K1 + 1.0) / (
                     tf + K1 * ((1.0 - B) + (B * doc.doclen) / self.avgdl)

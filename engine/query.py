@@ -68,6 +68,13 @@ class BoolQuery:
     must_not: tuple[str, ...]
     phrases: tuple[tuple[str, ...], ...]
     not_phrases: tuple[tuple[str, ...], ...]
+    # wildcard operands (`data*`): the stored string is the prefix; each
+    # expands against the index vocabulary at query time.  A must-prefix
+    # group requires >=1 expansion present (unlike plain must terms, which
+    # are each required); a not-prefix excludes docs with ANY expansion.
+    should_prefix: tuple[str, ...] = ()
+    must_prefix: tuple[str, ...] = ()
+    must_not_prefix: tuple[str, ...] = ()
 
     @property
     def scoring_terms(self) -> list[str]:
@@ -82,6 +89,12 @@ class BoolQuery:
         for p in self.phrases:
             ts.update(p)
         return sorted(ts)
+
+
+# wildcard expansion budget: deterministic (df DESC, term ASC) cap, mirrored
+# by the SQL oracle's ORDER BY df DESC, tk LIMIT — a one-letter prefix on a
+# web vocabulary would otherwise expand to millions of scoring terms
+MAX_PREFIX_EXPANSIONS = 64
 
 
 def parse_query(text: str, analyzer: AnalyzerConfig = DEFAULT_ANALYZER) -> BoolQuery:
@@ -107,19 +120,31 @@ def parse_query(text: str, analyzer: AnalyzerConfig = DEFAULT_ANALYZER) -> BoolQ
             (not_phrases if neg else phrases).append(toks)
         return " "
 
+    should_px: list[str] = []
+    must_px: list[str] = []
+    must_not_px: list[str] = []
     rest = _PHRASE_RE.sub(_take_phrase, text)
     for raw in rest.split():
         sign = ""
         if raw[0] in "+-":
             sign, raw = raw[0], raw[1:]
-        toks = tokenize(raw, analyzer)
+        wildcard = raw.endswith("*")
+        toks = tokenize(raw.rstrip("*"), analyzer)
         if not toks:
+            continue
+        if wildcard and len(toks) == 1:
+            dst = (
+                must_px if sign == "+"
+                else must_not_px if sign == "-" else should_px
+            )
+            dst.append(toks[0])
             continue
         dst = must if sign == "+" else must_not if sign == "-" else should
         dst.extend(toks)
     return BoolQuery(
         tuple(should), tuple(must), tuple(must_not),
         tuple(phrases), tuple(not_phrases),
+        tuple(should_px), tuple(must_px), tuple(must_not_px),
     )
 
 
@@ -234,6 +259,8 @@ class IndexReader:
         self._bucket_tables: _LRU = _LRU(cap=8)  # bucket -> (table, term index)
         self._pos_cache: _LRU = _LRU(cap=4096)  # (term, chunk) -> positions
         self._tpos_cache: _LRU = _LRU(cap=512)  # term -> decoded token positions
+        self._vocab_sorted = None  # lazy sorted vocab (wildcard expansion)
+        self._vocab_df = None
         self._url_mask_cache: _LRU = _LRU(cap=64)  # url pattern -> doc mask
         # maxscore scratch: candidate membership (bool) and candidate rank
         # (int32) over docmeta positions, allocated once per reader and
@@ -245,6 +272,28 @@ class IndexReader:
     def idf(self, term: str) -> float:
         df = self._df.get(term, 0)
         return float(np.log((self.n_docs - df + 0.5) / (df + 0.5) + 1.0))
+
+    def _expand_prefix(self, prefix: str) -> list[str]:
+        """Indexed terms starting with `prefix`, capped deterministically at
+        MAX_PREFIX_EXPANSIONS by (df DESC, term ASC) — the SQL oracle
+        mirrors the cap with ORDER BY df DESC, tk LIMIT.  The vocabulary
+        scan is a binary-searched range over the term-sorted df table (at
+        web vocab that table is the partitioned dfs/ parquet, still
+        term-range-prunable)."""
+        if self._vocab_sorted is None:
+            terms = np.array(sorted(self._df), dtype=object)
+            self._vocab_sorted = terms
+            self._vocab_df = np.array(
+                [self._df[t] for t in terms], dtype=np.int64
+            )
+        vocab, dfs = self._vocab_sorted, self._vocab_df
+        lo = int(np.searchsorted(vocab, prefix))
+        hi = int(np.searchsorted(vocab, prefix + "\U0010ffff"))
+        terms, d = vocab[lo:hi], dfs[lo:hi]
+        if terms.size > MAX_PREFIX_EXPANSIONS:
+            keep = np.lexsort((terms, -d))[:MAX_PREFIX_EXPANSIONS]
+            terms = terms[keep]
+        return sorted(terms.tolist())
 
     def _bucket_rows(self, bucket: int) -> dict[str, list[int]]:
         """term -> row indices of the (cached) bucket segment table.
@@ -525,17 +574,34 @@ class IndexReader:
           no doc-store read) — the scale path for phrase-heavy workloads.
         """
         bq = parse_query(query_text, self.analyzer)
-        scoring = bq.scoring_terms
         required = bq.required_terms
-        if not scoring:
-            return []  # pure-negative query: nothing to rank
         if any(self._df.get(t, 0) <= 0 for t in required):
             return []
+        # wildcard expansion (deterministic df-capped; see _expand_prefix)
+        exp_should: list[str] = []
+        must_groups: list[list[str]] = []
+        exp_not: list[str] = []
+        for p in bq.should_prefix:
+            exp_should.extend(self._expand_prefix(p))
+        for p in bq.must_prefix:
+            g = self._expand_prefix(p)
+            if not g:
+                return []  # required group with zero expansions
+            must_groups.append(g)
+        for p in bq.must_not_prefix:
+            exp_not.extend(self._expand_prefix(p))
+        scoring = sorted(
+            set(bq.scoring_terms)
+            | set(exp_should)
+            | {t for g in must_groups for t in g}
+        )
+        if not scoring:
+            return []  # pure-negative query: nothing to rank
         mask = self._filter_mask(
             lang_filter, ts_min, ts_max, url_contains, doc_ids_filter
         )
-        excluded = sorted(set(bq.must_not))
-        if required or excluded:
+        excluded = sorted(set(bq.must_not) | set(exp_not))
+        if required or excluded or must_groups:
             self._load_docmeta()
             n = self._docmeta[0].size
             if mask is None:
@@ -544,6 +610,14 @@ class IndexReader:
                 pres = np.zeros(n, dtype=bool)
                 for ci, (ids, _imp, _bl, _bm) in enumerate(self._load_chunks(t)):
                     pres[self._chunk_positions(t, ci, ids)] = True
+                mask &= pres
+            for g in must_groups:  # >=1 member present (union, then AND)
+                pres = np.zeros(n, dtype=bool)
+                for t in g:
+                    for ci, (ids, _imp, _bl, _bm) in enumerate(
+                        self._load_chunks(t)
+                    ):
+                        pres[self._chunk_positions(t, ci, ids)] = True
                 mask &= pres
             for t in excluded:
                 for ci, (ids, _imp, _bl, _bm) in enumerate(self._load_chunks(t)):
@@ -585,7 +659,7 @@ class IndexReader:
         # the tail.  On a text-verify index each fetch_docs call scans the
         # doc store, so rounds verify in ONE batched fetch and the pool
         # grows geometrically to keep the number of scans logarithmic.
-        bound = int(mask.sum()) if required else None
+        bound = int(mask.sum()) if (required or must_groups) else None
         pool = max(50, 4 * k)
         while True:
             top = self._dispatch(term_chunks, pool, mask, method, total_postings)

@@ -130,6 +130,54 @@ def test_boolean_composes_with_filters(bool_index):
     assert set(docs["lang"].to_pylist()) <= {"en"}
 
 
+def test_parse_query_wildcards():
+    bq = parse_query("data* +ab* -cd* plain +Word,*")
+    assert bq.should_prefix == ("data",)
+    assert bq.must_prefix == ("ab", "word")
+    assert bq.must_not_prefix == ("cd",)
+    assert bq.should == ("plain",)
+    # a bare "*" analyzes to nothing and vanishes
+    assert parse_query("*") == parse_query("")
+
+
+@pytest.mark.parametrize("method", ["auto", "bmw", "maxscore"])
+def test_wildcard_rank_identical(bool_index, method):
+    reader, oracle = bool_index
+    h = synth.HEAD_TERMS
+    px = h[7][:4]  # a prefix with several vocab expansions
+    for q in (
+        f"{h[0]} {px}*",
+        f"+{px}* {h[0]}",
+        f"{h[0]} -{px}*",
+        f"{px}*",
+        f'{px}* "{h[0]} {h[1]}"',
+        f"{h[0]} ba*",  # expansion count > MAX_PREFIX_EXPANSIONS: cap binds
+    ):
+        exp = oracle.search_boolean(q, k=10)
+        got = reader.search_boolean(q, k=10, method=method)
+        assert [d for d, _ in got] == [d for d, _ in exp], (q, method)
+        for (gd, gs), (ed, es) in zip(got, exp):
+            assert gs == es, (q, method, gd)
+
+
+def test_wildcard_semantics(bool_index):
+    reader, _ = bool_index
+    h = synth.HEAD_TERMS
+    px = synth.VOCAB[700][:6]  # rare prefix: exclusion leaves survivors
+    res = reader.search_boolean(f"{h[0]} -{px}*", k=20)
+    assert res
+    docs = reader.fetch_docs(
+        [d for d, _ in res], columns=["doc_id", "warc_ts", "text"]
+    )
+    expansions = set(reader._expand_prefix(px))
+    assert expansions, "prefix should expand against the synth vocab"
+    for txt in docs["text"].to_pylist():
+        assert not (set(tokenize(txt, reader.analyzer)) & expansions)
+    # unmatched prefixes: as should -> nothing to rank; as must -> empty
+    assert reader.search_boolean("zzqx*", k=5) == []
+    assert reader.search_boolean(f"{h[0]} +zzqx*", k=5) == []
+
+
 def test_boolean_plain_query_matches_search(bool_index):
     """No operators -> identical to plain BM25 search (scores bitwise)."""
     reader, _ = bool_index
