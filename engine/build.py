@@ -855,10 +855,17 @@ class _TokenizeAndShard(_PidTokenizer):
                 store = batch.select(
                     ["doc_id", "url", "warc_ts", "lang", "text"]
                 ).filter(mask)
+                # doc_id-sorted with small row groups: a point lookup
+                # (fetch_docs isin filter) then prunes on the parquet
+                # row-group doc_id min/max stats instead of decoding the
+                # whole part — hash ids in arrival order span the full id
+                # range in EVERY row group, which defeats pruning entirely
+                store = store.sort_by("doc_id")
                 d = os.path.join(self.docstore_tmp, f"pid={pid}")
                 os.makedirs(d, exist_ok=True)
                 pa.parquet.write_table(
                     store, os.path.join(d, f"part-{tag}.parquet"),
+                    row_group_size=128,
                     # doc store is write-heavy and disk-bound; zstd-1 halves
                     # bytes at ~snappy speed
                     compression="zstd", compression_level=1,

@@ -261,6 +261,7 @@ class IndexReader:
         self._tpos_cache: _LRU = _LRU(cap=512)  # term -> decoded token positions
         self._vocab_sorted = None  # lazy sorted vocab (wildcard expansion)
         self._vocab_df = None
+        self._ds_rg = None  # doc-store row-group interval index (fetch_docs)
         self._url_mask_cache: _LRU = _LRU(cap=64)  # url pattern -> doc mask
         # maxscore scratch: candidate membership (bool) and candidate rank
         # (int32) over docmeta positions, allocated once per reader and
@@ -1164,16 +1165,91 @@ class IndexReader:
         return rescored
 
     # ------------------------------------------------------------------
+    def _docstore_rg_index(self):
+        """Row-group doc_id [min, max] intervals of every doc-store file
+        (one footer read per file, cached) — fetch_docs prunes with these
+        directly because the dataset scanner evaluates an isin filter
+        only AFTER decoding each row group, which makes every point lookup
+        a full doc-store scan."""
+        if self._ds_rg is None:
+            import pyarrow.parquet as pq
+
+            paths: list[str] = []
+            rgs: list[int] = []
+            mins: list[int] = []
+            maxs: list[int] = []
+            for path in self._extracted.files:
+                md = pq.read_metadata(path)
+                for i in range(md.num_row_groups):
+                    rgmd = md.row_group(i)
+                    st = None
+                    for j in range(rgmd.num_columns):
+                        c = rgmd.column(j)
+                        if c.path_in_schema == "doc_id":
+                            st = c.statistics
+                            break
+                    if st is not None and st.has_min_max:
+                        mins.append(int(st.min))
+                        maxs.append(int(st.max))
+                    else:  # no stats: never prune this row group
+                        mins.append(0)
+                        maxs.append(2**64 - 1)
+                    paths.append(path)
+                    rgs.append(i)
+            self._ds_rg = (
+                paths,
+                np.asarray(rgs, dtype=np.int64),
+                np.asarray(mins, dtype=np.uint64),
+                np.asarray(maxs, dtype=np.uint64),
+            )
+        return self._ds_rg
+
     def fetch_docs(self, doc_ids: list[int], columns=None) -> pa.Table:
         """Doc-store lookup after top-k (SURVEY.md §2.4 J2 analog):
-        broadcast-semi-join of the tiny k-set against the extracted table."""
+        broadcast-semi-join of the tiny k-set against the extracted table,
+        reading only the row groups whose doc_id range can hold a probe
+        (the build sorts each doc-store part by doc_id into small row
+        groups precisely so these intervals stay narrow)."""
         if not doc_ids:
             cols = columns or ["doc_id", "url", "warc_ts", "lang", "text"]
             return self._extracted.schema.empty_table().select(cols)
-        tbl = self._extracted.to_table(
-            columns=columns,
-            filter=pc.field("doc_id").isin(pa.array(doc_ids, pa.uint64())),
+        import pyarrow.parquet as pq
+
+        probes = np.unique(np.asarray(doc_ids, dtype=np.uint64))
+        paths, rgs, mins, maxs = self._docstore_rg_index()
+        pos = np.searchsorted(probes, mins)
+        hit = (pos < probes.size) & (
+            probes[np.minimum(pos, probes.size - 1)] <= maxs
         )
+        read_cols = columns
+        if columns is not None and "doc_id" not in columns:
+            read_cols = ["doc_id"] + list(columns)
+        by_path: dict[str, list[int]] = {}
+        for i in np.nonzero(hit)[0]:
+            by_path.setdefault(paths[i], []).append(int(rgs[i]))
+        def _read(item):
+            path, rgl = item
+            return pq.ParquetFile(path).read_row_groups(
+                rgl, columns=read_cols, use_threads=False
+            )
+        if len(by_path) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(min(8, len(by_path))) as ex:
+                tabs = list(ex.map(_read, by_path.items()))
+        else:
+            tabs = [_read(it) for it in by_path.items()]
+        if tabs:
+            tbl = pa.concat_tables(tabs)
+            ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            p = np.searchsorted(probes, ids)
+            keep = probes[np.minimum(p, probes.size - 1)] == ids
+            tbl = tbl.filter(pa.array(keep))
+            if read_cols is not columns and columns is not None:
+                tbl = tbl.select(columns)
+        else:
+            cols = columns or ["doc_id", "url", "warc_ts", "lang", "text"]
+            return self._extracted.schema.empty_table().select(cols)
         # duplicate (loser) url rows share doc_id: keep max warc_ts row
         if "warc_ts" in tbl.column_names and tbl.num_rows > len(doc_ids):
             tbl = tbl.sort_by([("doc_id", "ascending"), ("warc_ts", "ascending")])
