@@ -37,6 +37,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_boolean_topk": docsearch.bm25_docs_boolean,
         # wildcard prefixes (`data*`) expanded against the index vocabulary
         "docs_wildcard_topk": docsearch.bm25_docs_wildcard,
+        # proximity ("a b"~N): in-order match, bounded per-gap slop
+        "docs_proximity_topk": docsearch.bm25_docs_proximity,
         # pages-path flagship: HTML extraction + keep-latest-by-url dedup +
         # filtered (lang, warc_ts) BM25 search — the full ingest chain
         "pages_bm25_topk": pagesearch.pages_bm25_topk,
@@ -115,6 +117,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_docs_topk": docsearch.BM25_DOCS_SQL,
         "docs_boolean_topk": docsearch.BOOL_DOCS_SQL,
         "docs_wildcard_topk": docsearch.WILDCARD_DOCS_SQL,
+        "docs_proximity_topk": docsearch.PROX_DOCS_SQL,
         "pages_bm25_topk": pagesearch.PAGES_BM25_SQL,
         "pages_bm25_urlfilter": pagesearch.PAGES_URLFILTER_SQL,
         "q1_pricing_summary": relational.Q1_SQL,

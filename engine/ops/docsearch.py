@@ -127,10 +127,22 @@ def _bool_docs_sql(query_set: list[str]) -> str:
             conds.append(f"contains(n.ntext, ' {t} ')")
         for t in sorted(set(bq.must_not)):
             conds.append(f"NOT contains(n.ntext, ' {t} ')")
-        for p in bq.phrases:
-            conds.append(f"contains(n.ntext, ' {' '.join(p)} ')")
-        for p in bq.not_phrases:
-            conds.append(f"NOT contains(n.ntext, ' {' '.join(p)} ')")
+        def _phrase_cond(p: tuple, s: int) -> str:
+            if s == 0:
+                return f"contains(n.ntext, ' {' '.join(p)} ')"
+            # per-gap slop: up to s intervening tokens between consecutive
+            # terms, in order — tokens in ntext are single-space separated
+            pat = " " + p[0] + "".join(
+                f"( [a-z0-9]+){{0,{s}}} {t}" for t in p[1:]
+            ) + " "
+            return f"regexp_matches(n.ntext, '{pat}')"
+
+        slops = bq.phrase_slops or (0,) * len(bq.phrases)
+        nslops = bq.not_phrase_slops or (0,) * len(bq.not_phrases)
+        for p, s in zip(bq.phrases, slops):
+            conds.append(_phrase_cond(p, s))
+        for p, s in zip(bq.not_phrases, nslops):
+            conds.append(f"NOT {_phrase_cond(p, s)}")
         for prefix in bq.should_prefix:
             name = _px(qid, j, prefix); j += 1
             q_selects.append(
@@ -258,6 +270,31 @@ SELECT query_id, rank, doc_id, score_r6 FROM ranked WHERE rank <= {K}
 """
 
 
+PROX_DOC_QUERIES = [
+    '"hash join"~1 table',
+    'customer "slow query"~2',
+    '"window agg"~2 -batch',
+    '"order line part"~2',
+    'spark -"hash join"~1',
+    '"table scan merge"~3',
+]
+
+
+def bm25_docs_proximity(sf_dir: str, k: int = K) -> pd.DataFrame:
+    """Proximity queries (`"a b"~N`: in-order, up to N intervening tokens
+    per gap) -> (query_id, rank, doc_id, score_r6); the SQL oracle mirrors
+    the window with a bounded-repetition regex over normalized tokens."""
+    reader = _index_for(sf_dir)
+    rows = []
+    for qid, qtext in enumerate(PROX_DOC_QUERIES):
+        res = reader.search_boolean(qtext, k=2 * k)
+        res = [(int(np.int64(np.uint64(d))), round(s, 6)) for d, s in res]
+        res.sort(key=lambda t: (-t[1], t[0]))
+        for rank, (did, s) in enumerate(res[:k], 1):
+            rows.append((qid, rank, did, s))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r6"])
+
+
 WILDCARD_DOC_QUERIES = [
     "wind* table",
     "+cust* order",
@@ -285,3 +322,4 @@ def bm25_docs_wildcard(sf_dir: str, k: int = K) -> pd.DataFrame:
 BM25_DOCS_SQL = _bm25_docs_sql()
 BOOL_DOCS_SQL = _bool_docs_sql(BOOL_DOC_QUERIES)
 WILDCARD_DOCS_SQL = _bool_docs_sql(WILDCARD_DOC_QUERIES)
+PROX_DOCS_SQL = _bool_docs_sql(PROX_DOC_QUERIES)

@@ -194,11 +194,18 @@ class OracleIndex:
         if bq.phrases or bq.not_phrases:
             from .analyze import tokenize as _tok
 
+            slops = bq.phrase_slops or (0,) * len(bq.phrases)
+            nslops = bq.not_phrase_slops or (0,) * len(bq.not_phrases)
+
             def _ok(did: int) -> bool:
                 toks = _tok(self.docs[did].text, self.analyzer)
                 return all(
-                    contains_sequence(toks, p) for p in bq.phrases
-                ) and not any(contains_sequence(toks, p) for p in bq.not_phrases)
+                    contains_sequence(toks, p, s)
+                    for p, s in zip(bq.phrases, slops)
+                ) and not any(
+                    contains_sequence(toks, p, s)
+                    for p, s in zip(bq.not_phrases, nslops)
+                )
 
             scores = {d: s for d, s in scores.items() if _ok(d)}
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))

@@ -58,7 +58,10 @@ from .schema import term_bucket, ts_to_us
 # terms (should + must + phrase terms) in ascending lexicographic order, so
 # scores are bitwise-identical to an unadorned query over the same terms.
 
-_PHRASE_RE = re.compile(r'([+-]?)"([^"]*)"')
+#   "slow query"~2      ->  proximity: consecutive phrase terms may be up
+#                           to 1+slop positions apart (per-gap slop;
+#                           slop=0 is the exact phrase), still in order
+_PHRASE_RE = re.compile(r'([+-]?)"([^"]*)"(?:~(\d+))?')
 
 
 @dataclass(frozen=True)
@@ -68,6 +71,11 @@ class BoolQuery:
     must_not: tuple[str, ...]
     phrases: tuple[tuple[str, ...], ...]
     not_phrases: tuple[tuple[str, ...], ...]
+    # per-phrase slop (aligned with phrases / not_phrases; 0 = exact
+    # adjacency): consecutive terms may sit up to 1+slop positions apart,
+    # in order — `"slow query"~2` allows two intervening tokens per gap
+    phrase_slops: tuple[int, ...] = ()
+    not_phrase_slops: tuple[int, ...] = ()
     # wildcard operands (`data*`): the stored string is the prefix; each
     # expands against the index vocabulary at query time.  A must-prefix
     # group requires >=1 expansion present (unlike plain must terms, which
@@ -111,13 +119,18 @@ def parse_query(text: str, analyzer: AnalyzerConfig = DEFAULT_ANALYZER) -> BoolQ
     must: list[str] = []
     must_not: list[str] = []
 
+    phrase_slops: list[int] = []
+    not_phrase_slops: list[int] = []
+
     def _take_phrase(m: re.Match) -> str:
         toks = tuple(tokenize(m.group(2), analyzer))
         neg = m.group(1) == "-"
+        slop = int(m.group(3) or 0)
         if len(toks) == 1:
             (must_not if neg else must).append(toks[0])
         elif toks:
             (not_phrases if neg else phrases).append(toks)
+            (not_phrase_slops if neg else phrase_slops).append(slop)
         return " "
 
     should_px: list[str] = []
@@ -144,29 +157,44 @@ def parse_query(text: str, analyzer: AnalyzerConfig = DEFAULT_ANALYZER) -> BoolQ
     return BoolQuery(
         tuple(should), tuple(must), tuple(must_not),
         tuple(phrases), tuple(not_phrases),
+        tuple(phrase_slops), tuple(not_phrase_slops),
         tuple(should_px), tuple(must_px), tuple(must_not_px),
     )
 
 
-def contains_sequence(toks: list[str], phrase: tuple[str, ...]) -> bool:
-    """True iff `phrase` occurs as a contiguous run in `toks`."""
+def contains_sequence(
+    toks: list[str], phrase: tuple[str, ...], slop: int = 0
+) -> bool:
+    """True iff `phrase` occurs in `toks` in order with each consecutive
+    pair at most 1+slop positions apart (slop=0: contiguous run)."""
     m = len(phrase)
     if m == 0:
         return True
     if m == 1:
         return phrase[0] in toks
-    first = phrase[0]
-    want = list(phrase)
-    n = len(toks)
-    i = 0
-    while True:
-        try:
-            i = toks.index(first, i, n - m + 1)
-        except ValueError:
+    if slop == 0:
+        first = phrase[0]
+        want = list(phrase)
+        n = len(toks)
+        i = 0
+        while True:
+            try:
+                i = toks.index(first, i, n - m + 1)
+            except ValueError:
+                return False
+            if toks[i : i + m] == want:
+                return True
+            i += 1
+    surv = {i for i, t in enumerate(toks) if t == phrase[0]}
+    for t in phrase[1:]:
+        if not surv:
             return False
-        if toks[i : i + m] == want:
-            return True
-        i += 1
+        surv = {
+            j
+            for j, x in enumerate(toks)
+            if x == t and any(j - d in surv for d in range(1, slop + 2))
+        }
+    return bool(surv)
 
 
 class _LRU(dict):
@@ -685,8 +713,13 @@ class IndexReader:
 
     def _phrases_ok(self, text: str, bq: BoolQuery) -> bool:
         toks = tokenize(text, self.analyzer)
-        return all(contains_sequence(toks, p) for p in bq.phrases) and not any(
-            contains_sequence(toks, p) for p in bq.not_phrases
+        slops = bq.phrase_slops or (0,) * len(bq.phrases)
+        nslops = bq.not_phrase_slops or (0,) * len(bq.not_phrases)
+        return all(
+            contains_sequence(toks, p, s) for p, s in zip(bq.phrases, slops)
+        ) and not any(
+            contains_sequence(toks, p, s)
+            for p, s in zip(bq.not_phrases, nslops)
         )
 
     # ---- positional phrase evaluation (store_positions=True indexes) -----
@@ -754,45 +787,48 @@ class IndexReader:
         return np.concatenate(drep_l), np.concatenate(vals_l)
 
     def _phrase_present_many(
-        self, docs: np.ndarray, phrase: tuple[str, ...]
+        self, docs: np.ndarray, phrase: tuple[str, ...], slop: int = 0
     ) -> np.ndarray:
-        """Vectorized adjacency over a candidate batch: term i's positions
-        shifted by -i all collapse onto the phrase's start position, so a
-        (doc, start) key seen len(phrase) times marks a match.  Cost is the
-        total positions of the phrase's terms over the batch — no per-doc
-        Python loop."""
-        m = len(phrase)
-        ok = np.ones(docs.size, dtype=bool)
-        keys_l = []
-        for i, t in enumerate(phrase):
+        """Vectorized in-order proximity over a candidate batch: survivors
+        after step i are (doc, position) keys ending a matched prefix; term
+        i+1's positions pass when a survivor sits 1..1+slop before them in
+        the same doc (two sorted-key range probes — no per-doc Python
+        loop).  slop=0 is exact phrase adjacency."""
+        SHIFT = np.int64(32)
+        drep, vals = self._term_positions_for_docs(phrase[0], docs)
+        keys = np.sort((drep << SHIFT) | vals)
+        for t in phrase[1:]:
+            if keys.size == 0:
+                break
             drep, vals = self._term_positions_for_docs(t, docs)
-            present = np.zeros(docs.size, dtype=bool)
-            present[drep] = True
-            ok &= present
-            if not ok.any():
-                return ok
-            vals = vals - i
-            valid = vals >= 0
-            keys_l.append((drep[valid] << np.int64(32)) | vals[valid])
-        ukey, cnt = np.unique(np.concatenate(keys_l), return_counts=True)
-        hit = (ukey[cnt == m] >> np.int64(32)).astype(np.int64)
+            usable = vals >= 1  # position 0 cannot continue a chain
+            drep, vals = drep[usable], vals[usable]
+            lo_key = (drep << SHIFT) | np.maximum(vals - 1 - slop, 0)
+            hi_key = (drep << SHIFT) | (vals - 1)
+            lo = np.searchsorted(keys, lo_key, side="left")
+            hi = np.searchsorted(keys, hi_key, side="right")
+            okc = hi > lo
+            keys = np.sort((drep[okc] << SHIFT) | vals[okc])
         res = np.zeros(docs.size, dtype=bool)
-        res[hit] = True
-        return res & ok
+        if keys.size:
+            res[np.unique(keys >> SHIFT).astype(np.int64)] = True
+        return res
 
     def _phrases_ok_positional_many(
         self, docs: list[int], bq: BoolQuery
     ) -> np.ndarray:
         arr = np.asarray(docs, dtype=np.uint64)
         ok = np.ones(arr.size, dtype=bool)
-        for p in bq.phrases:
+        slops = bq.phrase_slops or (0,) * len(bq.phrases)
+        nslops = bq.not_phrase_slops or (0,) * len(bq.not_phrases)
+        for p, s in zip(bq.phrases, slops):
             if not ok.any():
                 return ok
-            ok &= self._phrase_present_many(arr, p)
-        for p in bq.not_phrases:
+            ok &= self._phrase_present_many(arr, p, s)
+        for p, s in zip(bq.not_phrases, nslops):
             if not ok.any():
                 return ok
-            ok &= ~self._phrase_present_many(arr, p)
+            ok &= ~self._phrase_present_many(arr, p, s)
         return ok
 
     def _chunk_positions(self, term: str, chunk_i: int, ids: np.ndarray) -> np.ndarray:

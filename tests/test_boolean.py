@@ -77,6 +77,54 @@ def test_contains_sequence():
     assert not contains_sequence([], ("a",))
 
 
+def test_contains_sequence_slop():
+    toks = "a x b y c".split()
+    assert not contains_sequence(toks, ("a", "b"))
+    assert contains_sequence(toks, ("a", "b"), slop=1)
+    assert not contains_sequence(toks, ("a", "c"), slop=2)
+    assert contains_sequence(toks, ("a", "c"), slop=3)
+    assert contains_sequence(toks, ("a", "b", "c"), slop=1)
+    assert not contains_sequence(toks, ("b", "a"), slop=5)  # order matters
+    # slop is per gap, not total
+    toks2 = "a x b x x c".split()
+    assert not contains_sequence(toks2, ("a", "b", "c"), slop=1)
+    assert contains_sequence(toks2, ("a", "b", "c"), slop=2)
+
+
+def test_parse_query_slop():
+    bq = parse_query('"slow query"~2 -"hash join"~1 "exact pair"')
+    assert bq.phrases == (("slow", "query"), ("exact", "pair"))
+    assert bq.phrase_slops == (2, 0)
+    assert bq.not_phrases == (("hash", "join"),)
+    assert bq.not_phrase_slops == (1,)
+    # slop on a single-token phrase folds to must; the suffix is moot
+    assert parse_query('"solo"~3').must == ("solo",)
+
+
+@pytest.mark.parametrize("method", ["auto", "maxscore"])
+def test_slop_rank_identical(bool_index, method):
+    reader, oracle = bool_index
+    h = synth.HEAD_TERMS
+    p2 = _sample_phrase(oracle, 2)
+    p3 = _sample_phrase(oracle, 3, skip=5)
+    # skip one token: the pair (p3[0], p3[2]) is adjacent only at slop>=1
+    for q in (
+        f'"{p3[0]} {p3[2]}"~1',
+        f'{h[0]} "{p2[0]} {p2[1]}"~2',
+        f'{h[0]} -"{p3[0]} {p3[2]}"~1',
+        f'"{h[0]} {h[1]}"~3',
+    ):
+        exp = oracle.search_boolean(q, k=10)
+        got = reader.search_boolean(q, k=10, method=method)
+        assert [d for d, _ in got] == [d for d, _ in exp], (q, method)
+        for (gd, gs), (ed, es) in zip(got, exp):
+            assert gs == es, (q, method, gd)
+    # slop widens the match set monotonically
+    n0 = len(reader.search_boolean(f'"{p2[0]} {p2[1]}"', k=50))
+    n2 = len(reader.search_boolean(f'"{p2[0]} {p2[1]}"~2', k=50))
+    assert n2 >= n0
+
+
 @pytest.mark.parametrize("method", ["auto", "bmw", "vectorized", "maxscore"])
 def test_boolean_rank_identical(bool_index, method):
     reader, oracle = bool_index

@@ -92,6 +92,28 @@ def test_phrase_rank_identical_to_oracle_and_verify_path(pos_index):
             assert gs == es, (q, gd)
 
 
+def test_slop_positional_matches_verify_and_oracle(pos_index):
+    """Proximity queries (~N) resolve off the position lists and agree with
+    both the text-verify path and the oracle, including the slop=0 exact
+    case through the unified range-chain."""
+    pos_reader, plain_reader, oracle = pos_index
+    did = sorted(oracle.docs)[11]
+    toks = tokenize(oracle.docs[did].text, oracle.analyzer)
+    h = synth.HEAD_TERMS
+    for q in (
+        f'"{toks[0]} {toks[2]}"~1',   # matches only with slop
+        f'"{toks[0]} {toks[2]}"',     # exact: source doc does NOT match
+        f'{h[0]} "{toks[1]} {toks[3]}"~2',
+        f'{h[1]} -"{toks[0]} {toks[2]}"~1',
+        f'"{h[0]} {h[1]}"~4',
+    ):
+        exp = oracle.search_boolean(q, k=10)
+        got_pos = pos_reader.search_boolean(q, k=10)
+        got_txt = plain_reader.search_boolean(q, k=10)
+        assert [d for d, _ in got_pos] == [d for d, _ in exp], q
+        assert got_pos == got_txt, q
+
+
 def test_positional_verify_does_not_touch_doc_store(pos_index, monkeypatch):
     pos_reader, _, oracle = pos_index
     q = _phrase_queries(oracle)[0]
