@@ -103,6 +103,55 @@ def _partition_inputs(input_files: list[str], num_partitions: int) -> dict[str, 
     return out
 
 
+def _assign_partitions(
+    man: BuildManifest, files: list[str], num_partitions: int
+) -> dict[str, list[str]]:
+    """Sticky file->partition assignment (append-friendly lineage).
+
+    A fresh build lays files out balanced round-robin over the sorted list
+    (`_partition_inputs`).  On a re-run with the SAME num_partitions, files
+    keep the partition recorded in the manifest and only files not seen
+    before are assigned — each to the currently-smallest partition,
+    deterministically (ties break on pid) — so growing the corpus (the
+    reference's NOT-EXISTS incremental loop,
+    ec2/parse_arxiv_papers/__main__.py:167-175) re-extracts only the
+    partitions that actually received new files.  A pure round-robin over
+    the re-sorted list would shift membership of nearly every partition on
+    one appended crawl file and pay a near-full rebuild.  Files that
+    disappeared from the input simply drop out of their partition (its
+    fingerprint changes, it re-runs).  Changing num_partitions re-layouts
+    from scratch; stale pid dirs are pruned by `_prune_stale_partitions`.
+    """
+    files = sorted(set(files))
+    cfg = man.data.setdefault("config", {})
+    prev = cfg.get("assignment") or {}
+    if prev and cfg.get("assign_num_partitions") == num_partitions:
+        parts: dict[str, list[str]] = {}
+        new_files = []
+        for f in files:
+            pid = prev.get(f)
+            if pid is None:
+                new_files.append(f)
+            else:
+                parts.setdefault(pid, []).append(f)
+        # the pid universe for NEW files is the caller's full range, so a
+        # corpus that started smaller than num_partitions can still fan out
+        counts = {f"{i:05d}": 0 for i in range(max(1, num_partitions))}
+        for pid, fs in parts.items():
+            counts[pid] = len(fs)
+        for f in new_files:
+            pid = min(counts, key=lambda p: (counts[p], p))
+            counts[pid] += 1
+            parts.setdefault(pid, []).append(f)
+        parts = {pid: sorted(fs) for pid, fs in parts.items()}
+    else:
+        parts = _partition_inputs(files, num_partitions)
+    cfg["assignment"] = {f: pid for pid, fs in sorted(parts.items()) for f in fs}
+    cfg["assign_num_partitions"] = num_partitions
+    man.save()
+    return parts
+
+
 def _default_concurrency() -> int:
     """Actor-pool size for the fused wave = ALL session cpus: Ray fuses the
     read->extract->filter->tokenize-shard chain into the actor-pool operator
@@ -110,6 +159,58 @@ def _default_concurrency() -> int:
     of cpus-2 would idle two cores outright (measurably: 6/8 actors cost 25%
     of an 8-cpu session's fused-phase throughput)."""
     return max(2, int(ray.cluster_resources().get("CPU", 4)))
+
+
+def delete_docs(
+    index_dir: str, *, urls=None, doc_ids=None
+) -> int:
+    """Tombstone documents in an existing index (the reference's
+    delete-then-insert writer, ec2/parse_arxiv_papers/__main__.py:269-285,
+    at the index level).  Returns the total tombstone count.
+
+    Lucene-style two-phase semantics:
+    - IMMEDIATE: IndexReader composes the tombstone set into the same
+      docmeta-aligned mask as the metadata filters, so deleted docs vanish
+      from every query path at the next reader construction — no segment
+      rewrite.  Global stats (n_docs/avgdl/df -> idf) remain as-built, so
+      scores of surviving docs are unchanged until compaction.
+    - COMPACTION: re-running ``build_index`` over the same dir re-runs ONLY
+      the stats+segments phases (the tombstone-set fingerprint is part of
+      their lineage; extract/postings checkpoints stay valid) with
+      tombstoned postings dropped and df/N/avgdl recomputed exactly —
+      rank- and score-identical to a fresh build over the surviving docs.
+    The tombstone file persists after compaction so a later postings re-run
+    (e.g. an analyzer change) cannot resurrect deleted docs.
+    """
+    ids: set[int] = set()
+    if doc_ids is not None:
+        ids.update(int(d) for d in doc_ids)
+    if urls is not None:
+        ids.update(int(d) for d in doc_ids_of_urls(list(urls)))
+    path = os.path.join(index_dir, "tombstones.parquet")
+    if os.path.exists(path):
+        prev = pa.parquet.read_table(path)
+        ids.update(prev["doc_id"].to_pylist())
+    arr = np.array(sorted(ids), dtype=np.uint64)
+    pa.parquet.write_table(
+        pa.table({"doc_id": pa.array(arr, pa.uint64())}), path + ".tmp"
+    )
+    os.replace(path + ".tmp", path)
+    return int(arr.size)
+
+
+def _load_tombstones(index_dir: str) -> tuple[np.ndarray, str]:
+    """(sorted tombstoned doc_ids, lineage tag).  Empty set -> empty tag."""
+    path = os.path.join(index_dir, "tombstones.parquet")
+    if not os.path.exists(path):
+        return np.empty(0, np.uint64), ""
+    t = pa.parquet.read_table(path)
+    tombs = np.unique(t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64))
+    if not tombs.size:
+        return tombs, ""
+    import hashlib as _h
+
+    return tombs, "+T" + _h.blake2b(tombs.tobytes(), digest_size=8).hexdigest()
 
 
 def documents_to_extracted(batch: pa.Table) -> pa.Table:
@@ -202,7 +303,7 @@ def build_index(
             man = BuildManifest(index_dir)
         man.data.setdefault("config", {})["format_version"] = FORMAT_VERSION
         man.save()
-    parts = _partition_inputs(files, num_partitions)
+    parts = _assign_partitions(man, files, num_partitions)
     _prune_stale_partitions(index_dir, man, set(parts))
     concurrency = tokenizer_concurrency or _default_concurrency()
     metrics: dict = {"partitions": len(parts), "skipped_extract": 0, "skipped_postings": 0}

@@ -81,6 +81,39 @@ def test_lineage_manifest_contents(env):
         assert phase in man["phases"]
 
 
+def test_append_new_file_rebuilds_only_receiving_partition(tmp_path):
+    """Incremental corpus growth (the reference's NOT-EXISTS loop): a NEW
+    crawl file appended to the pages dir re-extracts ONLY the partition the
+    sticky assignment routes it to; every other partition's checkpoint stays
+    valid, and the result is identical to a from-scratch build over the
+    grown corpus."""
+    import pyarrow.parquet as pq
+
+    pages_dir = str(tmp_path / "pages")
+    synth.write_pages(pages_dir, 400, num_files=4)
+    idx = str(tmp_path / "idx")
+    m1 = build_index(pages_dir, idx, num_partitions=4)
+    assert m1["skipped_extract"] == 0 and m1["partitions"] == 4
+
+    # append one file of genuinely new urls (no recrawls: the loser set —
+    # and with it the extract lineage of untouched partitions — is unchanged)
+    pq.write_table(
+        synth.gen_pages_range(400, 500, 500),
+        os.path.join(pages_dir, "pages-00004.parquet"),
+    )
+    try:
+        m2 = build_index(pages_dir, idx, num_partitions=4)
+        assert m2["skipped_extract"] == 3  # only the receiving partition ran
+        assert m2["skipped_postings"] == 3
+        assert m2["n_docs"] == m1["n_docs"] + 100
+
+        idx_fresh = str(tmp_path / "idx_fresh")
+        build_index(pages_dir, idx_fresh, num_partitions=4)
+        assert _segment_fingerprint(idx) == _segment_fingerprint(idx_fresh)
+    finally:
+        os.remove(os.path.join(pages_dir, "pages-00004.parquet"))
+
+
 def test_input_change_invalidates(env):
     root, pages_dir = env
     idx = str(root / "idx_c")
