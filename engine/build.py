@@ -519,8 +519,13 @@ def build_index(
     # dfs/ table there — the round-1 stats phase re-read every PARTIALS file
     # (posting-scale) and reduced on the driver, which scaled NEGATIVELY
     # with more shards.
+    # tombstoned docs (delete_docs) are dropped from stats and segments;
+    # the tombstone-set fingerprint rides the phase lineage, so re-running
+    # build_index after a delete re-runs ONLY stats+segments (= compaction)
+    tombs, tomb_tag = _load_tombstones(index_dir)
+
     if stop_after_postings:
-        n_docs, dl_sum = _distinct_doc_stats(docmeta_root, parts)
+        n_docs, dl_sum = _distinct_doc_stats(docmeta_root, parts, tombstones=tombs)
         metrics["n_docs"] = n_docs
         metrics["total_tokens"] = dl_sum
         metrics["phase_seconds"] = _phase_t
@@ -528,13 +533,13 @@ def build_index(
 
     stats_path = os.path.join(index_dir, "stats.json")
     dfs_root = os.path.join(index_dir, "dfs")
-    partials_fp = man.partials_fingerprint()
+    partials_fp = man.partials_fingerprint() + tomb_tag
     if avgdl_override is not None:
         # a different global avgdl bakes different impacts: stats and
         # segments must re-run even over identical partials
         partials_fp += f"+avgdl{avgdl_override!r}"
     if not man.phase_done("stats", partials_fp, stats_path):
-        n_docs, total_tokens = _distinct_doc_stats(docmeta_root, parts)
+        n_docs, total_tokens = _distinct_doc_stats(docmeta_root, parts, tombstones=tombs)
         avgdl = (
             float(avgdl_override)
             if avgdl_override is not None
@@ -640,6 +645,7 @@ def build_index(
                     _MergeBucketGroup(
                         avgdl, stats["hot_df_threshold"], tmp, dfs_tmp,
                         doclen_ref, dr_files_ref,
+                        tomb_ref=ray.put(tombs) if tombs.size else None,
                     ),
                     batch_format="pyarrow", batch_size=None,
                 )
@@ -684,9 +690,11 @@ def build_index(
     return metrics
 
 
-def _distinct_doc_stats(docmeta_root: str, pids) -> tuple[int, int]:
+def _distinct_doc_stats(
+    docmeta_root: str, pids, tombstones: np.ndarray | None = None
+) -> tuple[int, int]:
     """Exact (distinct doc count, total doclen over distinct docs) from the
-    compact docmeta table.
+    compact docmeta table, excluding tombstoned docs.
 
     A duplicate doc_id can only occur WITHIN a pid (an exact-duplicate row
     split across Ray blocks of one input file; cross-file recrawls are
@@ -694,9 +702,14 @@ def _distinct_doc_stats(docmeta_root: str, pids) -> tuple[int, int]:
     One zero-cpu task per pid reads only the two narrow columns — work and
     memory per task are bounded by that pid's doc count.
     """
+    tomb_ref = (
+        ray.put(tombstones)
+        if tombstones is not None and tombstones.size
+        else None
+    )
 
     @ray.remote(num_cpus=0)
-    def one(pdir: str) -> tuple[int, int]:
+    def one(pdir: str, tref) -> tuple[int, int]:
         import pyarrow.dataset as pads
 
         t = pads.dataset(pdir).to_table(columns=["doc_id", "doclen"])
@@ -704,13 +717,21 @@ def _distinct_doc_stats(docmeta_root: str, pids) -> tuple[int, int]:
         if ids.size == 0:
             return 0, 0
         dls = t["doclen"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if tref is not None:
+            tomb = tref  # ObjectRef args arrive resolved
+            pos = np.minimum(np.searchsorted(tomb, ids), tomb.size - 1)
+            alive = tomb[pos] != ids
+            ids, dls = ids[alive], dls[alive]
+            if ids.size == 0:
+                return 0, 0
         order = np.argsort(ids, kind="stable")
         keep = np.ones(ids.size, dtype=bool)
         keep[1:] = ids[order][1:] != ids[order][:-1]
         return int(keep.sum()), int(dls[order][keep].sum())
 
     futs = [
-        one.remote(os.path.join(docmeta_root, f"pid={pid}")) for pid in pids
+        one.remote(os.path.join(docmeta_root, f"pid={pid}"), tomb_ref)
+        for pid in pids
     ]
     res = ray.get(futs)
     return sum(r[0] for r in res), sum(r[1] for r in res)
@@ -1142,13 +1163,14 @@ class _MergeBucketGroup:
     """
 
     def __init__(self, avgdl: float, hot_threshold: float, out_root: str,
-                 dfs_root: str, doclen_ref, dr_files_ref=None):
+                 dfs_root: str, doclen_ref, dr_files_ref=None, tomb_ref=None):
         self.avgdl = avgdl
         self.hot_threshold = hot_threshold
         self.out_root = out_root
         self.dfs_root = dfs_root
         self.doclen_ref = doclen_ref
         self.dr_files_ref = dr_files_ref
+        self.tomb_ref = tomb_ref  # sorted tombstoned doc_ids (delete_docs)
 
     def _load_doclen_ranges(
         self, doc_ids: np.ndarray
@@ -1183,6 +1205,7 @@ class _MergeBucketGroup:
         dl_ids = dl_vals = None
         if self.doclen_ref is not None:
             dl_ids, dl_vals = ray.get(self.doclen_ref)
+        tomb = ray.get(self.tomb_ref) if self.tomb_ref is not None else None
         out_bg, out_terms, out_chunks, out_hot = [], [], [], []
         for item in work.to_pylist():
             tabs = []
@@ -1193,6 +1216,13 @@ class _MergeBucketGroup:
                 pa.concat_tables(tabs).combine_chunks()
                 if tabs else PARTIAL_POSTINGS_SCHEMA.empty_table()
             )
+            if tomb is not None and t.num_rows:
+                # drop tombstoned docs BEFORE df counting (compaction path)
+                docs = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+                pos = np.minimum(np.searchsorted(tomb, docs), tomb.size - 1)
+                dead = tomb[pos] == docs
+                if dead.any():
+                    t = t.filter(pa.array(~dead))
             if self.doclen_ref is None:
                 dl_ids, dl_vals = self._load_doclen_ranges(
                     t.column("doc_id").to_numpy(zero_copy_only=False)

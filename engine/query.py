@@ -34,6 +34,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.dataset as pads
+import pyarrow.parquet  # noqa: F401  (enables pa.parquet.*)
 
 from . import codec
 from .analyze import DEFAULT_ANALYZER, AnalyzerConfig, tokenize
@@ -291,6 +292,8 @@ class IndexReader:
         self._vocab_df = None
         self._ds_rg = None  # doc-store row-group interval index (fetch_docs)
         self._url_mask_cache: _LRU = _LRU(cap=64)  # url pattern -> doc mask
+        self._tomb_loaded = False  # tombstone alive-mask, loaded lazily
+        self._tomb_alive: np.ndarray | None = None
         # maxscore scratch: candidate membership (bool) and candidate rank
         # (int32) over docmeta positions, allocated once per reader and
         # wiped per query in O(|candidates|)
@@ -411,6 +414,32 @@ class IndexReader:
             self._urls = urls.take(pa.array(self._docmeta_order, pa.int64()))
         return self._urls
 
+    def _tombstone_mask(self) -> np.ndarray | None:
+        """Docmeta-aligned ALIVE mask from <index_dir>/tombstones.parquet
+        (None when the index has no tombstones — the common case pays one
+        os.path check).  Deleted docs (engine/build.py delete_docs) vanish
+        from every query path immediately because this composes into the
+        same mask as the metadata filters; global stats (n_docs/avgdl/df ->
+        idf) stay as-built until the next build_index run over the dir
+        compacts the tombstones out of the segments."""
+        if self._tomb_loaded:
+            return self._tomb_alive
+        self._tomb_loaded = True
+        path = os.path.join(self.index_dir, "tombstones.parquet")
+        if os.path.exists(path):
+            t = pa.parquet.read_table(path)
+            dead = np.unique(
+                t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            )
+            if dead.size:
+                self._load_docmeta()
+                ids = self._docmeta[0]
+                pos = np.minimum(np.searchsorted(dead, ids), dead.size - 1)
+                alive = dead[pos] != ids
+                if not alive.all():
+                    self._tomb_alive = alive
+        return self._tomb_alive
+
     def _filter_mask(
         self, lang_filter, ts_min, ts_max, url_contains=None, doc_ids_filter=None
     ) -> np.ndarray | None:
@@ -422,14 +451,16 @@ class IndexReader:
         docs this becomes a partitioned filter bitmap keyed by docID range —
         probing stays identical either way.
         """
+        alive = self._tombstone_mask()
         if (
             lang_filter is None and ts_min is None and ts_max is None
             and url_contains is None and doc_ids_filter is None
         ):
-            return None
+            # copy: callers (search_boolean) refine the mask in place
+            return alive.copy() if alive is not None else None
         self._load_docmeta()
         ids, lang_codes, ts, _dls, langs = self._docmeta
-        mask = np.ones(ids.size, dtype=bool)
+        mask = np.ones(ids.size, dtype=bool) if alive is None else alive.copy()
         if lang_filter is not None:
             want = langs.index(lang_filter) if lang_filter in langs else -2
             mask &= lang_codes == want
