@@ -181,6 +181,11 @@ def delete_docs(
       rank- and score-identical to a fresh build over the surviving docs.
     The tombstone file persists after compaction so a later postings re-run
     (e.g. an analyzer change) cannot resurrect deleted docs.
+
+    Serving note: QueryPool / ShardedQueryPool actors construct their
+    readers at pool creation and cache the mask — create pools AFTER
+    deleting (for sharded layouts, apply the delete to each shard dir; the
+    doc_id-keyed shard routing makes per-shard tombstones independent).
     """
     ids: set[int] = set()
     if doc_ids is not None:
