@@ -39,6 +39,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_wildcard_topk": docsearch.bm25_docs_wildcard,
         # proximity ("a b"~N): in-order match, bounded per-gap slop
         "docs_proximity_topk": docsearch.bm25_docs_proximity,
+        # delete lifecycle: tombstone doc_id%97==0, compact, search —
+        # oracle recomputes BM25 stats over the surviving corpus
+        "docs_after_delete_topk": docsearch.bm25_docs_after_delete,
         # pages-path flagship: HTML extraction + keep-latest-by-url dedup +
         # filtered (lang, warc_ts) BM25 search — the full ingest chain
         "pages_bm25_topk": pagesearch.pages_bm25_topk,
@@ -118,6 +121,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_boolean_topk": docsearch.BOOL_DOCS_SQL,
         "docs_wildcard_topk": docsearch.WILDCARD_DOCS_SQL,
         "docs_proximity_topk": docsearch.PROX_DOCS_SQL,
+        "docs_after_delete_topk": docsearch.DELETED_DOCS_SQL,
         "pages_bm25_topk": pagesearch.PAGES_BM25_SQL,
         "pages_bm25_urlfilter": pagesearch.PAGES_URLFILTER_SQL,
         "q1_pricing_summary": relational.Q1_SQL,

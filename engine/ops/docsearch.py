@@ -227,7 +227,10 @@ SELECT query_id, rank, doc_id, score_r6 FROM ranked WHERE rank <= {K}
 """
 
 
-def _bm25_docs_sql() -> str:
+def _bm25_docs_sql(where: str = "") -> str:
+    """`where` filters the corpus FIRST (e.g. the tombstone-survivor set for
+    the delete+compaction gate): n/avgdl/df/tf are all computed over the
+    filtered corpus, exactly matching a compacted index."""
     values = []
     for qid, qtext in enumerate(DOC_QUERIES):
         for term in sorted(set(tokenize(qtext))):
@@ -239,13 +242,14 @@ tok AS (
   SELECT doc_id,
          unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
                             x -> x <> '')) AS tk
-  FROM documents
+  FROM documents {where}
 ),
 tf AS (SELECT doc_id, tk, count(*) AS tf FROM tok GROUP BY doc_id, tk),
 dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
 stats AS (
-  SELECT (SELECT count(*) FROM documents) AS n,
-         (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
+  SELECT (SELECT count(*) FROM documents {where}) AS n,
+         (SELECT sum(dl) FROM dl) * 1.0
+           / (SELECT count(*) FROM documents {where}) AS avgdl
 ),
 df AS (SELECT tk, count(*) AS df FROM tf GROUP BY tk),
 contrib AS (
@@ -319,7 +323,57 @@ def bm25_docs_wildcard(sf_dir: str, k: int = K) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r6"])
 
 
+# deterministic victim rule for the delete+compaction gate (SQL-expressible)
+DELETE_MOD = 97
+
+
+def _deleted_index_for(sf_dir: str) -> IndexReader:
+    """Index over `documents` with every doc_id ≡ 0 (mod DELETE_MOD)
+    tombstoned (engine/build.py delete_docs) and then COMPACTED by a second
+    build_index run over the same dir — stats+segments-only rerun with
+    n/avgdl/df recomputed over the survivors.  The SQL oracle applies the
+    same rule as a WHERE over the corpus, so a hash match proves the whole
+    delete lifecycle, not just query-time masking."""
+    from ..build import delete_docs
+
+    key = os.path.abspath(sf_dir) + ":del"
+    if key in _reader_cache:
+        return _reader_cache[key]
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = hashlib.blake2b(
+        f"{key}:{os.path.getsize(src)}:d1".encode(), digest_size=8
+    ).hexdigest()
+    index_dir = os.path.join(tempfile.gettempdir(), f"rayft_docdel_{tag}")
+    kw = dict(num_partitions=2, input_kind="documents", tokenize_batch_size=256)
+    build_index(src, index_dir, **kw)
+    import pyarrow.parquet as pq
+
+    ids = pq.read_table(src, columns=["doc_id"])["doc_id"].to_numpy()
+    delete_docs(index_dir, doc_ids=ids[ids % DELETE_MOD == 0].tolist())
+    build_index(src, index_dir, **kw)  # compaction (idempotent on rerun)
+    reader = IndexReader(index_dir)
+    _reader_cache[key] = reader
+    return reader
+
+
+def bm25_docs_after_delete(sf_dir: str, k: int = K) -> pd.DataFrame:
+    """bm25_docs_topk over the tombstoned+compacted index — same fixed
+    query set, oracle = BM25 SQL over the surviving corpus."""
+    reader = _deleted_index_for(sf_dir)
+    rows = []
+    for qid, qtext in enumerate(DOC_QUERIES):
+        res = reader.search(qtext, k=2 * k)
+        res = [(int(np.int64(np.uint64(d))), round(s, 6)) for d, s in res]
+        res.sort(key=lambda t: (-t[1], t[0]))
+        for rank, (did, s) in enumerate(res[:k], 1):
+            rows.append((qid, rank, did, s))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r6"])
+
+
 BM25_DOCS_SQL = _bm25_docs_sql()
+DELETED_DOCS_SQL = _bm25_docs_sql(
+    where=f"WHERE doc_id % {DELETE_MOD} <> 0"
+)
 BOOL_DOCS_SQL = _bool_docs_sql(BOOL_DOC_QUERIES)
 WILDCARD_DOCS_SQL = _bool_docs_sql(WILDCARD_DOC_QUERIES)
 PROX_DOCS_SQL = _bool_docs_sql(PROX_DOC_QUERIES)
