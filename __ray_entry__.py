@@ -26,13 +26,15 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from engine.ops import (
-        ann, dedup, docsearch, embed, enrich, listops, multimodal,
+        ann, decontam, dedup, docsearch, embed, enrich, listops, multimodal,
         multisource, pagesearch, relational, textops,
     )
 
     return {
         # flagship: full index build + BM25 top-k (SURVEY.md §3, K1/K2)
         "bm25_docs_topk": docsearch.bm25_docs_topk,
+        # faceted search: metadata-value counts over the BM25 result pool
+        "docs_search_facets": docsearch.bm25_docs_facets,
         # boolean query language: +must / -not / "phrase" over the same index
         "docs_boolean_topk": docsearch.bm25_docs_boolean,
         # wildcard prefixes (`data*`) expanded against the index vocabulary
@@ -92,6 +94,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": textops.lang_id,
         "redact_pii": textops.redact_pii,
         "fingerprints": textops.fingerprints,  # rows-only
+        "repetition_scores": textops.repetition_scores,
+        "top_terms": textops.top_terms,
+        "top_terms_sketch": textops.top_terms_sketch,  # rows-only (sketch)
+        "keywords_tfidf": textops.keywords_tfidf,
+        # benchmark decontamination (n-gram overlap vs a held-out slice)
+        "decontaminate_docs": decontam.decontaminate_docs,
         # similarity search over embeddings
         "knn_topk": ann.knn_topk,
         "ivf_knn_topk": ann.ivf_knn_topk,  # rows-only (recall in tests)
@@ -109,8 +117,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from engine.ops import (
-        ann, dedup, docsearch, listops, multisource, pagesearch, relational,
-        textops,
+        ann, decontam, dedup, docsearch, listops, multisource, pagesearch,
+        relational, textops,
     )
 
     return {
@@ -157,6 +165,11 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": textops.QUALITY_SCORES_SQL,
         "lang_id": textops.LANG_ID_SQL,
         "redact_pii": textops.REDACT_PII_SQL,
+        "repetition_scores": textops.REPETITION_SCORES_SQL,
+        "top_terms": textops.TOP_TERMS_SQL,
+        "keywords_tfidf": textops.KEYWORDS_TFIDF_SQL,
+        "decontaminate_docs": decontam.DECONTAMINATE_SQL,
+        "docs_search_facets": docsearch.FACETS_DOCS_SQL,
         "knn_topk": ann.KNN_TOPK_SQL,
         "cosine_dup_pairs": ann.COSINE_DUP_SQL,
     }

@@ -213,6 +213,76 @@ def tokenize_positions_arrow(
     return doc_idx, terms, counts.astype(np.int32), doclens, positions
 
 
+def ngram_stream_arrow(
+    texts: pa.ChunkedArray | pa.Array,
+    n: int,
+    cfg: AnalyzerConfig = DEFAULT_ANALYZER,
+) -> tuple[np.ndarray, np.ndarray, pa.Array]:
+    """Ordered token-n-gram occurrence stream for a batch of texts.
+
+    Returns (codes, parents, vocab): one dictionary code + doc index per
+    n-gram OCCURRENCE (document order), with `vocab` the batch's distinct
+    space-joined n-gram strings.  Exact string n-grams (not hashes), so
+    operators built on it (decontamination, repetition scores) stay
+    bit-comparable to a DuckDB oracle that forms the same n-grams with
+    `array_to_string(toks[i:i+n-1], ' ')`.  Fully vectorized: one regex
+    split, one filter, n zero-copy slices joined element-wise, one
+    dictionary encode — no Python loop over tokens.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    n_docs = len(texts)
+    empty = (
+        np.empty(0, np.int64),
+        np.empty(0, np.int64),
+        pa.array([], pa.string()),
+    )
+    if n_docs == 0:
+        return empty
+    lower = pc.utf8_lower(texts)
+    lists = pc.split_pattern_regex(lower, pattern=SPLIT_PATTERN)
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    offsets = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = lists.flatten()
+    if len(flat) == 0:
+        return empty
+    parents = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(offsets))
+    # drop "" split artifacts and analyzer-filtered tokens BEFORE windowing
+    # so n-grams are formed over the analyzed token stream
+    keep = pc.not_equal(flat, "")
+    if cfg.min_len > 1:
+        keep = pc.and_(keep, pc.greater_equal(pc.utf8_length(flat), cfg.min_len))
+    if cfg.stopwords:
+        keep = pc.and_(
+            keep,
+            pc.invert(pc.is_in(flat, value_set=pa.array(sorted(cfg.stopwords)))),
+        )
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    if not keep_np.all():
+        flat = flat.filter(pa.array(keep_np))
+        parents = parents[keep_np]
+    m = len(flat)
+    if m < n:
+        return empty
+    if n == 1:
+        grams = flat
+        gparents = parents
+        same_doc = np.ones(m, dtype=bool)
+    else:
+        w = m - n + 1
+        grams = pc.binary_join_element_wise(
+            *[flat.slice(i, w) for i in range(n)], " "
+        )
+        gparents = parents[:w]
+        same_doc = parents[: w] == parents[n - 1 :]
+    de = grams.dictionary_encode()
+    if isinstance(de, pa.ChunkedArray):
+        de = de.combine_chunks()
+    codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return codes[same_doc], gparents[same_doc], de.dictionary
+
+
 class Tokenizer:
     """Actor-pool stage: extracted batch -> partial postings batch.
 

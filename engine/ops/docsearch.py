@@ -16,6 +16,7 @@ import tempfile
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from ..analyze import tokenize
 from ..build import build_index
@@ -70,6 +71,66 @@ def bm25_docs_topk(sf_dir: str, k: int = K) -> pd.DataFrame:
         for rank, (did, s) in enumerate(res[:k], 1):
             rows.append((qid, rank, did, s))
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r6"])
+
+
+FACET_POOL = 25
+FACET_COLS = ("lang", "source")
+
+
+def bm25_docs_facets(sf_dir: str, pool: int = FACET_POOL) -> pd.DataFrame:
+    """Faceted search: per query, metadata-value counts over the BM25
+    top-`pool` result set -> (query_id, facet, value, n_docs).
+
+    The search-engine sidebar aggregation (count per language / source over
+    the matching pool).  The pool is ranked by (round(score,6) DESC, doc_id)
+    exactly like bm25_docs_topk so the membership boundary is deterministic;
+    facet values come from a column-pruned, isin-filtered read of the
+    documents table (pool-scale rows reach the driver, never the corpus)."""
+    reader = _index_for(sf_dir)
+    pools: list[tuple[int, int]] = []  # (query_id, doc_id)
+    for qid, qtext in enumerate(DOC_QUERIES):
+        res = reader.search(qtext, k=2 * pool)
+        res = [(int(np.int64(np.uint64(d))), round(s, 6)) for d, s in res]
+        res.sort(key=lambda t: (-t[1], t[0]))
+        pools.extend((qid, did) for did, _ in res[:pool])
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    wanted = pa.array(sorted({d for _, d in pools}), pa.int64())
+
+    def pick(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["doc_id"], value_set=wanted))
+
+    meta = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", *FACET_COLS],
+        )
+        .map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    pool_df = pd.DataFrame(pools, columns=["query_id", "doc_id"])
+    joined = pool_df.merge(meta, on="doc_id", how="left")
+    outs = []
+    for col in FACET_COLS:
+        g = joined.groupby(["query_id", col], as_index=False).size()
+        g.columns = ["query_id", "value", "n_docs"]
+        g.insert(1, "facet", col)
+        outs.append(g)
+    out = pd.concat(outs, ignore_index=True)
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    return out[["query_id", "facet", "value", "n_docs"]]
+
+
+def _facets_sql() -> str:
+    pooled = _bm25_docs_sql(k=FACET_POOL)
+    branches = " UNION ALL ".join(
+        f"SELECT p.query_id, '{col}' AS facet, d.{col} AS value, "
+        f"CAST(count(*) AS BIGINT) AS n_docs "
+        f"FROM pool p JOIN documents d USING (doc_id) GROUP BY p.query_id, d.{col}"
+        for col in FACET_COLS
+    )
+    return f"WITH pool AS ({pooled}) {branches}"
 
 
 BOOL_DOC_QUERIES = [
@@ -227,10 +288,12 @@ SELECT query_id, rank, doc_id, score_r6 FROM ranked WHERE rank <= {K}
 """
 
 
-def _bm25_docs_sql(where: str = "") -> str:
+def _bm25_docs_sql(where: str = "", k: int = K) -> str:
     """`where` filters the corpus FIRST (e.g. the tombstone-survivor set for
     the delete+compaction gate): n/avgdl/df/tf are all computed over the
-    filtered corpus, exactly matching a compacted index."""
+    filtered corpus, exactly matching a compacted index.  `k` sets the
+    per-query pool depth (the facets gate pools deeper than the top-k
+    gate)."""
     values = []
     for qid, qtext in enumerate(DOC_QUERIES):
         for term in sorted(set(tokenize(qtext))):
@@ -270,7 +333,7 @@ ranked AS (
                             ORDER BY round(score, 6) DESC, doc_id) AS rank
   FROM scores
 )
-SELECT query_id, rank, doc_id, score_r6 FROM ranked WHERE rank <= {K}
+SELECT query_id, rank, doc_id, score_r6 FROM ranked WHERE rank <= {k}
 """
 
 
@@ -371,6 +434,7 @@ def bm25_docs_after_delete(sf_dir: str, k: int = K) -> pd.DataFrame:
 
 
 BM25_DOCS_SQL = _bm25_docs_sql()
+FACETS_DOCS_SQL = _facets_sql()
 DELETED_DOCS_SQL = _bm25_docs_sql(
     where=f"WHERE doc_id % {DELETE_MOD} <> 0"
 )

@@ -11,11 +11,17 @@ import hashlib
 import os
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-from ..analyze import SPLIT_PATTERN, tokenize, tokenize_counts_arrow
+from ..analyze import (
+    SPLIT_PATTERN,
+    ngram_stream_arrow,
+    tokenize,
+    tokenize_counts_arrow,
+)
 
 
 def _read_docs(sf_dir: str, columns=None) -> rd.Dataset:
@@ -314,6 +320,349 @@ def redact_pii(sf_dir: str):
     return _read_docs(sf_dir, columns=["doc_id", "text"]).map_batches(
         fn, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# ---------------------------------------------------------------------------
+# Global heavy hitters: the "what does this corpus talk about" staple of a
+# training-data pipeline (vocabulary audits, stopword discovery, boilerplate
+# spotting).  Exact path + a mergeable Misra-Gries sketch as the
+# bounded-memory scale path.
+_TOP_TERMS_N = 50
+_N_TERM_PARTS = 32
+
+
+def _term_parts(terms: pa.Array) -> pa.Array:
+    """Coarse partition key per UNIQUE term (vocab-bounded Python, same
+    budget class as exact_dedup's per-hash loop)."""
+    return pa.array(
+        [
+            int.from_bytes(hashlib.blake2b(t.encode(), digest_size=4).digest(), "big")
+            % _N_TERM_PARTS
+            for t in terms.to_pylist()
+        ],
+        pa.int64(),
+    )
+
+
+def top_terms(sf_dir: str, n_out: int = _TOP_TERMS_N):
+    """Exact global top-N terms by document frequency (tie: term ASC).
+
+    Scale shape: the reduce key (term) is vocab-cardinality, so the combine
+    is map-side partial df/tf per batch -> ONE coarse shuffle on a term-hash
+    partition key -> one vectorized pandas groupby + LOCAL top-N per
+    partition -> driver merge of only P*N rows (independent of corpus and
+    vocab size; a term's rows all land in one partition, so per-partition
+    top-N is globally safe)."""
+
+    def partials(t: pa.Table) -> pa.Table:
+        _, terms, tfs, _ = tokenize_counts_arrow(t["text"])
+        tt = pa.table({"term": terms, "tf": pa.array(tfs.astype(np.int64))})
+        g = tt.group_by("term").aggregate([("tf", "sum"), ("tf", "count")])
+        return pa.table(
+            {
+                "term": g["term"],
+                "df_part": g["tf_count"].cast(pa.int64()),
+                "tf_part": g["tf_sum"],
+                "part": _term_parts(g["term"]),
+            }
+        )
+
+    def top_of_partition(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("term", sort=False, as_index=False).agg(
+            df=("df_part", "sum"), tf_total=("tf_part", "sum")
+        )
+        agg = agg.sort_values(
+            ["df", "term"], ascending=[False, True], kind="mergesort"
+        ).head(n_out)
+        return agg[["term", "df", "tf_total"]]
+
+    parts = (
+        _read_docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(top_of_partition, batch_format="pandas")
+    )
+    out = parts.to_pandas()  # <= _N_TERM_PARTS * n_out rows
+    out = out.sort_values(
+        ["df", "term"], ascending=[False, True], kind="mergesort"
+    ).head(n_out).reset_index(drop=True)
+    out.insert(0, "rank", np.arange(1, len(out) + 1, dtype=np.int64))
+    return out
+
+
+TOP_TERMS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS tk
+  FROM documents
+),
+tf AS (SELECT doc_id, tk, count(*) AS tf FROM tok GROUP BY doc_id, tk),
+agg AS (
+  SELECT tk AS term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS tf_total
+  FROM tf GROUP BY tk
+),
+ranked AS (
+  SELECT row_number() OVER (ORDER BY df DESC, term) AS rank,
+         term, df, tf_total
+  FROM agg
+)
+SELECT rank, term, df, tf_total FROM ranked WHERE rank <= {_TOP_TERMS_N}
+"""
+
+
+_MG_K = 256
+
+
+def top_terms_sketch(sf_dir: str, k: int = _MG_K, n_out: int = _TOP_TERMS_N):
+    """Misra-Gries heavy hitters over total term frequency (rows-only entry;
+    the error bound is pytest-asserted against exact counts).
+
+    Each batch emits an MG(k) summary (<= k rows, vectorized: one Arrow
+    group-sum then one argpartition); summaries are merged associatively
+    (sum same-term counts, subtract the (k+1)-th largest, drop <= 0 —
+    Agarwal et al., "Mergeable Summaries", PODS 2012).  Merge input is
+    n_blocks * k rows regardless of corpus/vocab size, so the driver-side
+    final merge is sketch-scale by construction; at cluster scale the same
+    merge runs as a tree over map_batches stages.  Every estimate satisfies
+    est <= true <= est + err_ub with err_ub = (N - M)/(k+1) (N = total
+    tokens, M = retained mass)."""
+
+    def mg_of_batch(t: pa.Table) -> pa.Table:
+        _, terms, tfs, doclens = tokenize_counts_arrow(t["text"])
+        n_tokens = int(doclens.astype(np.int64).sum())
+        tt = pa.table({"term": terms, "tf": pa.array(tfs.astype(np.int64))})
+        g = tt.group_by("term").aggregate([("tf", "sum")])
+        cnt = g["tf_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        gterms = g["term"]
+        if cnt.size > k:
+            thresh = np.partition(cnt, cnt.size - k - 1)[cnt.size - k - 1]
+            cnt = cnt - thresh
+            keep = cnt > 0
+            gterms = gterms.combine_chunks().filter(pa.array(keep)) if isinstance(
+                gterms, pa.ChunkedArray
+            ) else gterms.filter(pa.array(keep))
+            cnt = cnt[keep]
+        # the batch's token total rides on the first summary row only, so the
+        # merged frame's sum() is the corpus N (totals of two batches may
+        # coincide; a de-dup on the value would undercount)
+        ntok_col = np.zeros(cnt.size, np.int64)
+        if cnt.size:
+            ntok_col[0] = n_tokens
+        return pa.table(
+            {
+                "term": gterms,
+                "est": pa.array(cnt, pa.int64()),
+                "n_tokens": pa.array(ntok_col, pa.int64()),
+            }
+        )
+
+    parts = _read_docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        mg_of_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    pdf = parts.to_pandas()  # n_blocks * k rows (sketch-scale)
+    if len(pdf) == 0:
+        return pd.DataFrame(columns=["term", "est_tf", "err_ub"])
+    n_total = int(pdf["n_tokens"].sum())
+    merged = pdf.groupby("term", sort=False, as_index=False)["est"].sum()
+    cnt = merged["est"].to_numpy()
+    if cnt.size > k:
+        thresh = np.partition(cnt, cnt.size - k - 1)[cnt.size - k - 1]
+        merged["est"] = cnt - thresh
+        merged = merged[merged["est"] > 0]
+    retained = int(merged["est"].sum())
+    err_ub = (n_total - retained) // (k + 1) + 1
+    out = merged.rename(columns={"est": "est_tf"}).sort_values(
+        ["est_tf", "term"], ascending=[False, True], kind="mergesort"
+    ).head(n_out).reset_index(drop=True)
+    out["err_ub"] = np.int64(err_ub)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction: top keywords per document — the classic
+# "describe each doc by its most distinctive terms" stage (tagging, topic
+# sampling, index-time boosting).
+_KEYWORDS_TOP = 3
+
+
+def keywords_tfidf(sf_dir: str, top: int = _KEYWORDS_TOP):
+    """Per-doc top-k terms by tf*ln(n_docs/df), ties broken by term ASC.
+
+    Two passes: (1) the same vocab-scale df aggregate as top_terms (coarse
+    term-hash partitions, vectorized combine), collected and broadcast via
+    ray.put — the df table is the size class the query engine already holds
+    in memory per shard (IndexReader's df map); above that budget the scale
+    path is the index's `dfs/` tables joined on term (both sides
+    term-partitioned) instead of a broadcast.  (2) one streaming pass over
+    the corpus: per-batch Arrow index_in lookup into the broadcast vocab,
+    vectorized score + per-doc top-k."""
+    import ray
+
+    def df_partials(t: pa.Table) -> pa.Table:
+        _, terms, _, _ = tokenize_counts_arrow(t["text"])
+        tt = pa.table({"term": terms, "one": pa.array(np.ones(len(terms), np.int64))})
+        g = tt.group_by("term").aggregate([("one", "sum")])
+        return pa.table(
+            {
+                "term": g["term"],
+                "df_part": g["one_sum"],
+                "part": _term_parts(g["term"]),
+            }
+        )
+
+    def df_of_partition(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("term", sort=False, as_index=False).agg(
+            df=("df_part", "sum")
+        )
+
+    docs = _read_docs(sf_dir, columns=["doc_id", "text"])
+    n_docs = docs.count()
+    df_tbl = (
+        docs.map_batches(df_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(df_of_partition, batch_format="pandas")
+        .to_arrow_refs()
+    )
+    # Ray emits zero-column placeholder blocks for empty partitions
+    df_tbl = pa.concat_tables(
+        [t for t in (ray.get(r) for r in df_tbl) if t.num_columns]
+    )
+    vocab = df_tbl["term"].combine_chunks()
+    dfs = df_tbl["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+    bcast = ray.put((vocab, dfs))
+
+    def score_batch(t: pa.Table) -> pa.Table:
+        v, d = ray.get(bcast)
+        doc_idx, terms, tfs, _ = tokenize_counts_arrow(t["text"])
+        pos = pc.index_in(terms, value_set=v).to_numpy(zero_copy_only=False)
+        idf = np.log(float(n_docs) / d[pos.astype(np.int64)])
+        score = np.round(tfs.astype(np.float64) * idf, 6)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        pdf = pd.DataFrame(
+            {
+                "doc_id": ids[doc_idx],
+                "term": terms.to_pandas(),
+                "tfidf_r6": score,
+            }
+        )
+        pdf = pdf.sort_values(
+            ["doc_id", "tfidf_r6", "term"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        pdf["rank"] = pdf.groupby("doc_id", sort=False).cumcount() + 1
+        pdf = pdf[pdf["rank"] <= top]
+        return pa.Table.from_pandas(
+            pdf[["doc_id", "rank", "term", "tfidf_r6"]], preserve_index=False
+        )
+
+    return docs.map_batches(score_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+KEYWORDS_TFIDF_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS tk
+  FROM documents
+),
+tf AS (SELECT doc_id, tk, count(*) AS tf FROM tok GROUP BY doc_id, tk),
+df AS (SELECT tk, count(*) AS df FROM tf GROUP BY tk),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n),
+scored AS (
+  SELECT tf.doc_id, tf.tk AS term,
+         round(tf.tf * ln(s.n * 1.0 / df.df), 6) AS tfidf_r6
+  FROM tf JOIN df ON df.tk = tf.tk CROSS JOIN stats s
+),
+ranked AS (
+  SELECT doc_id, term, tfidf_r6,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf_r6 DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, rank, term, tfidf_r6 FROM ranked WHERE rank <= {_KEYWORDS_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition signals (Rae et al. 2021 §A1.1): the fraction of a
+# doc covered by its most frequent 1/2/3-gram.  High values flag boilerplate
+# and degenerate repetition — a standard pre-training quality filter.
+
+
+def repetition_scores(sf_dir: str):
+    """Per-doc top-{1,2,3}-gram frequency fractions (round 6; 0.0 when the
+    doc has no n-grams of that order).  Exact string n-grams via the shared
+    ngram_stream_arrow kernel, so the op is oracle-checked — per-(doc, gram)
+    counts and maxima are one np.unique + np.maximum.at per order."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        n_rows = len(t)
+        out = {"doc_id": t["doc_id"]}
+        for n in (1, 2, 3):
+            codes, parents, vocab = ngram_stream_arrow(t["text"], n)
+            top = np.zeros(n_rows, np.float64)
+            tot = np.bincount(parents, minlength=n_rows).astype(np.float64)
+            if codes.size:
+                nv = len(vocab)
+                key = parents * nv + codes
+                ukey, counts = np.unique(key, return_counts=True)
+                np.maximum.at(top, ukey // nv, counts.astype(np.float64))
+            frac = np.divide(
+                top, tot, out=np.zeros(n_rows, np.float64), where=tot > 0
+            )
+            out[f"top{n}_frac"] = pa.array(np.round(frac, 6), pa.float64())
+        return pa.table(out)
+
+    return _read_docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+REPETITION_SCORES_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+uni AS (
+  SELECT doc_id, max(c) AS m, sum(c) AS tot FROM (
+    SELECT doc_id, tk, count(*) AS c
+    FROM (SELECT doc_id, unnest(toks) AS tk FROM tok)
+    GROUP BY doc_id, tk
+  ) GROUP BY doc_id
+),
+pos2 AS (
+  SELECT doc_id, unnest(generate_series(1, greatest(len(toks)-1, 0))) AS i, toks
+  FROM tok
+),
+big AS (
+  SELECT doc_id, max(c) AS m, sum(c) AS tot FROM (
+    SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS g, count(*) AS c
+    FROM pos2 GROUP BY doc_id, g
+  ) GROUP BY doc_id
+),
+pos3 AS (
+  SELECT doc_id, unnest(generate_series(1, greatest(len(toks)-2, 0))) AS i, toks
+  FROM tok
+),
+tri AS (
+  SELECT doc_id, max(c) AS m, sum(c) AS tot FROM (
+    SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS g, count(*) AS c
+    FROM pos3 GROUP BY doc_id, g
+  ) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       round(coalesce(u.m * 1.0 / u.tot, 0), 6) AS top1_frac,
+       round(coalesce(b.m * 1.0 / b.tot, 0), 6) AS top2_frac,
+       round(coalesce(t.m * 1.0 / t.tot, 0), 6) AS top3_frac
+FROM documents d
+LEFT JOIN uni u USING (doc_id)
+LEFT JOIN big b USING (doc_id)
+LEFT JOIN tri t USING (doc_id)
+"""
 
 
 REDACT_PII_SQL = r"""

@@ -72,6 +72,11 @@ SQL_CHECKED = [
     "lang_id",
     "knn_topk",
     "customers_per_region",
+    "top_terms",
+    "keywords_tfidf",
+    "repetition_scores",
+    "decontaminate_docs",
+    "docs_search_facets",
 ]
 
 
@@ -311,3 +316,87 @@ def test_q3_distributed_join_path_matches_broadcast_path(monkeypatch):
     pd.testing.assert_frame_equal(
         fast.reset_index(drop=True), slow.reset_index(drop=True)
     )
+
+
+def test_top_terms_sketch_bounds(con):
+    """Misra-Gries guarantees: est <= true <= est + err_ub for every
+    reported term, and every truly heavy term (true tf > err_ub) survives
+    the merge into the candidate set."""
+    from engine.ops.textops import top_terms_sketch
+
+    sk = top_terms_sketch(SF, k=64, n_out=10_000)  # n_out > k: full summary
+    exact = con.sql(
+        "WITH tok AS (SELECT doc_id, unnest(list_filter("
+        "regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tk"
+        " FROM documents) SELECT tk AS term, count(*) AS tf FROM tok GROUP BY tk"
+    ).df().set_index("term")["tf"]
+    err = int(sk["err_ub"].iloc[0])
+    assert err >= 0
+    for _, r in sk.iterrows():
+        true = int(exact.get(r["term"], 0))
+        assert r["est_tf"] <= true <= r["est_tf"] + err, (r["term"], true, err)
+    present = set(sk["term"])
+    for term, true in exact.items():
+        if true > err:
+            assert term in present, (term, true, err)
+
+
+def test_repetition_scores_crafted(tmp_path):
+    """Degenerate-repetition docs score ~1.0; all-distinct docs score at the
+    uniform floor; empty docs score 0.0 across all orders."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.ops.textops import repetition_scores
+
+    texts = [
+        "spam spam spam spam spam spam",       # top1=1.0, top2=1.0, top3=1.0
+        "alpha beta gamma delta",               # all n-grams distinct
+        "",                                     # no tokens at all
+        "one two",                              # bigram exists, no trigram
+    ]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        tmp_path / "documents.parquet",
+    )
+    got = _to_pandas(repetition_scores(str(tmp_path))).set_index("doc_id")
+    assert got.loc[0, "top1_frac"] == 1.0
+    assert got.loc[0, "top2_frac"] == 1.0
+    assert got.loc[0, "top3_frac"] == 1.0
+    assert got.loc[1, "top1_frac"] == 0.25
+    assert got.loc[1, "top2_frac"] == round(1 / 3, 6)
+    assert got.loc[1, "top3_frac"] == 0.5
+    assert (got.loc[2] == 0.0).all()
+    assert got.loc[3, "top2_frac"] == 1.0 and got.loc[3, "top3_frac"] == 0.0
+
+
+def test_decontaminate_crafted(tmp_path):
+    """A doc sharing one 4-gram with the benchmark slice is flagged with
+    exactly one hit; disjoint docs report zero; benchmark docs are excluded
+    from the output."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.ops.decontam import decontaminate_docs
+
+    texts = {
+        7: "held out benchmark secret phrase here",   # 7 % 20 == 7: benchmark
+        1: "prefix words then benchmark secret phrase here suffix",  # 2 hits
+        2: "completely unrelated tokens nothing shared",
+        3: "secret phrase here benchmark",            # re-ordered: 1 hit
+    }
+    ids = sorted(texts)
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array([texts[i] for i in ids], pa.string())}),
+        tmp_path / "documents.parquet",
+    )
+    got = _to_pandas(decontaminate_docs(str(tmp_path))).set_index("doc_id")
+    assert 7 not in got.index
+    # doc 1 contains "benchmark secret phrase here" and "out?" -- check exact:
+    # benchmark 4-grams: {held out benchmark secret, out benchmark secret
+    # phrase, benchmark secret phrase here}; doc 1 contains only the last.
+    assert got.loc[1, "n_hits"] == 1 and got.loc[1, "contaminated"] == 1
+    assert got.loc[2, "n_hits"] == 0 and got.loc[2, "contaminated"] == 0
+    assert got.loc[3, "n_hits"] == 0  # same tokens, different 4-gram order
