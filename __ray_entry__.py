@@ -35,6 +35,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_docs_topk": docsearch.bm25_docs_topk,
         # faceted search: metadata-value counts over the BM25 result pool
         "docs_search_facets": docsearch.bm25_docs_facets,
+        # did-you-mean: SymSpell delete-index suggestion over the vocabulary
+        "docs_spell_suggest": docsearch.docs_spell_suggest,
+        # related docs: per-probe TF-IDF keywords -> BM25, self excluded
+        "docs_more_like_this": docsearch.docs_more_like_this,
         # boolean query language: +must / -not / "phrase" over the same index
         "docs_boolean_topk": docsearch.bm25_docs_boolean,
         # wildcard prefixes (`data*`) expanded against the index vocabulary
@@ -170,6 +174,8 @@ def oracle_sql() -> dict[str, str]:
         "keywords_tfidf": textops.KEYWORDS_TFIDF_SQL,
         "decontaminate_docs": decontam.DECONTAMINATE_SQL,
         "docs_search_facets": docsearch.FACETS_DOCS_SQL,
+        "docs_spell_suggest": docsearch.SPELL_SUGGEST_SQL,
+        "docs_more_like_this": docsearch.MORE_LIKE_THIS_SQL,
         "knn_topk": ann.KNN_TOPK_SQL,
         "cosine_dup_pairs": ann.COSINE_DUP_SQL,
     }

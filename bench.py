@@ -231,7 +231,7 @@ def run_bench() -> dict:
         }
 
     # ---- flagship operators over the relational testdata ---------------
-    from engine.ops import ann, dedup, relational, textops
+    from engine.ops import ann, decontam, dedup, relational, textops
 
     def consume(res):
         import pandas as pd
@@ -250,6 +250,8 @@ def run_bench() -> dict:
         ("minhash_lsh_pairs", dedup.minhash_lsh_pairs),
         ("events_sessionize", relational.events_sessionize),
         ("token_counts", textops.token_counts),
+        ("top_terms", textops.top_terms),
+        ("decontaminate_docs", decontam.decontaminate_docs),
         ("knn_topk", ann.knn_topk),
         ("ivf_knn_topk", ann.ivf_knn_topk),
     ]:

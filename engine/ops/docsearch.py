@@ -73,6 +73,174 @@ def bm25_docs_topk(sf_dir: str, k: int = K) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r6"])
 
 
+MLT_DOC_IDS = [3, 57, 101]
+MLT_KEYWORDS = 5
+
+
+def docs_more_like_this(sf_dir: str, k: int = K) -> pd.DataFrame:
+    """Related-document search: for each probe doc, take its top-5 TF-IDF
+    keywords (round-6 tf*ln(n/df), ties term ASC — the keywords_tfidf rule)
+    as a BM25 query, exclude the probe itself, return the rounded top-k ->
+    (probe_doc, rank, doc_id, score_r6).
+
+    Engine path: doc-store point lookup (row-group-pruned fetch_docs) for
+    the probe texts, keyword selection off the reader's in-memory df map,
+    then the ordinary BM25 top-k; the oracle recomputes both stages in one
+    SQL chain."""
+    import math
+    from collections import Counter
+
+    reader = _index_for(sf_dir)
+    docs_tbl = reader.fetch_docs(MLT_DOC_IDS, columns=["doc_id", "text"])
+    texts = {
+        int(np.int64(np.uint64(d))): t
+        for d, t in zip(docs_tbl["doc_id"].to_pylist(), docs_tbl["text"].to_pylist())
+    }
+    n = reader.n_docs
+    rows = []
+    for pid in MLT_DOC_IDS:
+        tf = Counter(tokenize(texts[pid]))
+        scored = sorted(
+            ((round(c * math.log(n / reader.df(t)), 6), t) for t, c in tf.items()),
+            key=lambda x: (-x[0], x[1]),
+        )
+        kw = [t for _, t in scored[:MLT_KEYWORDS]]
+        res = reader.search(" ".join(kw), k=2 * (k + 1))
+        res = [
+            (int(np.int64(np.uint64(d))), round(s, 6))
+            for d, s in res
+            if int(np.int64(np.uint64(d))) != pid
+        ]
+        res.sort(key=lambda t: (-t[1], t[0]))
+        for rank, (did, s) in enumerate(res[:k], 1):
+            rows.append((pid, rank, did, s))
+    return pd.DataFrame(rows, columns=["probe_doc", "rank", "doc_id", "score_r6"])
+
+
+def _mlt_sql() -> str:
+    vals = ", ".join(f"({d})" for d in MLT_DOC_IDS)
+    return f"""
+WITH probes(probe_doc) AS (VALUES {vals}),
+tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS tk
+  FROM documents
+),
+tf AS (SELECT doc_id, tk, count(*) AS tf FROM tok GROUP BY doc_id, tk),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+df AS (SELECT tk, count(*) AS df FROM tf GROUP BY tk),
+kw_scored AS (
+  SELECT p.probe_doc, tf.tk AS term,
+         round(tf.tf * ln(s.n * 1.0 / df.df), 6) AS kscore
+  FROM probes p
+  JOIN tf ON tf.doc_id = p.probe_doc
+  JOIN df ON df.tk = tf.tk
+  CROSS JOIN stats s
+),
+kw AS (
+  SELECT probe_doc, term FROM (
+    SELECT probe_doc, term,
+           row_number() OVER (PARTITION BY probe_doc
+                              ORDER BY kscore DESC, term) AS rn
+    FROM kw_scored
+  ) WHERE rn <= {MLT_KEYWORDS}
+),
+contrib AS (
+  SELECT kw.probe_doc, tf.doc_id,
+         ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1)
+           * tf.tf * ({K1} + 1.0)
+           / (tf.tf + {K1} * ((1.0 - {B}) + ({B} * dl.dl) / s.avgdl)) AS c
+  FROM kw
+  JOIN tf ON tf.tk = kw.term
+  JOIN df ON df.tk = kw.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  WHERE tf.doc_id <> kw.probe_doc
+),
+scores AS (
+  SELECT probe_doc, doc_id, sum(c) AS score FROM contrib
+  GROUP BY probe_doc, doc_id
+),
+ranked AS (
+  SELECT probe_doc, doc_id, round(score, 6) AS score_r6,
+         row_number() OVER (PARTITION BY probe_doc
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM scores
+)
+SELECT probe_doc, rank, doc_id, score_r6 FROM ranked WHERE rank <= {K}
+"""
+
+
+MORE_LIKE_THIS_SQL = _mlt_sql()
+
+
+MISSPELLED_TERMS = [
+    "scann",     # scan + trailing insertion
+    "querry",    # query + doubled letter
+    "windo",     # window - deletion
+    "batc",      # batch - deletion
+    "joinn",     # join + insertion
+    "xolumn",    # column with one substitution
+    "agg",       # exact vocabulary hit (dist 0)
+    "zzzzzzz",   # nothing within distance 1: dropped from the output
+]
+
+
+def docs_spell_suggest(sf_dir: str) -> pd.DataFrame:
+    """Did-you-mean over the index vocabulary: for each (misspelled) query
+    term, the vocab term within plain Levenshtein distance <= 1, chosen by
+    (dist ASC, df DESC, term ASC) -> (qterm, suggestion, dist, df); terms
+    with no near-neighbor emit no row.
+
+    Engine path is IndexReader.suggest (SymSpell delete-index candidates +
+    exact verify — never a vocabulary scan per query); the oracle is a
+    DuckDB levenshtein() cross-filter over the same df table."""
+    reader = _index_for(sf_dir)
+    rows = []
+    for qt in MISSPELLED_TERMS:
+        got = reader.suggest(qt)
+        if got is not None:
+            sugg, dist, df = got
+            rows.append((qt, sugg, dist, df))
+    return pd.DataFrame(rows, columns=["qterm", "suggestion", "dist", "df"])
+
+
+def _spell_sql() -> str:
+    vals = ", ".join(f"('{t}')" for t in MISSPELLED_TERMS)
+    return f"""
+WITH qterms(qterm) AS (VALUES {vals}),
+tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS tk
+  FROM documents
+),
+tf AS (SELECT doc_id, tk FROM tok GROUP BY doc_id, tk),
+df AS (SELECT tk, count(*) AS df FROM tf GROUP BY tk),
+cand AS (
+  SELECT q.qterm, d.tk AS suggestion,
+         CAST(levenshtein(q.qterm, d.tk) AS BIGINT) AS dist,
+         CAST(d.df AS BIGINT) AS df
+  FROM qterms q JOIN df d ON levenshtein(q.qterm, d.tk) <= 1
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY qterm
+                               ORDER BY dist, df DESC, suggestion) AS rn
+  FROM cand
+)
+SELECT qterm, suggestion, dist, df FROM ranked WHERE rn = 1
+"""
+
+
+SPELL_SUGGEST_SQL = _spell_sql()
+
+
 FACET_POOL = 25
 FACET_COLS = ("lang", "source")
 

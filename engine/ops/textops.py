@@ -332,16 +332,23 @@ _N_TERM_PARTS = 32
 
 
 def _term_parts(terms: pa.Array) -> pa.Array:
-    """Coarse partition key per UNIQUE term (vocab-bounded Python, same
-    budget class as exact_dedup's per-hash loop)."""
-    return pa.array(
-        [
+    """Coarse partition key per term row.  Only the batch's UNIQUE terms are
+    hashed in Python (dictionary-encoded; vocab-bounded, same budget class
+    as exact_dedup's per-hash loop) — the row stream is a numpy gather."""
+    if isinstance(terms, pa.ChunkedArray):
+        terms = terms.combine_chunks()
+    de = terms.dictionary_encode()
+    codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq = np.fromiter(
+        (
             int.from_bytes(hashlib.blake2b(t.encode(), digest_size=4).digest(), "big")
             % _N_TERM_PARTS
-            for t in terms.to_pylist()
-        ],
-        pa.int64(),
+            for t in de.dictionary.to_pylist()
+        ),
+        dtype=np.int64,
+        count=len(de.dictionary),
     )
+    return pa.array(uniq[codes], pa.int64())
 
 
 def top_terms(sf_dir: str, n_out: int = _TOP_TERMS_N):
@@ -486,17 +493,28 @@ def top_terms_sketch(sf_dir: str, k: int = _MG_K, n_out: int = _TOP_TERMS_N):
 _KEYWORDS_TOP = 3
 
 
-def keywords_tfidf(sf_dir: str, top: int = _KEYWORDS_TOP):
+# vocab rows the driver will collect + broadcast (same size class as the
+# IndexReader's per-shard df map; ~24 B/row => ~0.5 GB at the default)
+_KW_BCAST_BUDGET_ROWS = 20_000_000
+
+
+def keywords_tfidf(
+    sf_dir: str,
+    top: int = _KEYWORDS_TOP,
+    df_broadcast_budget_rows: int = _KW_BCAST_BUDGET_ROWS,
+):
     """Per-doc top-k terms by tf*ln(n_docs/df), ties broken by term ASC.
 
-    Two passes: (1) the same vocab-scale df aggregate as top_terms (coarse
-    term-hash partitions, vectorized combine), collected and broadcast via
-    ray.put — the df table is the size class the query engine already holds
-    in memory per shard (IndexReader's df map); above that budget the scale
-    path is the index's `dfs/` tables joined on term (both sides
-    term-partitioned) instead of a broadcast.  (2) one streaming pass over
-    the corpus: per-batch Arrow index_in lookup into the broadcast vocab,
-    vectorized score + per-doc top-k."""
+    Adaptive, q3-style: pass (1) is the same vocab-scale df aggregate as
+    top_terms (coarse term-hash partitions, vectorized combine).  Under the
+    row budget the df table is collected once and broadcast via ray.put and
+    pass (2) is one streaming corpus pass (per-batch Arrow index_in lookup,
+    vectorized score + per-doc top-k).  ABOVE the budget nothing
+    vocab-scale ever reaches the driver: (doc,term,tf) rows and (term,df)
+    rows ride the SAME coarse term-hash partitions (a union, one shuffle),
+    scores are merged per partition, and a second coarse shuffle on a
+    doc-hash key finishes the per-doc top-k — both shuffles are
+    P-way(coarse), never per-key."""
     import ray
 
     def df_partials(t: pa.Table) -> pa.Table:
@@ -518,15 +536,17 @@ def keywords_tfidf(sf_dir: str, top: int = _KEYWORDS_TOP):
 
     docs = _read_docs(sf_dir, columns=["doc_id", "text"])
     n_docs = docs.count()
-    df_tbl = (
+    df_ds = (
         docs.map_batches(df_partials, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("part")
         .map_groups(df_of_partition, batch_format="pandas")
-        .to_arrow_refs()
+        .materialize()  # vocab-scale by construction; executed exactly once
     )
+    if df_ds.count() > df_broadcast_budget_rows:
+        return _keywords_tfidf_distributed(docs, df_ds, n_docs, top)
     # Ray emits zero-column placeholder blocks for empty partitions
     df_tbl = pa.concat_tables(
-        [t for t in (ray.get(r) for r in df_tbl) if t.num_columns]
+        [t for t in (ray.get(r) for r in df_ds.to_arrow_refs()) if t.num_columns]
     )
     vocab = df_tbl["term"].combine_chunks()
     dfs = df_tbl["df"].to_numpy(zero_copy_only=False).astype(np.float64)
@@ -558,6 +578,82 @@ def keywords_tfidf(sf_dir: str, top: int = _KEYWORDS_TOP):
         )
 
     return docs.map_batches(score_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_N_DOC_PARTS = 64
+
+
+def _keywords_tfidf_distributed(docs, df_ds, n_docs: int, top: int):
+    """Above-budget tfidf path: nothing vocab-scale on the driver.
+
+    (doc,term,tf) rows and (term,df) rows share one union dataset keyed by
+    the SAME coarse term-hash partition; a per-partition pandas merge scores
+    every (doc,term); a second coarse shuffle on hash(doc_id) finishes the
+    per-doc top-k.  df rows are tagged with doc_id = -1 (doc ids in the
+    corpus are non-negative)."""
+
+    def tf_rows(t: pa.Table) -> pa.Table:
+        doc_idx, terms, tfs, _ = tokenize_counts_arrow(t["text"])
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "part": _term_parts(terms),
+                "term": terms.cast(pa.string()),
+                "doc_id": pa.array(ids[doc_idx].astype(np.int64), pa.int64()),
+                "val": pa.array(tfs.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def df_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "part": _term_parts(t["term"]),
+                "term": t["term"].cast(pa.string()),
+                "doc_id": pa.array(np.full(len(t), -1, np.int64), pa.int64()),
+                "val": t["df"].cast(pa.int64()),
+            }
+        )
+
+    union = docs.map_batches(
+        tf_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).union(df_ds.map_batches(df_rows, batch_format="pyarrow"))
+
+    def merge_of_partition(g: pd.DataFrame) -> pd.DataFrame:
+        dfm = g[g["doc_id"] < 0][["term", "val"]].rename(columns={"val": "df"})
+        tfm = g[g["doc_id"] >= 0]
+        m = tfm.merge(dfm, on="term", how="inner")
+        score = np.round(
+            m["val"].to_numpy(np.float64)
+            * np.log(float(n_docs) / m["df"].to_numpy(np.float64)),
+            6,
+        )
+        ids = m["doc_id"].to_numpy(np.int64)
+        docpart = (ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(64 - 6)
+        return pd.DataFrame(
+            {
+                "docpart": docpart.astype(np.int64),
+                "doc_id": ids,
+                "term": m["term"],
+                "tfidf_r6": score,
+            }
+        )
+
+    def topk_of_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["doc_id", "tfidf_r6", "term"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        g = g.assign(rank=g.groupby("doc_id", sort=False).cumcount() + 1)
+        g = g[g["rank"] <= top]
+        return g[["doc_id", "rank", "term", "tfidf_r6"]].astype({"rank": np.int64})
+
+    return (
+        union.groupby("part")
+        .map_groups(merge_of_partition, batch_format="pandas")
+        .groupby("docpart")
+        .map_groups(topk_of_partition, batch_format="pandas")
+    )
 
 
 KEYWORDS_TFIDF_SQL = f"""

@@ -290,6 +290,7 @@ class IndexReader:
         self._tpos_cache: _LRU = _LRU(cap=512)  # term -> decoded token positions
         self._vocab_sorted = None  # lazy sorted vocab (wildcard expansion)
         self._vocab_df = None
+        self._del_idx = None  # lazy SymSpell delete index (suggest())
         self._ds_rg = None  # doc-store row-group interval index (fetch_docs)
         self._url_mask_cache: _LRU = _LRU(cap=64)  # url pattern -> doc mask
         self._tomb_loaded = False  # tombstone alive-mask, loaded lazily
@@ -304,6 +305,9 @@ class IndexReader:
     def idf(self, term: str) -> float:
         df = self._df.get(term, 0)
         return float(np.log((self.n_docs - df + 0.5) / (df + 0.5) + 1.0))
+
+    def df(self, term: str) -> int:
+        return int(self._df.get(term, 0))
 
     def _expand_prefix(self, prefix: str) -> list[str]:
         """Indexed terms starting with `prefix`, capped deterministically at
@@ -326,6 +330,73 @@ class IndexReader:
             keep = np.lexsort((terms, -d))[:MAX_PREFIX_EXPANSIONS]
             terms = terms[keep]
         return sorted(terms.tolist())
+
+    # ------------------------------------------------------------------
+    def _delete_index(self) -> dict[str, list[str]]:
+        """SymSpell-style candidate index: every single-character deletion of
+        every vocabulary term -> the terms it came from.  Built lazily once
+        per reader (vocab-memory size class, like the df map); at web vocab
+        this is a per-index-family build artifact over the dfs/ partitions
+        rather than an in-process dict — same scale note as _expand_prefix."""
+        if getattr(self, "_del_idx", None) is None:
+            idx: dict[str, list[str]] = {}
+            for t in self._df:
+                for i in range(len(t)):
+                    idx.setdefault(t[:i] + t[i + 1 :], []).append(t)
+            self._del_idx = idx
+        return self._del_idx
+
+    @staticmethod
+    def _lev_le1(a: str, b: str) -> int | None:
+        """Exact plain-Levenshtein distance if <= 1, else None.  Used to
+        verify delete-index candidates: the delete-intersection criterion
+        admits transpositions ("ab"/"ba"), which plain Levenshtein (and the
+        oracle's levenshtein()) counts as 2."""
+        if a == b:
+            return 0
+        la, lb = len(a), len(b)
+        if abs(la - lb) > 1:
+            return None
+        if la == lb:
+            return 1 if sum(1 for x, y in zip(a, b) if x != y) == 1 else None
+        if la < lb:
+            a, b, la, lb = b, a, lb, la
+        i = 0
+        while i < lb and a[i] == b[i]:
+            i += 1
+        return 1 if a[i + 1 :] == b[i:] else None
+
+    def suggest(self, term: str) -> tuple[str, int, int] | None:
+        """Did-you-mean: the vocabulary term within plain Levenshtein
+        distance 1 of `term`, chosen by (distance ASC, df DESC, term ASC).
+        Returns (suggestion, dist, df) or None.
+
+        Candidate generation is SymSpell (Garbe): a term within distance 1
+        must satisfy q==t, t in deletes1(q), q in deletes1(t), or
+        deletes1(q) n deletes1(t) != {} — so lookups against the delete
+        index cover substitutions/insertions/deletions without scanning the
+        vocabulary; each candidate is then verified exactly."""
+        didx = self._delete_index()
+        cands: set[str] = set()
+        if term in self._df:
+            cands.add(term)
+        dels = [term[:i] + term[i + 1 :] for i in range(len(term))]
+        for d in dels:
+            if d in self._df:  # deleting a char of q yields a vocab term
+                cands.add(d)
+            cands.update(didx.get(d, ()))  # substitution / same-delete
+        cands.update(didx.get(term, ()))  # q is a delete of a vocab term
+        best = None
+        for c in cands:
+            dist = self._lev_le1(term, c)
+            if dist is None:
+                continue
+            key = (dist, -self._df[c], c)
+            if best is None or key < best[0]:
+                best = (key, c, dist)
+        if best is None:
+            return None
+        return best[1], best[2], int(self._df[best[1]])
 
     def _bucket_rows(self, bucket: int) -> dict[str, list[int]]:
         """term -> row indices of the (cached) bucket segment table.

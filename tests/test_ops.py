@@ -77,6 +77,8 @@ SQL_CHECKED = [
     "repetition_scores",
     "decontaminate_docs",
     "docs_search_facets",
+    "docs_spell_suggest",
+    "docs_more_like_this",
 ]
 
 
@@ -400,3 +402,31 @@ def test_decontaminate_crafted(tmp_path):
     assert got.loc[1, "n_hits"] == 1 and got.loc[1, "contaminated"] == 1
     assert got.loc[2, "n_hits"] == 0 and got.loc[2, "contaminated"] == 0
     assert got.loc[3, "n_hits"] == 0  # same tokens, different 4-gram order
+
+
+def test_keywords_distributed_path_matches_broadcast_path():
+    """Force the above-budget branch (union of tf/df rows on one coarse
+    term-hash shuffle + doc-hash top-k shuffle; no vocab broadcast):
+    identical output to the broadcast fast path."""
+    from engine.ops.textops import keywords_tfidf
+
+    fast = _canon(_to_pandas(keywords_tfidf(SF)))
+    dist = _canon(_to_pandas(keywords_tfidf(SF, df_broadcast_budget_rows=0)))
+    pd.testing.assert_frame_equal(fast, dist)
+
+
+def test_spell_distance_verifier():
+    """The SymSpell delete-intersection admits transpositions; the exact
+    verifier must reject them (plain Levenshtein counts "ab"->"ba" as 2),
+    and accept genuine insert/delete/substitute/identity at <= 1."""
+    from engine.query import IndexReader
+
+    lev = IndexReader._lev_le1
+    assert lev("ab", "ba") is None          # transposition = distance 2
+    assert lev("tabel", "table") is None    # transposition inside a word
+    assert lev("scan", "scan") == 0
+    assert lev("scann", "scan") == 1        # deletion
+    assert lev("windo", "window") == 1      # insertion
+    assert lev("xolumn", "column") == 1     # substitution
+    assert lev("ab", "xyz") is None         # length gap > 1
+    assert lev("abc", "xbd") is None        # two substitutions
