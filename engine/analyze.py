@@ -213,30 +213,16 @@ def tokenize_positions_arrow(
     return doc_idx, terms, counts.astype(np.int32), doclens, positions
 
 
-def ngram_stream_arrow(
+def token_array_stream(
     texts: pa.ChunkedArray | pa.Array,
-    n: int,
     cfg: AnalyzerConfig = DEFAULT_ANALYZER,
-) -> tuple[np.ndarray, np.ndarray, pa.Array]:
-    """Ordered token-n-gram occurrence stream for a batch of texts.
-
-    Returns (codes, parents, vocab): one dictionary code + doc index per
-    n-gram OCCURRENCE (document order), with `vocab` the batch's distinct
-    space-joined n-gram strings.  Exact string n-grams (not hashes), so
-    operators built on it (decontamination, repetition scores) stay
-    bit-comparable to a DuckDB oracle that forms the same n-grams with
-    `array_to_string(toks[i:i+n-1], ' ')`.  Fully vectorized: one regex
-    split, one filter, n zero-copy slices joined element-wise, one
-    dictionary encode — no Python loop over tokens.
-    """
-    if n < 1:
-        raise ValueError("n must be >= 1")
+) -> tuple[pa.Array, np.ndarray]:
+    """Batch texts -> (flat Arrow token-string array, doc index per token),
+    in document order, post analyzer filtering.  One regex split + one
+    filter; the shared front half of ngram_from_stream (operators that need
+    several n-gram orders per batch tokenize once and window per order)."""
     n_docs = len(texts)
-    empty = (
-        np.empty(0, np.int64),
-        np.empty(0, np.int64),
-        pa.array([], pa.string()),
-    )
+    empty = (pa.array([], pa.string()), np.empty(0, np.int64))
     if n_docs == 0:
         return empty
     lower = pc.utf8_lower(texts)
@@ -262,6 +248,21 @@ def ngram_stream_arrow(
     if not keep_np.all():
         flat = flat.filter(pa.array(keep_np))
         parents = parents[keep_np]
+    return flat, parents
+
+
+def ngram_from_stream(
+    flat: pa.Array, parents: np.ndarray, n: int
+) -> tuple[np.ndarray, np.ndarray, pa.Array]:
+    """(token stream from token_array_stream, n) -> n-gram occurrence stream
+    (codes, gram-parents, vocab); see ngram_stream_arrow."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    empty = (
+        np.empty(0, np.int64),
+        np.empty(0, np.int64),
+        pa.array([], pa.string()),
+    )
     m = len(flat)
     if m < n:
         return empty
@@ -281,6 +282,25 @@ def ngram_stream_arrow(
         de = de.combine_chunks()
     codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     return codes[same_doc], gparents[same_doc], de.dictionary
+
+
+def ngram_stream_arrow(
+    texts: pa.ChunkedArray | pa.Array,
+    n: int,
+    cfg: AnalyzerConfig = DEFAULT_ANALYZER,
+) -> tuple[np.ndarray, np.ndarray, pa.Array]:
+    """Ordered token-n-gram occurrence stream for a batch of texts.
+
+    Returns (codes, parents, vocab): one dictionary code + doc index per
+    n-gram OCCURRENCE (document order), with `vocab` the batch's distinct
+    space-joined n-gram strings.  Exact string n-grams (not hashes), so
+    operators built on it (decontamination, repetition scores) stay
+    bit-comparable to a DuckDB oracle that forms the same n-grams with
+    `array_to_string(toks[i:i+n-1], ' ')`.  Fully vectorized: one regex
+    split, one filter, n zero-copy slices joined element-wise, one
+    dictionary encode — no Python loop over tokens.
+    """
+    return ngram_from_stream(*token_array_stream(texts, cfg), n)
 
 
 class Tokenizer:

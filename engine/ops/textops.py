@@ -18,7 +18,8 @@ import ray.data as rd
 
 from ..analyze import (
     SPLIT_PATTERN,
-    ngram_stream_arrow,
+    ngram_from_stream,
+    token_array_stream,
     tokenize,
     tokenize_counts_arrow,
 )
@@ -696,8 +697,9 @@ def repetition_scores(sf_dir: str):
     def fn(t: pa.Table) -> pa.Table:
         n_rows = len(t)
         out = {"doc_id": t["doc_id"]}
+        stream = token_array_stream(t["text"])  # one split for all 3 orders
         for n in (1, 2, 3):
-            codes, parents, vocab = ngram_stream_arrow(t["text"], n)
+            codes, parents, vocab = ngram_from_stream(*stream, n)
             top = np.zeros(n_rows, np.float64)
             tot = np.bincount(parents, minlength=n_rows).astype(np.float64)
             if codes.size:

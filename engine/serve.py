@@ -37,6 +37,9 @@ class QueryActor:
     def search_batch(self, queries: list[dict]) -> list[list[tuple[int, float]]]:
         return [self.reader.search(q.pop("query_text"), **q) for q in queries]
 
+    def suggest(self, term: str):
+        return self.reader.suggest(term)
+
 
 class QueryPool:
     """Round-robin pool of QueryActors over one index."""
@@ -58,6 +61,9 @@ class QueryPool:
 
     def search_boolean(self, query_text: str, **kw):
         return ray.get(self._next().search_boolean.remote(query_text, **kw))
+
+    def suggest(self, term: str):
+        return ray.get(self._next().suggest.remote(term))
 
     def search_many(self, queries: list[dict]) -> list[list[tuple[int, float]]]:
         """Fan a query list across the pool; results in input order."""
@@ -114,6 +120,11 @@ class ShardQueryActor:
         # exactly like plain search.  A required term missing from THIS
         # shard empties the local presence mask, not the global result.
         return self.reader.search_boolean(query_text, **kw)
+
+    def suggest(self, term: str):
+        # the injected GLOBAL df map means the delete index spans the whole
+        # corpus vocabulary: any single shard actor answers exactly
+        return self.reader.suggest(term)
 
 
 def build_sharded(
@@ -213,6 +224,10 @@ class ShardedQueryPool:
         merged = [hit for res in ray.get(futs) for hit in res]
         merged.sort(key=lambda t: (-t[1], t[0]))
         return merged[:k]
+
+    def suggest(self, term: str):
+        a = self.actors[0]
+        return ray.get(a.suggest.remote(term))
 
     def shutdown(self) -> None:
         for a in self.actors:

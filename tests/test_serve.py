@@ -34,6 +34,10 @@ def test_pool_matches_local_reader(served_index):
         # single-query path too
         one = pool.search(queries[0]["query_text"], k=queries[0]["k"])
         assert one == local.search(queries[0]["query_text"], k=queries[0]["k"])
+        # did-you-mean serves from the pool identically to the local reader
+        h = synth.HEAD_TERMS[0]
+        for term in (h, h + "x", h[:-1], "zzzzzzzz"):
+            assert pool.suggest(term) == local.suggest(term), term
     finally:
         pool.shutdown()
 
@@ -73,5 +77,9 @@ def test_sharded_pool_rank_identical_to_one_big_index(served_index, tmp_path):
         ):
             want = local.search_boolean(bq, k=10)
             assert pool.search_boolean(bq, k=10) == want, bq
+        # suggest: the injected global df map makes any one shard's delete
+        # index span the whole vocabulary -> identical to the big index
+        for term in (h[0], h[0] + "x", "zzzzzzzz"):
+            assert pool.suggest(term) == local.suggest(term), term
     finally:
         pool.shutdown()
