@@ -39,6 +39,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_spell_suggest": docsearch.docs_spell_suggest,
         # related docs: per-probe TF-IDF keywords -> BM25, self excluded
         "docs_more_like_this": docsearch.docs_more_like_this,
+        # autocomplete: prefix -> top completions by (df DESC, term ASC)
+        "docs_autocomplete": docsearch.docs_autocomplete,
         # boolean query language: +must / -not / "phrase" over the same index
         "docs_boolean_topk": docsearch.bm25_docs_boolean,
         # wildcard prefixes (`data*`) expanded against the index vocabulary
@@ -176,6 +178,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_search_facets": docsearch.FACETS_DOCS_SQL,
         "docs_spell_suggest": docsearch.SPELL_SUGGEST_SQL,
         "docs_more_like_this": docsearch.MORE_LIKE_THIS_SQL,
+        "docs_autocomplete": docsearch.AUTOCOMPLETE_SQL,
         "knn_topk": ann.KNN_TOPK_SQL,
         "cosine_dup_pairs": ann.COSINE_DUP_SQL,
     }

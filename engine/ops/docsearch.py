@@ -73,6 +73,51 @@ def bm25_docs_topk(sf_dir: str, k: int = K) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r6"])
 
 
+AUTOCOMPLETE_PREFIXES = ["s", "c", "b", "w", "xyz"]
+AUTOCOMPLETE_K = 8
+
+
+def docs_autocomplete(sf_dir: str, k: int = AUTOCOMPLETE_K) -> pd.DataFrame:
+    """Query autocomplete: top-k vocabulary completions per prefix by
+    (df DESC, term ASC) -> (prefix, rank, term, df); prefixes with no
+    completions emit no rows.
+
+    Engine path is the reader's binary-searched sorted-vocab range (the
+    wildcard-expansion structure, so autocomplete costs O(log V + k));
+    the oracle is LIKE over the df table with the same ordering."""
+    reader = _index_for(sf_dir)
+    rows = []
+    for p in AUTOCOMPLETE_PREFIXES:
+        for rank, term in enumerate(reader.complete(p, k=k), 1):
+            rows.append((p, rank, term, reader.df(term)))
+    return pd.DataFrame(rows, columns=["prefix", "rank", "term", "df"])
+
+
+def _autocomplete_sql() -> str:
+    vals = ", ".join(f"('{p}')" for p in AUTOCOMPLETE_PREFIXES)
+    return f"""
+WITH prefixes(prefix) AS (VALUES {vals}),
+tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS tk
+  FROM documents
+),
+tf AS (SELECT doc_id, tk FROM tok GROUP BY doc_id, tk),
+df AS (SELECT tk, count(*) AS df FROM tf GROUP BY tk),
+ranked AS (
+  SELECT p.prefix, d.tk AS term, CAST(d.df AS BIGINT) AS df,
+         row_number() OVER (PARTITION BY p.prefix
+                            ORDER BY d.df DESC, d.tk) AS rank
+  FROM prefixes p JOIN df d ON d.tk LIKE p.prefix || '%'
+)
+SELECT prefix, rank, term, df FROM ranked WHERE rank <= {AUTOCOMPLETE_K}
+"""
+
+
+AUTOCOMPLETE_SQL = _autocomplete_sql()
+
+
 MLT_DOC_IDS = [3, 57, 101]
 MLT_KEYWORDS = 5
 

@@ -309,6 +309,28 @@ class IndexReader:
     def df(self, term: str) -> int:
         return int(self._df.get(term, 0))
 
+    def _vocab(self) -> tuple[np.ndarray, np.ndarray]:
+        """Lazy (sorted term array, aligned df array) — shared by wildcard
+        expansion and autocomplete."""
+        if self._vocab_sorted is None:
+            terms = np.array(sorted(self._df), dtype=object)
+            self._vocab_sorted = terms
+            self._vocab_df = np.array(
+                [self._df[t] for t in terms], dtype=np.int64
+            )
+        return self._vocab_sorted, self._vocab_df
+
+    def complete(self, prefix: str, k: int = 8) -> list[str]:
+        """Autocomplete: the top-k indexed terms starting with `prefix`,
+        ranked (df DESC, term ASC) — a binary-searched range over the
+        sorted vocab (O(log V + range)), same structure as _expand_prefix."""
+        vocab, dfs = self._vocab()
+        lo = int(np.searchsorted(vocab, prefix))
+        hi = int(np.searchsorted(vocab, prefix + "\U0010ffff"))
+        terms, d = vocab[lo:hi], dfs[lo:hi]
+        order = np.lexsort((terms, -d))[:k]
+        return terms[order].tolist()
+
     def _expand_prefix(self, prefix: str) -> list[str]:
         """Indexed terms starting with `prefix`, capped deterministically at
         MAX_PREFIX_EXPANSIONS by (df DESC, term ASC) — the SQL oracle
@@ -316,13 +338,7 @@ class IndexReader:
         scan is a binary-searched range over the term-sorted df table (at
         web vocab that table is the partitioned dfs/ parquet, still
         term-range-prunable)."""
-        if self._vocab_sorted is None:
-            terms = np.array(sorted(self._df), dtype=object)
-            self._vocab_sorted = terms
-            self._vocab_df = np.array(
-                [self._df[t] for t in terms], dtype=np.int64
-            )
-        vocab, dfs = self._vocab_sorted, self._vocab_df
+        vocab, dfs = self._vocab()
         lo = int(np.searchsorted(vocab, prefix))
         hi = int(np.searchsorted(vocab, prefix + "\U0010ffff"))
         terms, d = vocab[lo:hi], dfs[lo:hi]

@@ -79,6 +79,7 @@ SQL_CHECKED = [
     "docs_search_facets",
     "docs_spell_suggest",
     "docs_more_like_this",
+    "docs_autocomplete",
 ]
 
 
