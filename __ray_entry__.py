@@ -112,6 +112,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_knn_topk": ann.lsh_knn_topk,  # approx: rows-only
         "cosine_dup_pairs": ann.cosine_dup_pairs,
         "lsh_cosine_dup_pairs": ann.lsh_cosine_dup_pairs,  # approx: rows-only
+        # spherical k-means clustering of the embeddings (rows-only: the
+        # pytest oracle re-derives assignments exactly from the same seed)
+        "embedding_clusters": ann.embedding_clusters,
+        "embedding_cluster_sizes": ann.embedding_cluster_sizes,
         # registry-model embedding stage + self-retrieval (model inference:
         # rows-only; pytest oracle re-derives the model per doc)
         "doc_embed_knn": embed.doc_embed_knn,

@@ -676,3 +676,95 @@ def ivf_knn_topk(
     df = df.groupby("query_id", sort=False).head(k).reset_index(drop=True)
     df["rank"] = df.groupby("query_id").cumcount() + 1
     return df[["query_id", "rank", "vec_id", "sim_r"]]
+
+
+# ---------------------------------------------------------------------------
+# Embedding clustering: topic-style grouping of the corpus by its embedding
+# geometry (the curation step behind cluster-balanced sampling / SemDeDup-
+# style pruning).  Same spherical-k-means trainer as IVF: bounded sample on
+# the driver, centroids broadcast, ONE streaming assignment pass — the
+# corpus never shuffles and nothing corpus-scale reaches the driver for the
+# assignment dataset (the size summary reduces 16 groups).
+
+
+def _sample_and_train(sf_dir: str, n_cells: int) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    pf = pq.ParquetFile(path)
+    want = min(_IVF_TRAIN_CAP, pf.metadata.num_rows)
+    got, n_seen = [], 0
+    for rb in pf.iter_batches(batch_size=16384, columns=["vec_id", "embedding"]):
+        got.append(pa.Table.from_batches([rb]))
+        n_seen += rb.num_rows
+        if n_seen >= want:
+            break
+    _, sample = _emb_matrix(pa.concat_tables(got))
+    return _train_centroids(sample, n_cells)
+
+
+def embedding_clusters(sf_dir: str, n_cells: int = _IVF_CELLS):
+    """Per-vector spherical k-means assignment -> (vec_id, cluster, sim_r6)
+    (cluster = argmax-cosine centroid, deterministic seed; rows-only entry,
+    assignments re-derived exactly by the pytest oracle)."""
+    cent = _sample_and_train(sf_dir, n_cells)
+    ref = ray.put(cent)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        ids, m = _emb_matrix(t)
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "cluster": pa.array([], pa.int64()),
+                    "sim_r6": pa.array([], pa.float64()),
+                }
+            )
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        sims = mn @ c.T
+        cl = np.argmax(sims, axis=1)
+        best = sims[np.arange(len(ids)), cl]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster": pa.array(cl.astype(np.int64), pa.int64()),
+                "sim_r6": pa.array(np.round(best, 6), pa.float64()),
+            }
+        )
+
+    return _read_emb(sf_dir).map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def embedding_cluster_sizes(sf_dir: str, n_cells: int = _IVF_CELLS):
+    """Cluster summary -> (cluster, n_vecs, mean_sim_r6): map-side partial
+    (cluster, n, sum_sim) per batch, tiny n_cells-group reduce."""
+    import pandas as pd
+
+    def partials(t: pa.Table) -> pa.Table:
+        g = t.group_by("cluster").aggregate(
+            [("sim_r6", "sum"), ("sim_r6", "count")]
+        )
+        return pa.table(
+            {
+                "cluster": g["cluster"],
+                "sum_sim": g["sim_r6_sum"],
+                "n_part": g["sim_r6_count"].cast(pa.int64()),
+            }
+        )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("cluster", as_index=False).agg(
+            n_vecs=("n_part", "sum"), sum_sim=("sum_sim", "sum")
+        )
+        out["mean_sim_r6"] = (out["sum_sim"] / out["n_vecs"]).round(6)
+        return out[["cluster", "n_vecs", "mean_sim_r6"]]
+
+    return (
+        embedding_clusters(sf_dir, n_cells)
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cluster")
+        .map_groups(finish, batch_format="pandas")
+    )

@@ -431,3 +431,36 @@ def test_spell_distance_verifier():
     assert lev("xolumn", "column") == 1     # substitution
     assert lev("ab", "xyz") is None         # length gap > 1
     assert lev("abc", "xbd") is None        # two substitutions
+
+
+def test_embedding_clusters_exact_vs_numpy():
+    """Assignments must equal the exact argmax-cosine against the same
+    deterministically trained centroids, sizes must sum to the corpus, and
+    the summary must match a plain recompute of the assignment table."""
+    import pyarrow.parquet as pq
+
+    from engine.ops.ann import (
+        _emb_matrix,
+        _sample_and_train,
+        embedding_cluster_sizes,
+        embedding_clusters,
+    )
+
+    got = _to_pandas(embedding_clusters(SF)).set_index("vec_id").sort_index()
+    cent = _sample_and_train(SF, 16)
+    t = pq.read_table(SF + "/embeddings.parquet")
+    ids, m = _emb_matrix(t)
+    mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+    sims = mn @ cent.T
+    want_cl = np.argmax(sims, axis=1)
+    order = np.argsort(ids)
+    assert np.array_equal(got["cluster"].to_numpy(), want_cl[order])
+    assert np.array_equal(
+        got["sim_r6"].to_numpy(),
+        np.round(sims[np.arange(len(ids)), want_cl], 6)[order],
+    )
+    sizes = _to_pandas(embedding_cluster_sizes(SF))
+    assert int(sizes["n_vecs"].sum()) == len(ids)
+    resum = got.groupby("cluster").agg(n=("sim_r6", "size"))
+    merged = sizes.set_index("cluster").join(resum)
+    assert (merged["n_vecs"] == merged["n"]).all()
