@@ -26,8 +26,8 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from engine.ops import (
-        ann, decontam, dedup, docsearch, embed, enrich, listops, multimodal,
-        multisource, pagesearch, relational, textops,
+        ann, curate, decontam, dedup, docsearch, embed, enrich, listops,
+        multimodal, multisource, pagesearch, relational, textops,
     )
 
     return {
@@ -106,6 +106,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keywords_tfidf": textops.keywords_tfidf,
         # benchmark decontamination (n-gram overlap vs a held-out slice)
         "decontaminate_docs": decontam.decontaminate_docs,
+        # capstone curation verdict: decontam + repetition + length gates
+        # composed in one streaming pass
+        "curate_docs": curate.curate_docs,
         # similarity search over embeddings
         "knn_topk": ann.knn_topk,
         "ivf_knn_topk": ann.ivf_knn_topk,  # rows-only (recall in tests)
@@ -127,8 +130,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from engine.ops import (
-        ann, decontam, dedup, docsearch, listops, multisource, pagesearch,
-        relational, textops,
+        ann, curate, decontam, dedup, docsearch, listops, multisource,
+        pagesearch, relational, textops,
     )
 
     return {
@@ -179,6 +182,7 @@ def oracle_sql() -> dict[str, str]:
         "top_terms": textops.TOP_TERMS_SQL,
         "keywords_tfidf": textops.KEYWORDS_TFIDF_SQL,
         "decontaminate_docs": decontam.DECONTAMINATE_SQL,
+        "curate_docs": curate.CURATE_DOCS_SQL,
         "docs_search_facets": docsearch.FACETS_DOCS_SQL,
         "docs_spell_suggest": docsearch.SPELL_SUGGEST_SQL,
         "docs_more_like_this": docsearch.MORE_LIKE_THIS_SQL,

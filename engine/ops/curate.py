@@ -1,0 +1,185 @@
+"""Corpus curation: the end-to-end keep/drop verdict a pre-training data
+pipeline applies before tokenization — benchmark decontamination + Gopher
+repetition gate + minimum-length gate, composed into ONE streaming pass.
+
+This is the capstone composition of the round-3 text suite: the benchmark
+n-gram set is broadcast once (small side by definition), and every signal
+(contamination hits, top-bigram fraction, token count) comes from a single
+token_array_stream per batch — the corpus is read once, never shuffled, and
+the verdict table streams out.  `curate_corpus` additionally writes the
+surviving documents as partitioned parquet through the engine's atomic
+part-file writer semantics (resumable output: one file per input block
+range, content-addressed names).
+
+Thresholds (picked against the sf0.01 signal distributions so the split is
+non-trivial: ~80% keep):
+  keep = (no benchmark 4-gram overlap) AND (top2_frac <= 0.07, ~p90)
+         AND (n_tokens >= 16, ~p5)
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from ..analyze import ngram_from_stream, token_array_stream
+from .decontam import _BENCH_MOD, _BENCH_REM, _DECON_N, _bench_mask, benchmark_ngrams
+
+MAX_TOP2_FRAC = 0.07
+MIN_TOKENS = 16
+
+
+def _read_docs(sf_dir: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+def _verdict_batch(t: pa.Table, bench: pa.Array) -> pa.Table:
+    """One tokenization -> all three signals + the keep verdict."""
+    keep_rows = pc.invert(_bench_mask(t["doc_id"]))
+    t = t.filter(keep_rows)
+    n_rows = len(t)
+    flat, parents = token_array_stream(t["text"])
+    n_tokens = (
+        np.bincount(parents, minlength=n_rows).astype(np.int64)
+        if parents.size
+        else np.zeros(n_rows, np.int64)
+    )
+    # top-bigram fraction (repetition_scores rule, order 2)
+    codes2, par2, vocab2 = ngram_from_stream(flat, parents, 2)
+    top2 = np.zeros(n_rows, np.float64)
+    tot2 = np.bincount(par2, minlength=n_rows).astype(np.float64)
+    if codes2.size:
+        nv = len(vocab2)
+        ukey, counts = np.unique(par2 * nv + codes2, return_counts=True)
+        np.maximum.at(top2, ukey // nv, counts.astype(np.float64))
+    top2_frac = np.round(
+        np.divide(top2, tot2, out=np.zeros(n_rows, np.float64), where=tot2 > 0), 6
+    )
+    # contamination hits (decontaminate_docs rule, order _DECON_N)
+    hits = np.zeros(n_rows, np.int64)
+    n_bench = len(bench)
+    if n_rows and n_bench:
+        codes4, par4, vocab4 = ngram_from_stream(flat, parents, _DECON_N)
+        if codes4.size:
+            pos = (
+                pc.fill_null(pc.index_in(vocab4, value_set=bench), -1)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            bench_idx = pos[codes4]
+            valid = bench_idx >= 0
+            if valid.any():
+                upairs = np.unique(par4[valid] * np.int64(n_bench) + bench_idx[valid])
+                np.add.at(hits, (upairs // n_bench).astype(np.int64), 1)
+    keep = (hits == 0) & (top2_frac <= MAX_TOP2_FRAC) & (n_tokens >= MIN_TOKENS)
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "n_hits": pa.array(hits, pa.int64()),
+            "top2_frac": pa.array(top2_frac, pa.float64()),
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "keep": pa.array(keep.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def curate_docs(sf_dir: str):
+    """Per non-benchmark doc: contamination hits, top-bigram fraction, token
+    count, and the keep verdict -> (doc_id, n_hits, top2_frac, n_tokens,
+    keep); gated against a pure-SQL oracle that composes the same three CTE
+    chains."""
+    bench = benchmark_ngrams(sf_dir, _DECON_N)
+    bcast = ray.put(bench)
+
+    def fn(t: pa.Table) -> pa.Table:
+        return _verdict_batch(t, ray.get(bcast))
+
+    return _read_docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def curate_corpus(sf_dir: str, out_dir: str) -> dict:
+    """Write the surviving documents (full rows) as partitioned parquet; the
+    verdict is recomputed inline (same single pass) so the corpus is still
+    read exactly once.  Returns {"n_kept": ..., "n_seen": ...}."""
+    bench = benchmark_ngrams(sf_dir, _DECON_N)
+    bcast = ray.put(bench)
+
+    def keep_batch(t: pa.Table) -> pa.Table:
+        v = _verdict_batch(
+            t.select(["doc_id", "text"]), ray.get(bcast)
+        )
+        kept_ids = v.filter(pc.equal(v["keep"], 1))["doc_id"]
+        return t.filter(pc.is_in(t["doc_id"], value_set=kept_ids.combine_chunks()))
+
+    ds = _read_docs(sf_dir).map_batches(
+        keep_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    n_seen = _read_docs(sf_dir, columns=["doc_id"]).count()
+    os.makedirs(out_dir, exist_ok=True)
+    ds.write_parquet(out_dir)
+    import pyarrow.dataset as pads
+
+    n_kept = pads.dataset(out_dir).count_rows()
+    return {"n_kept": n_kept, "n_seen": n_seen}
+
+
+CURATE_DOCS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+uni AS (SELECT doc_id, len(toks) AS n_tokens FROM tok),
+pos2 AS (
+  SELECT doc_id, unnest(generate_series(1, greatest(len(toks)-1, 0))) AS i, toks
+  FROM tok
+),
+big AS (
+  SELECT doc_id, max(c) AS m, sum(c) AS tot FROM (
+    SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS g, count(*) AS c
+    FROM pos2 GROUP BY doc_id, g
+  ) GROUP BY doc_id
+),
+pos4 AS (
+  SELECT doc_id,
+         unnest(generate_series(1, greatest(len(toks) - {_DECON_N - 1}, 0))) AS i,
+         toks
+  FROM tok
+),
+ng AS (
+  SELECT doc_id, array_to_string(toks[i:i+{_DECON_N - 1}], ' ') AS ng FROM pos4
+),
+bench AS (
+  SELECT DISTINCT ng FROM ng WHERE doc_id % {_BENCH_MOD} = {_BENCH_REM}
+),
+hits AS (
+  SELECT n.doc_id, count(DISTINCT n.ng) AS n_hits
+  FROM ng n JOIN bench b USING (ng)
+  WHERE n.doc_id % {_BENCH_MOD} <> {_BENCH_REM}
+  GROUP BY n.doc_id
+),
+sig AS (
+  SELECT d.doc_id,
+         CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         round(coalesce(b.m * 1.0 / b.tot, 0), 6) AS top2_frac,
+         CAST(u.n_tokens AS BIGINT) AS n_tokens
+  FROM documents d
+  JOIN uni u USING (doc_id)
+  LEFT JOIN big b USING (doc_id)
+  LEFT JOIN hits h USING (doc_id)
+  WHERE d.doc_id % {_BENCH_MOD} <> {_BENCH_REM}
+)
+SELECT doc_id, n_hits, top2_frac, n_tokens,
+       CAST(CASE WHEN n_hits = 0 AND top2_frac <= {MAX_TOP2_FRAC}
+                  AND n_tokens >= {MIN_TOKENS}
+            THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM sig
+"""

@@ -80,6 +80,7 @@ SQL_CHECKED = [
     "docs_spell_suggest",
     "docs_more_like_this",
     "docs_autocomplete",
+    "curate_docs",
 ]
 
 
@@ -464,3 +465,26 @@ def test_embedding_clusters_exact_vs_numpy():
     resum = got.groupby("cluster").agg(n=("sim_r6", "size"))
     merged = sizes.set_index("cluster").join(resum)
     assert (merged["n_vecs"] == merged["n"]).all()
+
+
+def test_curate_corpus_writes_exactly_the_keep_set(tmp_path, con):
+    """The curation writer must emit precisely the keep=1 docs (full rows),
+    recomputing the verdict inline so the corpus is read once."""
+    from engine.ops.curate import curate_corpus
+
+    out = str(tmp_path / "curated")
+    res = curate_corpus(SF, out)
+    import pyarrow.dataset as pads
+
+    got_ids = sorted(pads.dataset(out).to_table(columns=["doc_id"])["doc_id"].to_pylist())
+    import __ray_entry__ as em
+
+    want = con.sql(
+        f"SELECT doc_id FROM ({em.oracle_sql()['curate_docs']}) WHERE keep = 1"
+    ).df()
+    want_ids = sorted(int(x) for x in want["doc_id"])
+    assert got_ids == want_ids
+    assert res["n_kept"] == len(want_ids)
+    # written rows carry the full original schema
+    schema_names = set(pads.dataset(out).schema.names)
+    assert {"doc_id", "text", "lang", "source"} <= schema_names
