@@ -5,6 +5,8 @@
     python -m engine query  INDEX_DIR "query terms" [-k 10] [--lang en]
                             [--rerank W] [--method auto|bmw|vectorized]
                             [--snippets]
+    python -m engine suggest  INDEX_DIR TERM          # did-you-mean
+    python -m engine complete INDEX_DIR PREFIX [-k 8] # autocomplete
 
 Owns its Ray session (guarded init + shutdown) — library code never does.
 """
@@ -42,6 +44,15 @@ def main(argv=None) -> int:
     pq.add_argument("--rerank", type=float, default=0.0)
     pq.add_argument("--method", default="auto", choices=["auto", "bmw", "vectorized"])
     pq.add_argument("--snippets", action="store_true")
+
+    pg = sub.add_parser("suggest", help="did-you-mean for a (misspelled) term")
+    pg.add_argument("index_dir")
+    pg.add_argument("term")
+
+    pc_ = sub.add_parser("complete", help="autocomplete a query prefix")
+    pc_.add_argument("index_dir")
+    pc_.add_argument("prefix")
+    pc_.add_argument("-k", type=int, default=8)
 
     args = p.parse_args(argv)
 
@@ -94,6 +105,22 @@ def main(argv=None) -> int:
                 if args.snippets:
                     line["snippet"] = make_snippet(text_of.get(d, ""), args.query_text)
                 print(json.dumps(line))
+        elif args.cmd == "suggest":
+            from .query import IndexReader
+
+            got = IndexReader(args.index_dir).suggest(args.term)
+            print(json.dumps(
+                None if got is None
+                else {"suggestion": got[0], "dist": got[1], "df": got[2]}
+            ))
+        elif args.cmd == "complete":
+            from .query import IndexReader
+
+            reader = IndexReader(args.index_dir)
+            print(json.dumps(
+                [{"term": t, "df": reader.df(t)}
+                 for t in reader.complete(args.prefix, k=args.k)]
+            ))
     finally:
         if owns_session:
             ray.shutdown()
