@@ -173,49 +173,53 @@ def run_bench() -> dict:
         # ---- boolean/phrase query latency ------------------------------
         # operators: +must / -not / "phrase" (phrases sampled from real
         # docs so adjacency verification actually runs; this index has no
-        # positions column, so this measures the match-then-verify path)
-        from engine.analyze import tokenize as _tok
+        # positions column, so this measures the match-then-verify path).
+        # Skipped in scaling sub-runs (mode != "all"): the scaling metric
+        # uses only build/ET throughputs, and the positional rebuild would
+        # triple each leg's wall time at SCALING_DOCS.
+        if mode == "all":
+            from engine.analyze import tokenize as _tok
 
-        h = synth.HEAD_TERMS
-        some = [d for d, _ in reader.search(h[0], k=3)]
-        docs_tbl = reader.fetch_docs(some, columns=["doc_id", "warc_ts", "text"])
-        bool_qs = [f"{h[0]} +{h[1]}", f"{h[2]} {h[3]} -{h[0]}", f"+{h[4]} {h[5]}"]
-        for txt in docs_tbl["text"].to_pylist():
-            toks = _tok(txt)
-            bool_qs.append(f'{h[0]} "{toks[3]} {toks[4]}"')
-            bool_qs.append(f'"{toks[10]} {toks[11]} {toks[12]}"')
-        for q in bool_qs:  # warm
-            reader.search_boolean(q, k=10)
-        lat = []
-        for q in bool_qs:
-            t0 = time.perf_counter()
-            reader.search_boolean(q, k=10)
-            lat.append(time.perf_counter() - t0)
-        lat_ms = np.array(lat) * 1e3
-        queries["bool_query_p50_ms"] = round(float(np.percentile(lat_ms, 50)), 3)
-        queries["bool_query_p95_ms"] = round(float(np.percentile(lat_ms, 95)), 3)
+            h = synth.HEAD_TERMS
+            some = [d for d, _ in reader.search(h[0], k=3)]
+            docs_tbl = reader.fetch_docs(some, columns=["doc_id", "warc_ts", "text"])
+            bool_qs = [f"{h[0]} +{h[1]}", f"{h[2]} {h[3]} -{h[0]}", f"+{h[4]} {h[5]}"]
+            for txt in docs_tbl["text"].to_pylist():
+                toks = _tok(txt)
+                bool_qs.append(f'{h[0]} "{toks[3]} {toks[4]}"')
+                bool_qs.append(f'"{toks[10]} {toks[11]} {toks[12]}"')
+            for q in bool_qs:  # warm
+                reader.search_boolean(q, k=10)
+            lat = []
+            for q in bool_qs:
+                t0 = time.perf_counter()
+                reader.search_boolean(q, k=10)
+                lat.append(time.perf_counter() - t0)
+            lat_ms = np.array(lat) * 1e3
+            queries["bool_query_p50_ms"] = round(float(np.percentile(lat_ms, 50)), 3)
+            queries["bool_query_p95_ms"] = round(float(np.percentile(lat_ms, 95)), 3)
 
-        # ---- positional index: phrase adjacency off the postings -------
-        # rebuild postings with positions (resume reuses the extract phase;
-        # the delta vs index_build_s is the positional overhead) and
-        # re-measure the same boolean set — verification now intersects
-        # position lists instead of scanning the doc store
-        t0 = time.perf_counter()
-        build_index(
-            pages_dir, index_dir, num_partitions=8, store_positions=True,
-        )
-        queries["index_pos_rebuild_s"] = round(time.perf_counter() - t0, 3)
-        reader_pos = IndexReader(index_dir)
-        for q in bool_qs:  # warm
-            reader_pos.search_boolean(q, k=10)
-        lat = []
-        for q in bool_qs:
+            # ---- positional index: phrase adjacency off the postings -------
+            # rebuild postings with positions (resume reuses the extract phase;
+            # the delta vs index_build_s is the positional overhead) and
+            # re-measure the same boolean set — verification now intersects
+            # position lists instead of scanning the doc store
             t0 = time.perf_counter()
-            reader_pos.search_boolean(q, k=10)
-            lat.append(time.perf_counter() - t0)
-        lat_ms = np.array(lat) * 1e3
-        queries["bool_query_pos_p50_ms"] = round(float(np.percentile(lat_ms, 50)), 3)
-        queries["bool_query_pos_p95_ms"] = round(float(np.percentile(lat_ms, 95)), 3)
+            build_index(
+                pages_dir, index_dir, num_partitions=8, store_positions=True,
+            )
+            queries["index_pos_rebuild_s"] = round(time.perf_counter() - t0, 3)
+            reader_pos = IndexReader(index_dir)
+            for q in bool_qs:  # warm
+                reader_pos.search_boolean(q, k=10)
+            lat = []
+            for q in bool_qs:
+                t0 = time.perf_counter()
+                reader_pos.search_boolean(q, k=10)
+                lat.append(time.perf_counter() - t0)
+            lat_ms = np.array(lat) * 1e3
+            queries["bool_query_pos_p50_ms"] = round(float(np.percentile(lat_ms, 50)), 3)
+            queries["bool_query_pos_p95_ms"] = round(float(np.percentile(lat_ms, 95)), 3)
     finally:
         shutil.rmtree(index_dir, ignore_errors=True)
 
