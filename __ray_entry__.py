@@ -74,6 +74,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sample_stats": relational.events_sample_stats,
         "events_distinct_users": relational.events_distinct_users,
         "events_distinct_users_hll": relational.events_distinct_users_hll,  # rows-only (sketch)
+        "events_type_distinct_users": relational.events_type_distinct_users,
+        "events_type_distinct_users_hll": relational.events_type_distinct_users_hll,  # rows-only (sketch)
         "customers_without_recent_orders": relational.customers_without_recent_orders,
         "orders_semi_building": relational.orders_semi_building,
         "orders_topk": relational.orders_topk,
@@ -162,6 +164,7 @@ def oracle_sql() -> dict[str, str]:
         "events_value_quantiles": relational.EVENTS_QUANTILES_SQL,
         "events_sample_stats": relational.EVENTS_SAMPLE_STATS_SQL,
         "events_distinct_users": relational.EVENTS_DISTINCT_USERS_SQL,
+        "events_type_distinct_users": relational.EVENTS_TYPE_DISTINCT_SQL,
         "customers_without_recent_orders": relational.CUSTOMERS_ANTI_SQL,
         "orders_semi_building": relational.ORDERS_SEMI_SQL,
         "orders_topk": relational.ORDERS_TOPK_SQL,

@@ -7,9 +7,10 @@ n-gram set is broadcast once (small side by definition), and every signal
 (contamination hits, top-bigram fraction, token count) comes from a single
 token_array_stream per batch — the corpus is read once, never shuffled, and
 the verdict table streams out.  `curate_corpus` additionally writes the
-surviving documents as partitioned parquet through the engine's atomic
-part-file writer semantics (resumable output: one file per input block
-range, content-addressed names).
+surviving documents as partitioned parquet (Ray's streaming writer: one
+file per output block, so a re-run regenerates the directory; for
+skip-finished-partitions resume semantics route the output through
+engine.build's atomic pid-dir promote instead).
 
 Thresholds (picked against the sf0.01 signal distributions so the split is
 non-trivial: ~80% keep):

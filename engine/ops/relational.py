@@ -1321,6 +1321,60 @@ SELECT count(DISTINCT user_id) AS n_users FROM events
 """
 
 
+def events_type_distinct_users(sf_dir: str):
+    """Exact COUNT(DISTINCT user_id) per event_type.
+
+    Same shape as events_distinct_users, grouped: per-batch distinct
+    (event_type, user_id) pairs (one Arrow group_by), ONE coarse user-hash
+    shuffle — every distinct pair lands in exactly one partition, so the
+    per-partition dedupe + per-type partial counts sum across partitions
+    without double-counting; only n_types * n_partitions rows reach the
+    driver."""
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"event_type": t["event_type"], "user_id": t["user_id"]})
+            .group_by(["event_type", "user_id"])
+            .aggregate([])
+        )
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "user_id": g["user_id"],
+                "part": pa.array(_keypart(u)),
+            }
+        )
+
+    def count_of_partition(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["event_type", "user_id"])
+        out = d.groupby("event_type", as_index=False).size()
+        out.columns = ["event_type", "n_part"]
+        return out
+
+    parts = (
+        ds.map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(count_of_partition, batch_format="pandas")
+        .to_pandas()
+    )
+    out = (
+        parts.groupby("event_type", as_index=False)["n_part"].sum()
+        .rename(columns={"n_part": "n_users"})
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return out
+
+
+EVENTS_TYPE_DISTINCT_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
 _HLL_P = 12  # 4096 registers; relative error ~ 1.04/sqrt(m) ~ 1.6%
 
 
@@ -1379,6 +1433,57 @@ def events_distinct_users_hll(sf_dir: str, p: int = _HLL_P):
     if e <= 2.5 * m and zeros:
         e = m * np.log(m / zeros)  # linear counting small-range correction
     return pd.DataFrame({"n_users_est": np.array([int(round(e))], dtype=np.int64)})
+
+
+def events_type_distinct_users_hll(sf_dir: str, p: int = _HLL_P):
+    """Grouped HyperLogLog: distinct-user estimate per event_type — the
+    sketch twin of events_type_distinct_users (rows-only; tolerance
+    pytest-asserted per group).  Register partials are (event_type, reg,
+    max rank) — at most n_types * 2^p rows however large the input."""
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    m = 1 << p
+
+    def hll_partial(t: pa.Table) -> pa.Table:
+        h = _splitmix64(t["user_id"].to_numpy(zero_copy_only=False))
+        reg = (h >> np.uint64(64 - p)).astype(np.int64)
+        w = h << np.uint64(p)
+        rank = np.where(w == 0, np.int64(64 - p + 1), _clz64(w) + 1)
+        tt = pa.table(
+            {
+                "event_type": t["event_type"],
+                "reg": pa.array(reg, pa.int64()),
+                "rank": pa.array(rank, pa.int64()),
+            }
+        )
+        g = tt.group_by(["event_type", "reg"]).aggregate([("rank", "max")])
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "reg": g["reg"],
+                "rank": g["rank_max"],
+            }
+        )
+
+    regs = (
+        ds.map_batches(hll_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "reg"])
+        .max("rank")
+        .to_pandas()
+    )  # <= n_types * 4096 rows
+    alpha = 0.7213 / (1 + 1.079 / m)
+    rows = []
+    for et, g in regs.groupby("event_type"):
+        M = np.zeros(m, np.int64)
+        M[g["reg"].to_numpy()] = g["max(rank)"].to_numpy()
+        e = alpha * m * m / np.sum(np.exp2(-M.astype(np.float64)))
+        zeros = int((M == 0).sum())
+        if e <= 2.5 * m and zeros:
+            e = m * np.log(m / zeros)
+        rows.append((et, int(round(e))))
+    rows.sort()
+    return pd.DataFrame(rows, columns=["event_type", "n_users_est"]).astype(
+        {"n_users_est": np.int64}
+    )
 
 
 # ---------------------------------------------------------------------------

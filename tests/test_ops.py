@@ -81,6 +81,7 @@ SQL_CHECKED = [
     "docs_more_like_this",
     "docs_autocomplete",
     "curate_docs",
+    "events_type_distinct_users",
 ]
 
 
@@ -177,6 +178,20 @@ def test_hll_distinct_within_tolerance():
     # 4096 registers; at n << m the linear-counting correction applies and
     # the estimate should be within a few percent of the exact count
     assert abs(est - exact) / exact <= 0.05, (est, exact)
+
+
+def test_grouped_hll_within_tolerance():
+    from engine.ops.relational import (
+        events_type_distinct_users,
+        events_type_distinct_users_hll,
+    )
+
+    exact = events_type_distinct_users(SF).set_index("event_type")
+    est = events_type_distinct_users_hll(SF).set_index("event_type")
+    assert set(est.index) == set(exact.index)
+    for et in exact.index:
+        e, x = int(est.loc[et, "n_users_est"]), int(exact.loc[et, "n_users"])
+        assert abs(e - x) / x <= 0.05, (et, e, x)
 
 
 def test_ivf_recall_vs_bruteforce():
