@@ -220,6 +220,24 @@ def run_bench() -> dict:
             lat_ms = np.array(lat) * 1e3
             queries["bool_query_pos_p50_ms"] = round(float(np.percentile(lat_ms, 50)), 3)
             queries["bool_query_pos_p95_ms"] = round(float(np.percentile(lat_ms, 95)), 3)
+
+            # ---- serving throughput: QueryPool fan-out ---------------------
+            # QPS through the actor pool (the serving deployment unit): one
+            # warm pass, then 4x the conformance set fanned across 8 actors
+            from engine.serve import QueryPool
+
+            pool = QueryPool(index_dir, num_actors=8)
+            try:
+                qlist = [
+                    {"query_text": q["query_text"], "k": q["k"]} for q in qtbl
+                ] * 4
+                pool.search_many([dict(q) for q in qlist[: len(qtbl)]])  # warm
+                t0 = time.perf_counter()
+                pool.search_many([dict(q) for q in qlist])
+                dt = time.perf_counter() - t0
+                queries["pool_qps_8actors"] = round(len(qlist) / dt, 1)
+            finally:
+                pool.shutdown()
     finally:
         shutil.rmtree(index_dir, ignore_errors=True)
 
