@@ -429,12 +429,13 @@ def top_terms_sketch(sf_dir: str, k: int = _MG_K, n_out: int = _TOP_TERMS_N):
     Each batch emits an MG(k) summary (<= k rows, vectorized: one Arrow
     group-sum then one argpartition); summaries are merged associatively
     (sum same-term counts, subtract the (k+1)-th largest, drop <= 0 —
-    Agarwal et al., "Mergeable Summaries", PODS 2012).  Merge input is
-    n_blocks * k rows regardless of corpus/vocab size, so the driver-side
-    final merge is sketch-scale by construction; at cluster scale the same
-    merge runs as a tree over map_batches stages.  Every estimate satisfies
-    est <= true <= est + err_ub with err_ub = (N - M)/(k+1) (N = total
-    tokens, M = retained mass)."""
+    Agarwal et al., "Mergeable Summaries", PODS 2012).  The per-term
+    summation runs as a coarse term-hash-partition reduce on the cluster
+    (summing before truncating is the tightest valid merge order), so the
+    driver sees only the DEDUPED candidate terms plus per-partition token
+    totals — not n_blocks * k rows — and applies the single final
+    truncation.  Every estimate satisfies est <= true <= est + err_ub with
+    err_ub = (N - M)/(k+1) (N = total tokens, M = retained mass)."""
 
     def mg_of_batch(t: pa.Table) -> pa.Table:
         _, terms, tfs, doclens = tokenize_counts_arrow(t["text"])
@@ -451,9 +452,9 @@ def top_terms_sketch(sf_dir: str, k: int = _MG_K, n_out: int = _TOP_TERMS_N):
                 gterms, pa.ChunkedArray
             ) else gterms.filter(pa.array(keep))
             cnt = cnt[keep]
-        # the batch's token total rides on the first summary row only, so the
-        # merged frame's sum() is the corpus N (totals of two batches may
-        # coincide; a de-dup on the value would undercount)
+        # the batch's token total rides on the first summary row only, so
+        # partition-level n_tokens sums combine to the corpus N (totals of
+        # two batches may coincide; a de-dup on the value would undercount)
         ntok_col = np.zeros(cnt.size, np.int64)
         if cnt.size:
             ntok_col[0] = n_tokens
@@ -462,17 +463,30 @@ def top_terms_sketch(sf_dir: str, k: int = _MG_K, n_out: int = _TOP_TERMS_N):
                 "term": gterms,
                 "est": pa.array(cnt, pa.int64()),
                 "n_tokens": pa.array(ntok_col, pa.int64()),
+                "part": _term_parts(gterms),
             }
         )
 
-    parts = _read_docs(sf_dir, columns=["doc_id", "text"]).map_batches(
-        mg_of_batch, batch_format="pyarrow", zero_copy_batch=True
-    )
-    pdf = parts.to_pandas()  # n_blocks * k rows (sketch-scale)
+    def sum_of_partition(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("term", sort=False, as_index=False)["est"].sum()
+        # the partition's share of N rides one marker row (term="")
+        out.loc[len(out)] = ["", 0]
+        ntok = np.zeros(len(out), np.int64)
+        ntok[-1] = int(g["n_tokens"].sum())
+        out["n_tokens"] = ntok
+        return out[["term", "est", "n_tokens"]]
+
+    pdf = (
+        _read_docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(mg_of_batch, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(sum_of_partition, batch_format="pandas")
+        .to_pandas()
+    )  # deduped candidate terms + one marker row per partition
     if len(pdf) == 0:
         return pd.DataFrame(columns=["term", "est_tf", "err_ub"])
     n_total = int(pdf["n_tokens"].sum())
-    merged = pdf.groupby("term", sort=False, as_index=False)["est"].sum()
+    merged = pdf[pdf["term"] != ""][["term", "est"]].reset_index(drop=True)
     cnt = merged["est"].to_numpy()
     if cnt.size > k:
         thresh = np.partition(cnt, cnt.size - k - 1)[cnt.size - k - 1]
