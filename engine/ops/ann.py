@@ -642,19 +642,7 @@ def ivf_knn_topk(
     """Approximate cosine top-k via IVF cell pruning — rows-only (tests
     assert recall vs knn_topk).  With nprobe == n_cells this is exactly
     brute force; recall/cost is tuned by the probe fraction."""
-    import pyarrow.parquet as pq
-
-    path = os.path.join(sf_dir, "embeddings.parquet")
-    pf = pq.ParquetFile(path)
-    want = min(_IVF_TRAIN_CAP, pf.metadata.num_rows)
-    got, n_seen = [], 0
-    for rb in pf.iter_batches(batch_size=16384, columns=["vec_id", "embedding"]):
-        got.append(pa.Table.from_batches([rb]))
-        n_seen += rb.num_rows
-        if n_seen >= want:
-            break
-    _, sample = _emb_matrix(pa.concat_tables(got))
-    cent = _train_centroids(sample, n_cells)
+    cent = _sample_and_train(sf_dir, n_cells)
 
     q_ids, q = _load_queries(sf_dir)
     qn = q / np.linalg.norm(q, axis=1, keepdims=True)

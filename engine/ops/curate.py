@@ -1,6 +1,10 @@
 """Corpus curation: the end-to-end keep/drop verdict a pre-training data
 pipeline applies before tokenization — benchmark decontamination + Gopher
 repetition gate + minimum-length gate, composed into ONE streaming pass.
+`curate_corpus` writes into a scratch dir and atomically promotes it over
+`out_dir`, so a re-run replaces the output wholesale (Ray's write_parquet
+filenames carry a per-run UUID — writing in place would strand the previous
+run's files and overcount n_kept).
 
 This is the capstone composition of the round-3 text suite: the benchmark
 n-gram set is broadcast once (small side by definition), and every signal
@@ -123,8 +127,17 @@ def curate_corpus(sf_dir: str, out_dir: str) -> dict:
         keep_batch, batch_format="pyarrow", zero_copy_batch=True
     )
     n_seen = _read_docs(sf_dir, columns=["doc_id"]).count()
-    os.makedirs(out_dir, exist_ok=True)
-    ds.write_parquet(out_dir)
+    # write-then-promote (engine.build's pid-dir pattern): a re-run replaces
+    # out_dir atomically instead of mixing two runs' UUID-named part files,
+    # and a crashed run leaves the previous output intact
+    import shutil
+
+    tmp_dir = f"{out_dir.rstrip(os.sep)}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    os.makedirs(tmp_dir, exist_ok=True)
+    ds.write_parquet(tmp_dir)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.replace(tmp_dir, out_dir)
     import pyarrow.dataset as pads
 
     n_kept = pads.dataset(out_dir).count_rows()

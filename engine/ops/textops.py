@@ -422,6 +422,43 @@ SELECT rank, term, df, tf_total FROM ranked WHERE rank <= {_TOP_TERMS_N}
 _MG_K = 256
 
 
+def _mg_summary_batch(t: pa.Table, k: int) -> pa.Table:
+    """One batch -> its MG(k) summary plus a term="" token-total marker row
+    (module-level so the empty-summary edge is unit-testable)."""
+    _, terms, tfs, doclens = tokenize_counts_arrow(t["text"])
+    n_tokens = int(doclens.astype(np.int64).sum())
+    tt = pa.table({"term": terms, "tf": pa.array(tfs.astype(np.int64))})
+    g = tt.group_by("term").aggregate([("tf", "sum")])
+    cnt = g["tf_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+    gterms = g["term"]
+    if cnt.size > k:
+        thresh = np.partition(cnt, cnt.size - k - 1)[cnt.size - k - 1]
+        cnt = cnt - thresh
+        keep = cnt > 0
+        gterms = gterms.combine_chunks().filter(pa.array(keep)) if isinstance(
+            gterms, pa.ChunkedArray
+        ) else gterms.filter(pa.array(keep))
+        cnt = cnt[keep]
+    # the batch's token total rides a dedicated term="" marker row
+    # (est=0), emitted even when the truncated summary is EMPTY (a batch
+    # of all-equal counts > k truncates to nothing) — dropping it would
+    # lose that batch's share of N and break est <= true <= est+err_ub
+    if isinstance(gterms, pa.ChunkedArray):
+        gterms = gterms.combine_chunks()
+    terms_out = pa.concat_arrays([gterms, pa.array([""], gterms.type)])
+    est_out = np.concatenate([cnt, np.zeros(1, np.int64)])
+    ntok_col = np.zeros(est_out.size, np.int64)
+    ntok_col[-1] = n_tokens
+    return pa.table(
+        {
+            "term": terms_out,
+            "est": pa.array(est_out, pa.int64()),
+            "n_tokens": pa.array(ntok_col, pa.int64()),
+            "part": _term_parts(terms_out),
+        }
+    )
+
+
 def top_terms_sketch(sf_dir: str, k: int = _MG_K, n_out: int = _TOP_TERMS_N):
     """Misra-Gries heavy hitters over total term frequency (rows-only entry;
     the error bound is pytest-asserted against exact counts).
@@ -438,34 +475,7 @@ def top_terms_sketch(sf_dir: str, k: int = _MG_K, n_out: int = _TOP_TERMS_N):
     err_ub = (N - M)/(k+1) (N = total tokens, M = retained mass)."""
 
     def mg_of_batch(t: pa.Table) -> pa.Table:
-        _, terms, tfs, doclens = tokenize_counts_arrow(t["text"])
-        n_tokens = int(doclens.astype(np.int64).sum())
-        tt = pa.table({"term": terms, "tf": pa.array(tfs.astype(np.int64))})
-        g = tt.group_by("term").aggregate([("tf", "sum")])
-        cnt = g["tf_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
-        gterms = g["term"]
-        if cnt.size > k:
-            thresh = np.partition(cnt, cnt.size - k - 1)[cnt.size - k - 1]
-            cnt = cnt - thresh
-            keep = cnt > 0
-            gterms = gterms.combine_chunks().filter(pa.array(keep)) if isinstance(
-                gterms, pa.ChunkedArray
-            ) else gterms.filter(pa.array(keep))
-            cnt = cnt[keep]
-        # the batch's token total rides on the first summary row only, so
-        # partition-level n_tokens sums combine to the corpus N (totals of
-        # two batches may coincide; a de-dup on the value would undercount)
-        ntok_col = np.zeros(cnt.size, np.int64)
-        if cnt.size:
-            ntok_col[0] = n_tokens
-        return pa.table(
-            {
-                "term": gterms,
-                "est": pa.array(cnt, pa.int64()),
-                "n_tokens": pa.array(ntok_col, pa.int64()),
-                "part": _term_parts(gterms),
-            }
-        )
+        return _mg_summary_batch(t, k)
 
     def sum_of_partition(g: pd.DataFrame) -> pd.DataFrame:
         out = g.groupby("term", sort=False, as_index=False)["est"].sum()

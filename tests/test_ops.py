@@ -360,6 +360,28 @@ def test_top_terms_sketch_bounds(con):
             assert term in present, (term, true, err)
 
 
+def test_mg_summary_empty_batch_keeps_token_total():
+    """A batch whose MG summary truncates to NOTHING (all counts equal,
+    vocab > k) must still emit its token total — otherwise N is undercounted
+    and est <= true <= est + err_ub can be violated (ADVICE r03)."""
+    import pyarrow as pa
+
+    from engine.ops.textops import _mg_summary_batch
+
+    # 10 docs x 1 unique token each: group counts all 1, vocab(10) > k(4)
+    # -> thresh 1 -> every count truncates to 0 -> empty summary
+    t = pa.table({"text": pa.array([f"uniq{i}" for i in range(10)])})
+    s = _mg_summary_batch(t, k=4)
+    assert int(pa.compute.sum(s["n_tokens"]).as_py()) == 10
+    marker = s.filter(pa.compute.equal(s["term"], ""))
+    assert len(marker) == 1 and marker["est"][0].as_py() == 0
+    # and a non-truncating batch keeps both its terms and its exact total
+    t2 = pa.table({"text": pa.array(["hot hot hot cold"])})
+    s2 = _mg_summary_batch(t2, k=4)
+    assert int(pa.compute.sum(s2["n_tokens"]).as_py()) == 4
+    assert set(s2["term"].to_pylist()) == {"hot", "cold", ""}
+
+
 def test_repetition_scores_crafted(tmp_path):
     """Degenerate-repetition docs score ~1.0; all-distinct docs score at the
     uniform floor; empty docs score 0.0 across all orders."""
