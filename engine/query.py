@@ -264,6 +264,55 @@ class _Cursor:
         return int(self.block_last[b])
 
 
+class SortedTermMap:
+    """Dict-protocol (term -> df) view over term-sorted parallel arrays.
+
+    The sharded serving pool broadcasts the corpus-global df table as ONE
+    term-sorted Arrow (term, df) table; each shard actor wraps it in this
+    map and resolves lookups with np.searchsorted — the round-2 design
+    built a vocab-sized Python dict single-threaded on the DRIVER (tens of
+    GB at web vocabulary).  Same structure as the reader's own sorted-vocab
+    lookup (_vocab below), so wildcard/autocomplete reuse the arrays as-is.
+    """
+
+    __slots__ = ("terms", "dfs")
+
+    def __init__(self, terms: np.ndarray, dfs: np.ndarray):
+        self.terms = terms  # sorted, dtype=object (str)
+        self.dfs = dfs  # aligned int64
+
+    @classmethod
+    def from_arrow(cls, tbl) -> "SortedTermMap":
+        terms = tbl["term"].combine_chunks().to_numpy(zero_copy_only=False)
+        dfs = (
+            tbl["df"].combine_chunks().to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        return cls(terms, dfs)
+
+    def get(self, term: str, default: int = 0) -> int:
+        i = int(np.searchsorted(self.terms, term))
+        if i < self.terms.size and self.terms[i] == term:
+            return int(self.dfs[i])
+        return default
+
+    def __getitem__(self, term: str) -> int:
+        i = int(np.searchsorted(self.terms, term))
+        if i < self.terms.size and self.terms[i] == term:
+            return int(self.dfs[i])
+        raise KeyError(term)
+
+    def __contains__(self, term) -> bool:
+        i = int(np.searchsorted(self.terms, term))
+        return bool(i < self.terms.size and self.terms[i] == term)
+
+    def __iter__(self):
+        return iter(self.terms)
+
+    def __len__(self) -> int:
+        return int(self.terms.size)
+
+
 class IndexReader:
     def __init__(self, index_dir: str):
         self.index_dir = index_dir
@@ -313,11 +362,15 @@ class IndexReader:
         """Lazy (sorted term array, aligned df array) — shared by wildcard
         expansion and autocomplete."""
         if self._vocab_sorted is None:
-            terms = np.array(sorted(self._df), dtype=object)
-            self._vocab_sorted = terms
-            self._vocab_df = np.array(
-                [self._df[t] for t in terms], dtype=np.int64
-            )
+            if isinstance(self._df, SortedTermMap):  # already sorted arrays
+                self._vocab_sorted = self._df.terms
+                self._vocab_df = self._df.dfs
+            else:
+                terms = np.array(sorted(self._df), dtype=object)
+                self._vocab_sorted = terms
+                self._vocab_df = np.array(
+                    [self._df[t] for t in terms], dtype=np.int64
+                )
         return self._vocab_sorted, self._vocab_df
 
     def complete(self, prefix: str, k: int = 8) -> list[str]:

@@ -20,6 +20,34 @@ def served_index(tmp_path_factory):
     return index_dir
 
 
+def test_sorted_term_map_dict_protocol():
+    """The searchsorted-backed df map the shard actors use must behave
+    exactly like the reader's plain dict for every operation the reader
+    performs: get/[]/in/iter/len, including misses between, before and
+    after the sorted keys."""
+    import numpy as np
+    import pyarrow as pa
+
+    from engine.query import SortedTermMap
+
+    tbl = pa.table({"term": ["alpha", "beta", "delta", "zeta"],
+                    "df": pa.array([3, 1, 7, 2], pa.int64())})
+    m = SortedTermMap.from_arrow(tbl)
+    ref = {"alpha": 3, "beta": 1, "delta": 7, "zeta": 2}
+    assert len(m) == 4 and list(m) == sorted(ref)
+    for t, v in ref.items():
+        assert t in m and m[t] == v and m.get(t) == v
+    for miss in ("a", "bete", "gamma", "zz", ""):
+        assert miss not in m and m.get(miss, 0) == 0
+        try:
+            m[miss]
+            raise AssertionError("KeyError expected")
+        except KeyError:
+            pass
+    # from_arrow preserves int64 dfs and object terms (what _vocab expects)
+    assert m.dfs.dtype == np.int64 and m.terms.dtype == object
+
+
 def test_pool_matches_local_reader(served_index):
     local = IndexReader(served_index)
     pool = QueryPool(served_index, num_actors=3)
