@@ -757,6 +757,11 @@ def _prune_stale_partitions(
     stale = set()
     for sub in ("extracted", "partials", "docmeta"):
         root = os.path.join(index_dir, sub)
+        if sub == "extracted" and os.path.islink(root):
+            # shared family doc store (engine/family.py): the primary member
+            # owns it; pruning THROUGH the symlink would delete every other
+            # member's extraction
+            continue
         if not os.path.isdir(root):
             continue
         for d in os.listdir(root):

@@ -276,6 +276,11 @@ WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
 _N_PERM = 64
 _N_BANDS = 16  # 16 bands x 4 rows
 _N_CAND_PARTS = 64  # coarse partitions for bucket/pair reduces
+# candidate-id cap for the driver-built shingle-store pushdown filter
+# (~28 B/int as a Python list => ~1.4 GB at the default); above it the
+# reduce-side doc_id join filters instead — distributed full scan, nothing
+# candidate-scale on the driver
+_PUSHDOWN_BUDGET_IDS = 50_000_000
 _SHINGLE_K = 3
 
 # 64-bit mixing constants (splitmix64 / xxhash finalizer family)
@@ -460,22 +465,37 @@ def _shingle_set_rows(t: pa.Table) -> pa.Table:
     return pa.table({"doc_id": t["doc_id"], "shingles": lists})
 
 
-def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.6):
+def minhash_lsh_pairs(
+    sf_dir: str,
+    threshold: float = 0.6,
+    pushdown_budget_ids: int = None,
+):
     """MinHash+LSH candidate pairs, verified with exact shingle Jaccard.
 
     Scale path for near-dedup: the shuffle moves N_BANDS small rows per doc;
     only same-(band, band_hash) docs generate candidates.  Verification is a
     fully distributed doc_id-keyed reduce-side join: candidate pair rows are
     split into two (doc_id, a, b) side rows, unioned with the candidate
-    docs' (doc_id, shingles) rows (predicate-pushdown read — only candidate
-    row groups leave storage), a doc_id groupby attaches each doc's shingle
-    set to its pair sides, and an (a, b) groupby intersects the two sides.
-    NOTHING corpus- or candidate-set-scale ever lands on the driver or in a
-    broadcast dict (round 2 `ray.put` a {doc_id: set} dict, which melts on a
-    boilerplate-heavy corpus where the candidate set approaches corpus
-    scale); only the candidate doc IDS (8 bytes each) are collected, to
-    build the pushdown filter.
+    docs' (doc_id, shingles) rows, a doc_id groupby attaches each doc's
+    shingle set to its pair sides, and an (a, b) groupby intersects the two
+    sides.  NOTHING corpus- or candidate-set-scale ever lands on the driver
+    or in a broadcast dict (round 2 `ray.put` a {doc_id: set} dict, which
+    melts on a boilerplate-heavy corpus where the candidate set approaches
+    corpus scale).
+
+    The shingle-store read is ADAPTIVELY pruned: when the candidate-id count
+    fits `pushdown_budget_ids`, the ids (8 B each on disk, ~28 B/int as a
+    Python list) are collected once to build a predicate-pushdown isin
+    filter so only candidate row groups leave storage; above the budget —
+    the adversarial all-boilerplate corpus where candidates ~ corpus, and a
+    driver-built filter list would itself be corpus-scale — the filter is
+    skipped and the reduce-side doc_id join does the filtering (a full but
+    fully distributed shingle-store scan; non-candidate docs die in the
+    join).  The budget check is a Dataset count(), so over-budget runs never
+    collect the ids at all.
     """
+    if pushdown_budget_ids is None:
+        pushdown_budget_ids = _PUSHDOWN_BUDGET_IDS
     docs = _read_docs(sf_dir, columns=["doc_id", "text"])
     bands = docs.map_batches(
         _MinHasher, batch_format="pyarrow", concurrency=(1, 8), zero_copy_batch=True
@@ -523,10 +543,15 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.6):
         )
     ).materialize()
 
-    # ids only — per-doc fixed 8 bytes, never the shingle sets
-    ids_a = cands.unique("a")
-    ids_b = cands.unique("b")
-    cand_ids = sorted({int(x) for x in ids_a} | {int(x) for x in ids_b})
+    # ids only — per-doc fixed 8 bytes, never the shingle sets; and only
+    # when the id count (bounded by 2 * n_pairs, a driver scalar) fits the
+    # budget — otherwise skip the driver-side collection entirely
+    cand_filter = None
+    if 2 * cands.count() <= pushdown_budget_ids:
+        ids_a = cands.unique("a")
+        ids_b = cands.unique("b")
+        cand_ids = sorted({int(x) for x in ids_a} | {int(x) for x in ids_b})
+        cand_filter = pc.field("doc_id").isin(cand_ids)
 
     _SH_TYPE = pa.list_(pa.uint64())
 
@@ -564,10 +589,11 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.6):
             }
         )
 
+    read_kw = {"filter": cand_filter} if cand_filter is not None else {}
     store = rd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "text"],
-        filter=pc.field("doc_id").isin(cand_ids),
+        **read_kw,
     ).map_batches(shingle_store_rows, batch_format="pyarrow", zero_copy_batch=True)
 
     sides = cands.map_batches(pair_sides, batch_format="pyarrow")

@@ -96,6 +96,41 @@ def test_family_rerun_is_noop_and_single_member_rebuilds(family):
     build_family(pages_dir, fam_root, ANALYZERS, num_partitions=2)
 
 
+def test_family_extracts_corpus_once(family):
+    """Shared extraction (default): the primary member owns the doc store,
+    every later member adopts it via a relative symlink — the corpus is
+    extracted once per family, not once per model."""
+    _pages, _fam_root, dirs = family
+    assert not os.path.islink(os.path.join(dirs["default"], "extracted"))
+    link = os.path.join(dirs["nostop"], "extracted")
+    assert os.path.islink(link)
+    assert os.path.realpath(link) == os.path.realpath(
+        os.path.join(dirs["default"], "extracted")
+    )
+
+
+def test_family_shared_extraction_skips_member_extract(tmp_path):
+    """Build metrics prove the sharing: the primary extracts every
+    partition, the second member skips them all (tokenize-only wave), and
+    both answer identically to their own standalone builds (covered by
+    test_family_members_match_standalone_builds)."""
+    pages_dir = str(tmp_path / "pages")
+    synth.write_pages(pages_dir, 120, num_files=2)
+    m: dict = {}
+    build_family(pages_dir, str(tmp_path / "fam"), ANALYZERS,
+                 num_partitions=2, metrics_out=m)
+    assert m["default"]["skipped_extract"] == 0
+    assert m["default"]["partitions"] == 2
+    assert m["nostop"]["skipped_extract"] == 2
+    assert m["nostop"]["skipped_postings"] == 0
+    # opting out keeps the old fully-independent lineage
+    m2: dict = {}
+    build_family(pages_dir, str(tmp_path / "fam2"), ANALYZERS,
+                 num_partitions=2, share_extraction=False, metrics_out=m2)
+    assert m2["nostop"]["skipped_extract"] == 0
+    assert not os.path.islink(str(tmp_path / "fam2" / "model=nostop" / "extracted"))
+
+
 def test_family_rejects_unsafe_model_names(tmp_path):
     with pytest.raises(ValueError):
         build_family(

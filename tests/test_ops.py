@@ -275,6 +275,13 @@ def test_minhash_boilerplate_heavy_corpus(tmp_path):
     dup_pairs = got[(got["a"] < 50) & (got["b"] < 50)]
     assert len(dup_pairs) == 50 * 49 // 2
     assert (dup_pairs["jaccard"] == 1.0).all()
+    # adaptive pushdown: budget 0 forces the no-isin-filter path (the
+    # reduce-side doc_id join filters instead) — output identical, and the
+    # candidate ids are never collected on the driver
+    unfiltered = _to_pandas(
+        minhash_lsh_pairs(str(tmp_path), threshold=0.9, pushdown_budget_ids=0)
+    )
+    pd.testing.assert_frame_equal(_canon(got), _canon(unfiltered))
 
 
 def test_simhash_runs_and_is_deterministic():
