@@ -33,6 +33,27 @@ DOC_QUERIES = [
 K = 10
 
 _reader_cache: dict[str, IndexReader] = {}
+_pool_cache: dict = {}
+
+
+def _pool_for(sf_dir: str):
+    """Serving-path twin of _index_for: a QueryPool of warm actors over the
+    SAME index, cached per sf_dir.  The gated facets / more-like-this
+    entries run their searches through this pool, so the driver correctness
+    gate exercises the distributed serving path (engine/serve.py) — not a
+    driver-side reader — while staying rank-identical by construction
+    (QueryPool actors answer with the same IndexReader)."""
+    from ..serve import QueryPool
+
+    key = os.path.abspath(sf_dir)
+    p = _pool_cache.get(key)
+    if p is None:
+        reader = _index_for(key)  # builds/locates the index once
+        # small pool, fractional cpus: serving is latency-bound and the
+        # 4-cpu test session must not overcommit
+        p = QueryPool(reader.index_dir, num_actors=2, num_cpus=0.25)
+        _pool_cache[key] = p
+    return p
 
 
 def _index_for(sf_dir: str) -> IndexReader:
@@ -142,7 +163,7 @@ def docs_more_like_this(sf_dir: str, k: int = K) -> pd.DataFrame:
         for d, t in zip(docs_tbl["doc_id"].to_pylist(), docs_tbl["text"].to_pylist())
     }
     n = reader.n_docs
-    rows = []
+    queries = []
     for pid in MLT_DOC_IDS:
         tf = Counter(tokenize(texts[pid]))
         scored = sorted(
@@ -150,7 +171,12 @@ def docs_more_like_this(sf_dir: str, k: int = K) -> pd.DataFrame:
             key=lambda x: (-x[0], x[1]),
         )
         kw = [t for _, t in scored[:MLT_KEYWORDS]]
-        res = reader.search(" ".join(kw), k=2 * (k + 1))
+        queries.append({"query_text": " ".join(kw), "k": 2 * (k + 1)})
+    # keyword DERIVATION is query construction (reader-side df lookups);
+    # the searches themselves go through the serving pool
+    results = _pool_for(sf_dir).search_many(queries)
+    rows = []
+    for pid, res in zip(MLT_DOC_IDS, results):
         res = [
             (int(np.int64(np.uint64(d))), round(s, 6))
             for d, s in res
@@ -299,10 +325,12 @@ def bm25_docs_facets(sf_dir: str, pool: int = FACET_POOL) -> pd.DataFrame:
     exactly like bm25_docs_topk so the membership boundary is deterministic;
     facet values come from a column-pruned, isin-filtered read of the
     documents table (pool-scale rows reach the driver, never the corpus)."""
-    reader = _index_for(sf_dir)
+    # all queries fan across the serving pool in one scatter-gather
+    results = _pool_for(sf_dir).search_many(
+        [{"query_text": q, "k": 2 * pool} for q in DOC_QUERIES]
+    )
     pools: list[tuple[int, int]] = []  # (query_id, doc_id)
-    for qid, qtext in enumerate(DOC_QUERIES):
-        res = reader.search(qtext, k=2 * pool)
+    for qid, res in enumerate(results):
         res = [(int(np.int64(np.uint64(d))), round(s, 6)) for d, s in res]
         res.sort(key=lambda t: (-t[1], t[0]))
         pools.extend((qid, did) for did, _ in res[:pool])

@@ -196,19 +196,23 @@ def embed_documents(
     *,
     concurrency: int | tuple[int, int] = (1, 8),
     batch_size: int = 512,
-    num_gpus: float = 0.0,
+    num_gpus: float | None = None,
     num_cpus: float | None = None,
 ) -> rd.Dataset:
     """documents.parquet -> (doc_id, embedding list<float32>) Dataset.
 
     ``num_gpus``/``num_cpus`` flow to the actor pool per the standard Ray
-    GPU-inference topology (a learned registry entry would set num_gpus=1
-    and size concurrency to the GPU count; the default model is CPU-only).
+    GPU-inference topology (the reference's embedding workers pin one model
+    per GPU, ec2/generate_embeddings/embeddings.py:10-14; a learned registry
+    entry here would set num_gpus=1 and size concurrency to the GPU count).
+    An EXPLICIT value — including num_gpus=0, the zero-GPU no-op this
+    sandbox can schedule — is passed through to Ray verbatim, so the
+    resource plumbing is exercisable without hardware; None omits the arg.
     """
     import os
 
     remote_args = {}
-    if num_gpus:
+    if num_gpus is not None:
         remote_args["num_gpus"] = num_gpus
     if num_cpus is not None:
         remote_args["num_cpus"] = num_cpus

@@ -94,6 +94,38 @@ def test_embed_documents_stage():
     np.testing.assert_array_equal(m[order], want[torder])
 
 
+def test_embed_stage_gpu_resource_plumbing():
+    """The GPU-inference topology must actually flow through Ray's actor
+    pool, not just sit in the signature: an EXPLICIT num_gpus (0 — the only
+    amount this sandbox can schedule) plus fractional num_cpus rides
+    map_batches' ray_remote_args end-to-end (reference T1 pins one model
+    per GPU, ec2/generate_embeddings/embeddings.py:10-14), and the output
+    is bitwise-identical to the unconstrained pool.  A num_gpus the cluster
+    cannot satisfy must surface in Ray's resource accounting rather than
+    being silently dropped."""
+    import ray
+
+    base = embed_documents(SF, model="hashed-64").to_pandas()
+    gpu0 = embed_documents(
+        SF, model="hashed-64", num_gpus=0, num_cpus=0.25, concurrency=2
+    ).to_pandas()
+    b = base.sort_values("doc_id").reset_index(drop=True)
+    g = gpu0.sort_values("doc_id").reset_index(drop=True)
+    assert (b["doc_id"] == g["doc_id"]).all()
+    np.testing.assert_array_equal(
+        np.asarray([np.asarray(v) for v in b["embedding"]]),
+        np.asarray([np.asarray(v) for v in g["embedding"]]),
+    )
+    # the arg is not dropped on its way into Ray: a fractional GPU request
+    # lands verbatim in the MapBatches logical operator's remote args (we
+    # can't EXECUTE a positive request — this cluster has no GPU and the
+    # streaming executor would wait for one, not error)
+    assert ray.cluster_resources().get("GPU", 0) == 0
+    ds = embed_documents(SF, model="hashed-64", num_gpus=0.5, num_cpus=0.25)
+    args = ds._logical_plan.dag._ray_remote_args
+    assert args.get("num_gpus") == 0.5 and args.get("num_cpus") == 0.25
+
+
 def test_doc_embed_knn_matches_bruteforce():
     got = doc_embed_knn(SF, model="hashed-64", k=5)
     assert list(got.columns) == ["query_doc", "rank", "doc_id", "sim_r"]
