@@ -1,13 +1,16 @@
-"""Pure-stdlib + numpy media codecs: REAL decoders for the formats that
-need no native media library (PNG via zlib, BMP, PPM, WAV via the stdlib
-`wave` module), so the multimodal pipeline's decode stage is genuinely
-exercised end-to-end in this container.  Only JPEG (needs libjpeg) remains
-a declared stub in `multimodal.decode_image`.
+"""Pure-stdlib + numpy media codecs: REAL decoders for the formats the
+multimodal pipeline meets (PNG via zlib, BMP, PPM, WAV via the stdlib
+`wave` module, and baseline-DCT JPEG implemented from the public ITU T.81
+spec — header/DQT/DHT/SOF0/SOS parsing, Huffman entropy decode, dequantize,
+inverse zigzag, separable IDCT, chroma upsampling, YCbCr->RGB), so the
+decode stage is genuinely exercised end-to-end in this container with no
+native media library.
 
 Encoders for the same formats live here too — they exist so tests can
-round-trip `decode(encode(img)) == img` and so the media fixture carries
-real payloads, mirroring how the reference ships its own fixture corpora
-(/root/reference/tests/ uses crafted inputs, not downloads).
+round-trip `decode(encode(img)) == img` (JPEG: == within quantization
+error) and so the media fixture carries real payloads, mirroring how the
+reference ships its own fixture corpora (/root/reference/tests/ uses
+crafted inputs, not downloads).
 """
 
 from __future__ import annotations
@@ -221,6 +224,551 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         n, ch, rate = f.getnframes(), f.getnchannels(), f.getframerate()
         data = np.frombuffer(f.readframes(n), "<i2").reshape(-1, ch)
     return data, rate
+
+
+# ---------------------------------------------------------------------------
+# JPEG — baseline DCT (ITU T.81), pure numpy.  The decoder reads quant +
+# Huffman tables from the FILE (DQT/DHT segments), so externally-produced
+# baseline JPEGs decode with their own tables; the spec's Annex-K standard
+# tables below are used only by the encoder.  Supported: 8-bit baseline
+# (SOF0), 1 or 3 components, sampling factors up to 2x2, restart intervals.
+# Progressive (SOF2) / arithmetic / 12-bit raise NotImplementedError.
+
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+_STD_QT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+)
+
+_STD_QT_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+)
+
+# standard Huffman tables (T.81 Annex K.3): (BITS counts per code length,
+# HUFFVAL symbol list)
+_STD_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_STD_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_STD_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_STD_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+# orthonormal 8-point DCT-II matrix: spatial = C.T @ coeff @ C
+_DCT_C = np.array(
+    [
+        [
+            (np.sqrt(1 / 8) if u == 0 else 0.5)
+            * np.cos((2 * x + 1) * u * np.pi / 16)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+
+def _quality_scale(tbl: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling: 1..100 -> scaled table clipped to [1, 255]."""
+    quality = min(100, max(1, int(quality)))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((tbl * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+class _HuffEncoder:
+    """Canonical Huffman codes from a (BITS, HUFFVAL) table spec."""
+
+    def __init__(self, bits, vals):
+        self.bits, self.vals = bits, vals
+        self.code: dict[int, tuple[int, int]] = {}
+        code, k = 0, 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                self.code[vals[k]] = (code, length)
+                code += 1
+                k += 1
+            code <<= 1
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+
+    def pad(self) -> None:
+        if self.nbits:
+            n = 8 - self.nbits
+            self.write((1 << n) - 1, n)  # pad with 1s
+
+    def marker(self, byte: int) -> None:
+        """Emit a raw (unstuffed) marker after byte-aligning."""
+        self.pad()
+        self.out += bytes([0xFF, byte])
+
+    def flush(self) -> bytes:
+        self.pad()
+        return bytes(self.out)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """value -> (size category, raw bits) per T.81 F.1.2.1."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    return size, (v if v > 0 else v + (1 << size) - 1)
+
+
+def _encode_block(
+    w: _BitWriter, zz: np.ndarray, prev_dc: int, dc: _HuffEncoder, ac: _HuffEncoder
+) -> int:
+    size, bits = _magnitude(int(zz[0]) - prev_dc)
+    c, l = dc.code[size]
+    w.write(c, l)
+    if size:
+        w.write(bits, size)
+    run = 0
+    nz = np.nonzero(zz[1:])[0]
+    last = nz[-1] + 1 if nz.size else 0
+    for i in range(1, last + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, l = ac.code[0xF0]  # ZRL
+            w.write(c, l)
+            run -= 16
+        size, bits = _magnitude(v)
+        c, l = ac.code[(run << 4) | size]
+        w.write(c, l)
+        w.write(bits, size)
+        run = 0
+    if last < 63:
+        c, l = ac.code[0x00]  # EOB
+        w.write(c, l)
+    return int(zz[0])
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """(h, w) or (h, w, {1,3}) uint8 -> baseline JPEG (interleaved single
+    scan, standard Annex-K Huffman tables).  ``subsample`` emits 4:2:0
+    chroma (Y 2x2 / Cb,Cr 1x1 sampling, 2x2-mean downsample);
+    ``restart_interval`` emits DRI + RSTn markers every N MCUs — both exist
+    so the decoder's sampling-factor and restart paths are round-trippable
+    in-container."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, nc = img.shape
+    if nc not in (1, 3):
+        raise NotImplementedError(f"JPEG encoder: {nc} channels")
+    if nc == 3:  # JFIF YCbCr
+        f = img.astype(np.float64)
+        y = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+        cb = -0.168736 * f[..., 0] - 0.331264 * f[..., 1] + 0.5 * f[..., 2] + 128
+        cr = 0.5 * f[..., 0] - 0.418688 * f[..., 1] - 0.081312 * f[..., 2] + 128
+        full_planes = [y, cb, cr]
+    else:
+        full_planes = [img[..., 0].astype(np.float64)]
+    sampling = (
+        [(2, 2), (1, 1), (1, 1)] if (subsample and nc == 3) else [(1, 1)] * nc
+    )
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    qts = [_quality_scale(_STD_QT_LUMA, quality)]
+    if nc == 3:
+        qts.append(_quality_scale(_STD_QT_CHROMA, quality))
+    # pad to full MCU multiples (edge replicate), then per-component
+    # downsample by the factor ratio (2x2 mean for 4:2:0 chroma)
+    H, W = -(-h // (8 * vmax)) * 8 * vmax, -(-w // (8 * hmax)) * 8 * hmax
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tid, qt in enumerate(qts):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + bytes(
+            int(qt[_ZIGZAG[i]]) for i in range(64)
+        )
+    # SOF0
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for ci in range(nc):
+        hv = (sampling[ci][0] << 4) | sampling[ci][1]
+        out += bytes([ci + 1, hv, 0 if ci == 0 else 1])
+    # DHT
+    tables = [(0x00, _STD_DC_LUMA), (0x10, _STD_AC_LUMA)]
+    if nc == 3:
+        tables += [(0x01, _STD_DC_CHROMA), (0x11, _STD_AC_CHROMA)]
+    for tclass_id, (bits, vals) in tables:
+        out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(vals), tclass_id)
+        out += bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    # SOS
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+    for ci in range(nc):
+        out += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    out += b"\x00\x3f\x00"
+    dc_enc = [_HuffEncoder(*_STD_DC_LUMA)] + [_HuffEncoder(*_STD_DC_CHROMA)] * (nc - 1)
+    ac_enc = [_HuffEncoder(*_STD_AC_LUMA)] + [_HuffEncoder(*_STD_AC_CHROMA)] * (nc - 1)
+    # FDCT + quantize all blocks per plane up front (vectorized)
+    zz_per_plane = []
+    for ci, plane in enumerate(full_planes):
+        p = np.pad(plane, ((0, H - h), (0, W - w)), mode="edge")
+        dy, dx = vmax // sampling[ci][1], hmax // sampling[ci][0]
+        if dy > 1 or dx > 1:
+            p = p.reshape(H // dy, dy, W // dx, dx).mean(axis=(1, 3))
+        p = p - 128.0
+        by, bx = p.shape[0] // 8, p.shape[1] // 8
+        blocks = p.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
+        coeff = np.einsum("ux,byxw,vw->byuv", _DCT_C, blocks, _DCT_C)
+        q = qts[min(ci, len(qts) - 1)].reshape(8, 8)
+        # zigzag: zz[i] = raster[ZIGZAG[i]] — a direct gather
+        zz_per_plane.append(
+            np.round(coeff / q).astype(np.int64).reshape(by, bx, 64)[:, :, _ZIGZAG]
+        )
+    wtr = _BitWriter()
+    prev = [0] * nc
+    mcuy, mcux = H // (8 * vmax), W // (8 * hmax)
+    n_rst = 0
+    for m in range(mcuy * mcux):
+        if restart_interval and m and m % restart_interval == 0:
+            wtr.marker(0xD0 + (n_rst % 8))
+            n_rst += 1
+            prev = [0] * nc
+        my, mx = divmod(m, mcux)
+        for ci in range(nc):
+            hc, vc = sampling[ci]
+            for vy in range(vc):
+                for vx in range(hc):
+                    prev[ci] = _encode_block(
+                        wtr,
+                        zz_per_plane[ci][my * vc + vy, mx * hc + vx],
+                        prev[ci],
+                        dc_enc[ci],
+                        ac_enc[ci],
+                    )
+    out += wtr.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _HuffDecoder:
+    """Canonical decode via the T.81 F.2.2.3 mincode/maxcode walk."""
+
+    def __init__(self, bits, vals):
+        self.vals = vals
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        code, k = 0, 0
+        for length in range(1, 17):
+            if bits[length - 1]:
+                self.valptr[length] = k
+                self.mincode[length] = code
+                code += bits[length - 1]
+                k += bits[length - 1]
+                self.maxcode[length] = code - 1
+            code <<= 1
+
+    def decode(self, rd: "_BitReader") -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | rd.bit()
+            if code <= self.maxcode[length]:
+                return self.vals[self.valptr[length] + code - self.mincode[length]]
+        raise ValueError("bad JPEG Huffman code")
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                return 0  # trailing pad per spec
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _extend(v: int, size: int) -> int:
+    return v if size == 0 or v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JPEG bytes -> (h, w, c) uint8 (c = 1 grayscale / 3 RGB).
+
+    Tables come from the file's own DQT/DHT segments; supports interleaved
+    baseline scans, component sampling factors up to 2x2, and restart
+    intervals.  Progressive/arithmetic/12-bit raise NotImplementedError.
+    """
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], _HuffDecoder] = {}
+    comps: list[dict] = []
+    h = w = 0
+    restart = 0
+    scan_comps: list[dict] = []
+    entropy = b""
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", payload, pos)
+        seg = payload[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables)
+            i = 0
+            while i < len(seg):
+                prec, tid = seg[i] >> 4, seg[i] & 0xF
+                i += 1
+                if prec:
+                    vals = np.frombuffer(seg, ">u2", count=64, offset=i)
+                    i += 128
+                else:
+                    vals = np.frombuffer(seg, np.uint8, count=64, offset=i)
+                    i += 64
+                t = np.zeros(64, np.int64)
+                t[_ZIGZAG] = vals.astype(np.int64)
+                qt[tid] = t.reshape(8, 8)
+        elif marker == 0xC0:  # SOF0 baseline
+            _prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if _prec != 8:
+                raise NotImplementedError("12-bit JPEG")
+            comps = []
+            for ci in range(nc):  # header = prec(1)+h(2)+w(2)+ncomp(1)
+                cid, hv, tq = struct.unpack_from("BBB", seg, 6 + 3 * ci)
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
+                )
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(f"non-baseline JPEG (SOF {marker:#x})")
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            i = 0
+            while i < len(seg):
+                tclass, tid = seg[i] >> 4, seg[i] & 0xF
+                bits = list(seg[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(seg[i + 17 : i + 17 + n])
+                huff[(tclass, tid)] = _HuffDecoder(bits, vals)
+                i += 17 + n
+        elif marker == 0xDD:  # DRI
+            (restart,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS: header, then entropy data to EOI
+            ns = seg[0]
+            scan_comps = []
+            for ci in range(ns):
+                cid, tt = struct.unpack_from("BB", seg, 1 + 2 * ci)
+                comp = next(c for c in comps if c["id"] == cid)
+                scan_comps.append(
+                    {**comp, "dc": tt >> 4, "ac": tt & 0xF}
+                )
+            entropy = payload[pos + seglen :]
+            break
+        pos += seglen
+    if not scan_comps or not h:
+        raise ValueError("JPEG missing SOF/SOS")
+    # split entropy data at restart markers, unstuff 0xFF00
+    chunks: list[bytes] = []
+    cur = bytearray()
+    i = 0
+    while i < len(entropy):
+        b = entropy[i]
+        if b == 0xFF:
+            nxt = entropy[i + 1] if i + 1 < len(entropy) else 0xD9
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # RSTn
+                chunks.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break  # EOI or next marker
+        cur.append(b)
+        i += 1
+    chunks.append(bytes(cur))
+    hmax = max(c["h"] for c in scan_comps)
+    vmax = max(c["v"] for c in scan_comps)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    # per-component zigzag coefficient store (filled MCU by MCU)
+    store = [
+        np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.int64)
+        for c in scan_comps
+    ]
+    rd = _BitReader(chunks[0])
+    chunk_i = 0
+    prev = [0] * len(scan_comps)
+    for m in range(mcux * mcuy):
+        if restart and m and m % restart == 0:
+            chunk_i += 1  # RST: realign and reset predictors
+            rd = _BitReader(chunks[chunk_i])
+            prev = [0] * len(scan_comps)
+        my, mx = divmod(m, mcux)
+        for ci, c in enumerate(scan_comps):
+            dc_t = huff[(0, c["dc"])]
+            ac_t = huff[(1, c["ac"])]
+            for vy in range(c["v"]):
+                for vx in range(c["h"]):
+                    zz = np.zeros(64, np.int64)
+                    size = dc_t.decode(rd)
+                    prev[ci] += _extend(rd.bits(size), size)
+                    zz[0] = prev[ci]
+                    k = 1
+                    while k < 64:
+                        rs = ac_t.decode(rd)
+                        run, size = rs >> 4, rs & 0xF
+                        if size == 0:
+                            if run == 15:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += run
+                        if k > 63:
+                            raise ValueError("JPEG AC run past block end")
+                        zz[k] = _extend(rd.bits(size), size)
+                        k += 1
+                    store[ci][my * c["v"] + vy, mx * c["h"] + vx] = zz
+    # dequantize + inverse zigzag + IDCT, vectorized per component
+    planes = []
+    for ci, c in enumerate(scan_comps):
+        by, bx = store[ci].shape[:2]
+        coeff = np.zeros((by, bx, 64))
+        coeff[:, :, _ZIGZAG] = store[ci] * qt[c["tq"]].reshape(-1)[_ZIGZAG]
+        coeff = coeff.reshape(by, bx, 8, 8)
+        spatial = np.einsum("xu,byuv,wv->byxw", _DCT_C.T, coeff, _DCT_C.T)
+        plane = spatial.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8) + 128.0
+        # upsample to full resolution (nearest), crop to (h, w)
+        plane = np.repeat(
+            np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+        )[:h, :w]
+        planes.append(plane)
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)[:, :, None]
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
 
 
 # ---------------------------------------------------------------------------

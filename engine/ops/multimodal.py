@@ -2,9 +2,9 @@
 
 A large-scale training-data pipeline treats image/audio/video as `binary`
 columns with decode / feature-extract stages on actor pools.  PNG / BMP /
-PPM images and 16-bit PCM WAV audio decode for REAL here (pure stdlib
-zlib/wave + numpy — `engine/ops/mediacodec.py`); only JPEG remains a
-clearly-marked stub (needs libjpeg, absent from this container).  The
+PPM / baseline-DCT JPEG images and 16-bit PCM WAV audio all decode for
+REAL here (pure stdlib zlib/wave + numpy — `engine/ops/mediacodec.py`;
+JPEG is implemented from the public ITU T.81 spec, no libjpeg).  The
 Ray-side plumbing — schema, magic-byte sniffing (the reference's archive
 sniffer, SURVEY.md §2.1 S3:
 /root/reference/ec2/parse_arxiv_papers/download_and_extract_paper.py:48-95),
@@ -60,14 +60,15 @@ _IMAGE_DECODERS = {
     "image/png": mediacodec.decode_png,
     "image/bmp": mediacodec.decode_bmp,
     "image/x-portable-pixmap": mediacodec.decode_ppm,
+    "image/jpeg": mediacodec.decode_jpeg,
 }
 
 
 def decode_image(payload: bytes, content_type: str | None = None) -> np.ndarray:
-    """bytes -> (h, w, c) uint8.  PNG/BMP/PPM decode for real
-    (mediacodec.py); JPEG is the one remaining STUB — it needs libjpeg,
-    absent from this container (a real deployment drops a PIL/torchvision
-    decode into _IMAGE_DECODERS)."""
+    """bytes -> (h, w, c) uint8.  PNG/BMP/PPM/baseline-JPEG decode for real
+    (mediacodec.py, pure stdlib+numpy); progressive JPEG raises
+    NotImplementedError from the codec (a real deployment drops a
+    PIL/torchvision decode into _IMAGE_DECODERS)."""
     ct = content_type or sniff_content_type(payload)
     dec = _IMAGE_DECODERS.get(ct)
     if dec is None:
@@ -164,8 +165,8 @@ class MediaFeaturizer:
 
 def _fixture_payloads() -> list[bytes]:
     """Deterministic media payloads: the synthetic corpus's html bytes plus
-    REAL encoded PNG / BMP / PPM / WAV payloads and a JPEG header (the one
-    format whose decode stays stubbed)."""
+    REAL encoded PNG / BMP / PPM / JPEG / WAV payloads (all five decoders
+    are real, mediacodec.py)."""
     from .. import synth
 
     pages = synth.gen_pages_table(200)
@@ -179,7 +180,7 @@ def _fixture_payloads() -> list[bytes]:
     payloads[1] = mediacodec.encode_bmp(img)
     payloads[2] = mediacodec.encode_ppm(img)
     payloads[3] = mediacodec.encode_wav(tone, rate=16000)
-    payloads[4] = b"\xff\xd8\xff\xe0" + b"\x00" * 64  # JPEG: stub path
+    payloads[4] = mediacodec.encode_jpeg(img, quality=95)
     payloads[5] = b"PK\x03\x04" + b"\x00" * 64
     payloads[6] = b"\x1f\x8b\x08" + b"\x00" * 64
     payloads[7] = b""

@@ -147,13 +147,15 @@ def test_multimodal_features():
     assert types[6] == "application/gzip"
     assert types[7] == "application/empty"
     assert (types[8:] == "text/html").all()
-    # PNG/BMP/PPM/WAV decode for REAL; all three image encodings carry the
-    # same source array so their features agree exactly
-    assert df.loc[[0, 1, 2, 3], "decoded"].all()
-    assert not df.loc[4:, "decoded"].any()  # JPEG stub + non-media rows
-    assert (df.loc[[0, 1, 2], "width"] == 32).all()
-    assert (df.loc[[0, 1, 2], "height"] == 24).all()
+    # PNG/BMP/PPM/JPEG/WAV decode for REAL; the three lossless image
+    # encodings carry the same source array so their features agree exactly,
+    # and the (lossy) JPEG agrees to within quantization error
+    assert df.loc[[0, 1, 2, 3, 4], "decoded"].all()
+    assert not df.loc[5:, "decoded"].any()  # non-media rows
+    assert (df.loc[[0, 1, 2, 4], "width"] == 32).all()
+    assert (df.loc[[0, 1, 2, 4], "height"] == 24).all()
     assert df.loc[0, "mean_lum"] == df.loc[1, "mean_lum"] == df.loc[2, "mean_lum"]
+    assert abs(df.loc[4, "mean_lum"] - df.loc[0, "mean_lum"]) < 2.0
     t0, t1, t2 = (np.array(df.loc[i, "thumb"]) for i in (0, 1, 2))
     assert np.array_equal(t0, t1) and np.array_equal(t0, t2)
     assert abs(df.loc[3, "duration_s"] - 1.0) < 1e-9
@@ -233,11 +235,48 @@ def test_media_codecs_roundtrip():
     assert np.array_equal(small, img)
 
 
-def test_decode_image_jpeg_stub_raises():
-    from engine.ops.multimodal import decode_image
+def test_jpeg_codec_roundtrip():
+    """Baseline-DCT JPEG (pure numpy, ITU T.81): quality 100 scales the
+    quant tables to all-ones, so the round trip is exact up to DCT/color
+    rounding; 4:2:0 subsampling and restart intervals exercise the
+    decoder's sampling-factor and RST paths."""
+    from engine.ops import mediacodec as mc
 
+    yy, xx = np.mgrid[0:37, 0:50]
+    img = np.stack(
+        [(xx * 7) % 256, (yy * 5) % 256, ((xx + yy) * 3) % 256], axis=-1
+    ).astype(np.uint8)
+    out = mc.decode_jpeg(mc.encode_jpeg(img, quality=100))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+    gray = ((xx * 11 + yy * 3) % 256).astype(np.uint8)
+    gout = mc.decode_jpeg(mc.encode_jpeg(gray, quality=100))
+    assert gout.shape == (37, 50, 1)
+    assert np.abs(gout[:, :, 0].astype(int) - gray.astype(int)).max() <= 2
+    sub = mc.decode_jpeg(mc.encode_jpeg(img, quality=95, subsample=True))
+    assert sub.shape == img.shape
+    assert np.abs(sub.astype(float) - img).mean() < 8.0
+    rst = mc.decode_jpeg(
+        mc.encode_jpeg(img, quality=100, restart_interval=2)
+    )
+    assert np.abs(rst.astype(int) - img.astype(int)).max() <= 2
+    q80 = mc.decode_jpeg(mc.encode_jpeg(img, quality=80))
+    assert np.abs(q80.astype(float) - img).mean() < 6.0
+
+
+def test_decode_image_dispatches_jpeg_and_rejects_progressive():
+    from engine.ops import mediacodec as mc
+    from engine.ops.multimodal import decode_image, sniff_content_type
+
+    img = np.full((16, 16, 3), (10, 200, 60), np.uint8)
+    payload = mc.encode_jpeg(img, quality=95)
+    assert sniff_content_type(payload) == "image/jpeg"
+    out = decode_image(payload)  # solid color: DC-only, near-exact
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+    # progressive (SOF2) declines loudly instead of mis-decoding
+    prog = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
+        decode_image(prog)
 
 
 # ---------------------------------------------------------------------------
