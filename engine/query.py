@@ -322,10 +322,11 @@ class IndexReader:
         self.avgdl = self.stats["avgdl"]
         self.has_positions = bool(self.stats.get("positions", False))
         self.analyzer = AnalyzerConfig.from_json(self.stats.get("analyzer"))
+        # term-sorted arrays + searchsorted (SortedTermMap), not a Python
+        # dict: ~40% less memory at vocab scale, a C-speed load, and the
+        # same structure the sharded serving pool broadcasts
         df_tbl = pads.dataset(os.path.join(index_dir, "dfs")).to_table()
-        self._df = dict(
-            zip(df_tbl["term"].to_pylist(), df_tbl["df"].to_pylist())
-        )
+        self._df = SortedTermMap.from_arrow(df_tbl.sort_by("term"))
         self._segments = pads.dataset(
             os.path.join(index_dir, "segments"), partitioning="hive"
         )
