@@ -131,6 +131,43 @@ def test_family_shared_extraction_skips_member_extract(tmp_path):
     assert not os.path.islink(str(tmp_path / "fam2" / "model=nostop" / "extracted"))
 
 
+def test_family_shared_extraction_append(tmp_path):
+    """Growing the corpus under a shared-extraction family: the primary
+    re-extracts only the partition that received the new file, each member
+    re-adopts the refreshed lineage and re-tokenizes only the changed
+    partitions — never re-extracting anything itself."""
+    import pyarrow.parquet as pq
+
+    from engine import synth
+
+    pages_dir = str(tmp_path / "pages")
+    synth.write_pages(pages_dir, 120, num_files=2)
+    froot = str(tmp_path / "fam")
+    m1: dict = {}
+    build_family(pages_dir, froot, ANALYZERS, num_partitions=2, metrics_out=m1)
+    assert m1["nostop"]["skipped_extract"] == 2
+    # append one new file (ids disjoint from the first 120 docs)
+    extra = synth.gen_pages_range(120, 150, 150)
+    pq.write_table(extra, os.path.join(pages_dir, "pages-99990.parquet"))
+    m2: dict = {}
+    build_family(pages_dir, froot, ANALYZERS, num_partitions=2, metrics_out=m2)
+    # primary: one partition got the new file and re-extracted, one skipped
+    assert m2["default"]["skipped_extract"] == 1
+    # member: still NEVER extracts; one partition re-tokenizes, one resumes
+    assert m2["nostop"]["skipped_extract"] == 2
+    assert m2["nostop"]["skipped_postings"] == 1
+    # both members answer over the grown corpus identically to standalone
+    solo_dir = str(tmp_path / "solo")
+    build_index(pages_dir, solo_dir, analyzer=ANALYZERS["default"],
+                num_partitions=2)
+    fam = FamilyReader(froot)
+    solo = IndexReader(solo_dir)
+    for q in synth.gen_queries_table(8).to_pylist():
+        assert fam.search("default", q["query_text"], k=q["k"]) == solo.search(
+            q["query_text"], k=q["k"]
+        )
+
+
 def test_family_rejects_unsafe_model_names(tmp_path):
     with pytest.raises(ValueError):
         build_family(
