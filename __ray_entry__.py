@@ -26,11 +26,13 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """Ordered so the driver's 50-entry correctness window is ENTIRELY
-    SQL-hash-gated: 55 operators carry an oracle_sql() twin, so 5 of them
-    rotate into the overflow each round (round 4 rotates out five that were
-    driver-green in rounds 2 AND 3: events_hopping_daily, events_page3,
-    orders_price_band_join, orders_by_year, parts_like — rotate a different
-    five next round).  All rows-only / sketch entries come after slot 50."""
+    SQL-hash-gated: 56 operators carry an oracle_sql() twin, so 6 of them
+    rotate into the overflow each round (round 4 rotates out six that were
+    driver-green in rounds 2 AND 3: customers_per_region,
+    events_hopping_daily, events_page3, orders_price_band_join,
+    orders_by_year, parts_like — rotate a different six next round; the new
+    dup_spans takes a window slot).  All rows-only / sketch entries come
+    after slot 50."""
     from engine.ops import (
         ann, curate, decontam, dedup, docsearch, embed, enrich, listops,
         multimodal, multisource, pagesearch, relational, textops,
@@ -84,7 +86,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_topn_per_customer": relational.orders_topn_per_customer,
         "orders_union_tiers": relational.orders_union_tiers,
         "docs_lang_sets": relational.docs_lang_sets,
-        "customers_per_region": relational.customers_per_region,
         # multi-source ingest: parquet + zip-of-JSONL union (S5/S6, D3)
         "docs_union_sources": multisource.docs_union_sources,
         # list-typed columns: unnest + array-overlap (A2, §2.8)
@@ -93,6 +94,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup family (SURVEY.md §2.7 + training-data extensions)
         "exact_dedup": dedup.exact_dedup,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        # exact duplicated 8-token spans across docs (Lee et al. 2022 unit)
+        "dup_spans": dedup.dup_spans,
         # text analysis
         "token_counts": textops.token_counts,
         "quality_scores": textops.quality_scores,
@@ -110,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_topk": ann.knn_topk,
         "cosine_dup_pairs": ann.cosine_dup_pairs,
         # ---- slots 51+: rotated-out SQL-gated ops (green r02 + r03) ----
+        "customers_per_region": relational.customers_per_region,
         "events_hopping_daily": relational.events_hopping_daily,
         "events_page3": relational.events_page3,
         "orders_price_band_join": relational.orders_price_band_join,
@@ -186,6 +190,7 @@ def oracle_sql() -> dict[str, str]:
         "customers_per_region": relational.CUSTOMERS_PER_REGION_SQL,
         "exact_dedup": dedup.EXACT_DEDUP_SQL,
         "ngram_jaccard_pairs": dedup.NGRAM_JACCARD_SQL,
+        "dup_spans": dedup.DUP_SPANS_SQL,
         "token_counts": textops.TOKEN_COUNTS_SQL,
         "quality_scores": textops.QUALITY_SCORES_SQL,
         "lang_id": textops.LANG_ID_SQL,

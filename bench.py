@@ -269,6 +269,7 @@ def run_bench() -> dict:
         ("q6_revenue", relational.q6_revenue),
         ("events_latest_per_user", relational.events_latest_per_user),
         ("exact_dedup", dedup.exact_dedup),
+        ("dup_spans", dedup.dup_spans),
         ("minhash_lsh_pairs", dedup.minhash_lsh_pairs),
         ("events_sessionize", relational.events_sessionize),
         ("token_counts", textops.token_counts),

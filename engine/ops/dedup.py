@@ -273,6 +273,110 @@ WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
 
 
 # ---------------------------------------------------------------------------
+_SPAN_N = 8  # span length in tokens (Lee et al. use 50; sized to the corpus)
+_SPAN_MIN_DOCS = 2
+_N_SPAN_PARTS = 64
+
+
+def dup_spans(sf_dir: str, n: int = _SPAN_N, min_docs: int = _SPAN_MIN_DOCS):
+    """Exact duplicated n-token spans ACROSS documents (the unit of
+    exact-substring training-data dedup, Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): every n-token sliding
+    window that occurs in >= min_docs distinct docs, with its global
+    occurrence count and the doc that keeps the canonical copy (min doc_id).
+
+    Reference analog: the reference dedups whole rows by natural key only
+    (/root/reference/rds_schema.sql:29); sub-document spans are the
+    training-data extension (SURVEY.md §2.7 D-family).
+
+    Scale shape (mirrors exact_dedup): the map side aggregates each batch to
+    one row per DISTINCT span (md5 hash, never the span string, rides the
+    shuffle) carrying summable partials — a doc is exactly one input row, so
+    per-batch distinct-doc counts sum exactly across batches — and a coarse
+    64-way hash-prefix partition key; one vectorized pandas groupby per
+    partition finishes the reduce and applies the HAVING.  Nothing
+    vocabulary- or corpus-scale touches the driver; the n-gram windowing is
+    the shared zero-copy-slice kernel (engine.analyze.ngram_stream_arrow),
+    so spans are exact strings bit-comparable to the DuckDB oracle's
+    array_to_string(toks[i:i+n-1], ' ')."""
+    from ..analyze import ngram_stream_arrow
+
+    def partials(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "h": pa.array([], pa.string()),
+                "n_docs_p": pa.array([], pa.int64()),
+                "n_occ_p": pa.array([], pa.int64()),
+                "keep_p": pa.array([], pa.int64()),
+                "part": pa.array([], pa.int64()),
+            }
+        )
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        codes, parents, vocab = ngram_stream_arrow(t["text"], n)
+        if codes.size == 0:
+            return empty
+        order = np.lexsort((parents, codes))
+        c_s, p_s = codes[order], parents[order]
+        brk = np.r_[True, c_s[1:] != c_s[:-1]]
+        starts = np.nonzero(brk)[0]
+        n_occ = np.diff(np.r_[starts, c_s.size])
+        # distinct (code, doc) pairs within the (code, parent)-sorted runs
+        dd = np.r_[True, (c_s[1:] != c_s[:-1]) | (p_s[1:] != p_s[:-1])]
+        n_docs_arr = np.add.reduceat(dd.astype(np.int64), starts)
+        keep = np.minimum.reduceat(doc_ids[p_s], starts)
+        spans = vocab.take(pa.array(c_s[starts])).to_pylist()
+        hs = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in spans]
+        part = [int(h[:8], 16) % _N_SPAN_PARTS for h in hs]
+        return pa.table(
+            {
+                "h": pa.array(hs, pa.string()),
+                "n_docs_p": pa.array(n_docs_arr, pa.int64()),
+                "n_occ_p": pa.array(n_occ, pa.int64()),
+                "keep_p": pa.array(keep, pa.int64()),
+                "part": pa.array(part, pa.int64()),
+            }
+        )
+
+    def of_partition(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("h", sort=False, as_index=False).agg(
+            n_docs=("n_docs_p", "sum"),
+            n_occ=("n_occ_p", "sum"),
+            keep_id=("keep_p", "min"),
+        )
+        out = out[out["n_docs"] >= min_docs]
+        return out[["h", "n_docs", "n_occ", "keep_id"]]
+
+    return (
+        _read_docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(of_partition, batch_format="pandas")
+    )
+
+
+DUP_SPANS_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+sp AS (
+  SELECT doc_id, array_to_string(toks[i:i+{_SPAN_N - 1}], ' ') AS g
+  FROM (SELECT doc_id,
+               unnest(generate_series(1, greatest(len(toks) - {_SPAN_N - 1}, 0))) AS i,
+               toks
+        FROM base)
+)
+SELECT md5(g) AS h,
+       count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_occ,
+       min(doc_id) AS keep_id
+FROM sp GROUP BY g HAVING count(DISTINCT doc_id) >= {_SPAN_MIN_DOCS}
+"""
+
+
+# ---------------------------------------------------------------------------
 _N_PERM = 64
 _N_BANDS = 16  # 16 bands x 4 rows
 _N_CAND_PARTS = 64  # coarse partitions for bucket/pair reduces

@@ -68,6 +68,7 @@ SQL_CHECKED = [
     "orders_topk",
     "orders_by_year",
     "exact_dedup",
+    "dup_spans",
     "token_counts",
     "lang_id",
     "knn_topk",
