@@ -290,21 +290,24 @@ def dup_spans(sf_dir: str, n: int = _SPAN_N, min_docs: int = _SPAN_MIN_DOCS):
     training-data extension (SURVEY.md §2.7 D-family).
 
     Scale shape (mirrors exact_dedup): the map side aggregates each batch to
-    one row per DISTINCT span (md5 hash, never the span string, rides the
-    shuffle) carrying summable partials — a doc is exactly one input row, so
-    per-batch distinct-doc counts sum exactly across batches — and a coarse
-    64-way hash-prefix partition key; one vectorized pandas groupby per
-    partition finishes the reduce and applies the HAVING.  Nothing
-    vocabulary- or corpus-scale touches the driver; the n-gram windowing is
-    the shared zero-copy-slice kernel (engine.analyze.ngram_stream_arrow),
-    so spans are exact strings bit-comparable to the DuckDB oracle's
-    array_to_string(toks[i:i+n-1], ' ')."""
+    one row per DISTINCT span carrying summable partials — a doc is exactly
+    one input row, so per-batch distinct-doc counts sum exactly across
+    batches — keyed by the span string on a coarse 64-way partition from
+    pandas' vectorized siphash (fixed default key, so partitions agree
+    across workers); one vectorized pandas groupby per partition finishes
+    the reduce and applies the HAVING, and only the few SURVIVING spans are
+    md5-hashed (the expensive per-string digest never runs corpus-wide on
+    the map side).  Nothing vocabulary- or corpus-scale touches the driver;
+    the n-gram windowing is the shared zero-copy-slice kernel
+    (engine.analyze.ngram_stream_arrow), so spans are exact strings
+    bit-comparable to the DuckDB oracle's array_to_string(toks[i:i+n-1],
+    ' ')."""
     from ..analyze import ngram_stream_arrow
 
     def partials(t: pa.Table) -> pa.Table:
         empty = pa.table(
             {
-                "h": pa.array([], pa.string()),
+                "g": pa.array([], pa.string()),
                 "n_docs_p": pa.array([], pa.int64()),
                 "n_occ_p": pa.array([], pa.int64()),
                 "keep_p": pa.array([], pa.int64()),
@@ -324,26 +327,30 @@ def dup_spans(sf_dir: str, n: int = _SPAN_N, min_docs: int = _SPAN_MIN_DOCS):
         dd = np.r_[True, (c_s[1:] != c_s[:-1]) | (p_s[1:] != p_s[:-1])]
         n_docs_arr = np.add.reduceat(dd.astype(np.int64), starts)
         keep = np.minimum.reduceat(doc_ids[p_s], starts)
-        spans = vocab.take(pa.array(c_s[starts])).to_pylist()
-        hs = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in spans]
-        part = [int(h[:8], 16) % _N_SPAN_PARTS for h in hs]
+        spans = vocab.take(pa.array(c_s[starts]))
+        part = pd.util.hash_array(
+            spans.to_numpy(zero_copy_only=False)
+        ) % _N_SPAN_PARTS
         return pa.table(
             {
-                "h": pa.array(hs, pa.string()),
+                "g": spans,
                 "n_docs_p": pa.array(n_docs_arr, pa.int64()),
                 "n_occ_p": pa.array(n_occ, pa.int64()),
                 "keep_p": pa.array(keep, pa.int64()),
-                "part": pa.array(part, pa.int64()),
+                "part": pa.array(part.astype(np.int64)),
             }
         )
 
     def of_partition(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby("h", sort=False, as_index=False).agg(
+        out = g.groupby("g", sort=False, as_index=False).agg(
             n_docs=("n_docs_p", "sum"),
             n_occ=("n_occ_p", "sum"),
             keep_id=("keep_p", "min"),
         )
         out = out[out["n_docs"] >= min_docs]
+        out["h"] = [
+            hashlib.md5(s.encode("utf-8")).hexdigest() for s in out["g"]
+        ]
         return out[["h", "n_docs", "n_occ", "keep_id"]]
 
     return (
