@@ -26,13 +26,15 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """Ordered so the driver's 50-entry correctness window is ENTIRELY
-    SQL-hash-gated: 56 operators carry an oracle_sql() twin, so 6 of them
-    rotate into the overflow each round (round 4 rotates out six that were
+    SQL-hash-gated: 60 operators carry an oracle_sql() twin, so 10 of them
+    rotate into the overflow each round (round 4 rotates out ten that were
     driver-green in rounds 2 AND 3: customers_per_region,
     events_hopping_daily, events_page3, orders_price_band_join,
-    orders_by_year, parts_like — rotate a different six next round; the new
-    dup_spans takes a window slot).  All rows-only / sketch entries come
-    after slot 50."""
+    orders_by_year, parts_like, events_type_counts, orders_semi_building,
+    orders_topk, docs_lang_sets — rotate a different ten next round; the new
+    dup_spans, dup_clusters, events_funnel, docs_stratified_sample and
+    docs_pack_sequences take window slots).  All rows-only / sketch entries
+    come after slot 50."""
     from engine.ops import (
         ann, curate, decontam, dedup, docsearch, embed, enrich, listops,
         multimodal, multisource, pagesearch, relational, textops,
@@ -68,7 +70,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_top_orders": relational.q3_top_orders,
         "q5_nation_revenue": relational.q5_nation_revenue,
         "q6_revenue": relational.q6_revenue,
-        "events_type_counts": relational.events_type_counts,
         "events_latest_per_user": relational.events_latest_per_user,
         "events_pivot": relational.events_pivot,
         "events_tumbling_daily": relational.events_tumbling_daily,
@@ -80,12 +81,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sample_stats": relational.events_sample_stats,
         "events_distinct_users": relational.events_distinct_users,
         "events_type_distinct_users": relational.events_type_distinct_users,
+        # ordered first-touch funnel with a conversion window
+        "events_funnel": relational.events_funnel,
         "customers_without_recent_orders": relational.customers_without_recent_orders,
-        "orders_semi_building": relational.orders_semi_building,
-        "orders_topk": relational.orders_topk,
         "orders_topn_per_customer": relational.orders_topn_per_customer,
         "orders_union_tiers": relational.orders_union_tiers,
-        "docs_lang_sets": relational.docs_lang_sets,
         # multi-source ingest: parquet + zip-of-JSONL union (S5/S6, D3)
         "docs_union_sources": multisource.docs_union_sources,
         # list-typed columns: unnest + array-overlap (A2, §2.8)
@@ -96,6 +96,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         # exact duplicated 8-token spans across docs (Lee et al. 2022 unit)
         "dup_spans": dedup.dup_spans,
+        # connected components over the near-dup pair graph (keep-one-per-
+        # cluster dedup): iterative min-label propagation, 2 coarse shuffles
+        # per round, converges in graph-diameter rounds
+        "dup_clusters": dedup.dup_clusters,
         # text analysis
         "token_counts": textops.token_counts,
         "quality_scores": textops.quality_scores,
@@ -109,6 +113,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # capstone curation verdict: decontam + repetition + length gates
         # composed in one streaming pass
         "curate_docs": curate.curate_docs,
+        # deterministic per-language hash sampling (data mixing, K5 at scale)
+        "docs_stratified_sample": curate.docs_stratified_sample,
+        # greedy token-budget sequence packing (per-shard sequential, shards
+        # pack in parallel)
+        "docs_pack_sequences": curate.docs_pack_sequences,
         # similarity search over embeddings
         "knn_topk": ann.knn_topk,
         "cosine_dup_pairs": ann.cosine_dup_pairs,
@@ -119,11 +128,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_price_band_join": relational.orders_price_band_join,
         "orders_by_year": relational.orders_by_year,
         "parts_like": relational.parts_like,
+        "events_type_counts": relational.events_type_counts,
+        "orders_semi_building": relational.orders_semi_building,
+        "orders_topk": relational.orders_topk,
+        "docs_lang_sets": relational.docs_lang_sets,
         # ---- rows-only / sketch entries (no SQL oracle by nature) ----
         "events_value_quantiles_sketch": relational.events_value_quantiles_sketch,
         "events_distinct_users_hll": relational.events_distinct_users_hll,
         "events_type_distinct_users_hll": relational.events_type_distinct_users_hll,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,  # approx: rows-only
+        # the 100-TB dedup composition: minhash -> LSH -> verify -> CC
+        "minhash_dup_clusters": dedup.minhash_dup_clusters,  # rows-only
         "simhash_pairs": dedup.simhash_pairs,  # approx: rows-only
         "fingerprints": textops.fingerprints,  # rows-only
         "top_terms_sketch": textops.top_terms_sketch,  # rows-only (sketch)
@@ -191,6 +206,10 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": dedup.EXACT_DEDUP_SQL,
         "ngram_jaccard_pairs": dedup.NGRAM_JACCARD_SQL,
         "dup_spans": dedup.DUP_SPANS_SQL,
+        "dup_clusters": dedup.DUP_CLUSTERS_SQL,
+        "events_funnel": relational.EVENTS_FUNNEL_SQL,
+        "docs_stratified_sample": curate.STRATIFIED_SAMPLE_SQL,
+        "docs_pack_sequences": curate.PACK_SEQUENCES_SQL,
         "token_counts": textops.TOKEN_COUNTS_SQL,
         "quality_scores": textops.QUALITY_SCORES_SQL,
         "lang_id": textops.LANG_ID_SQL,

@@ -197,3 +197,138 @@ SELECT doc_id, n_hits, top2_frac, n_tokens,
             THEN 1 ELSE 0 END AS BIGINT) AS keep
 FROM sig
 """
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling: deterministic per-language keep rates (data mixing).
+# Rates are config (here: downsample the over-represented langs so the mix
+# flattens); the keep decision is a pure function of doc_id, so the sample
+# is reproducible, mergeable across runs, and needs no shuffle or state —
+# the reference's ORDER BY RANDOM() LIMIT n sampling (ec2/rds/query.py:35-37,
+# SURVEY.md K5) re-expressed as the hash-bucket filter a 100-TB pipeline
+# needs (a global random sort is an all-to-all shuffle; a hash filter is a
+# streaming map).
+_STRATA_RATES = {"en": 0.25, "zh": 0.75}  # unlisted langs keep everything
+
+
+def _rate_hex(rate: float) -> str:
+    # md5-prefix threshold: keep iff md5(doc_id)[:4] < this 4-hex string.
+    # 'zzzz' compares above every hex digest prefix => keep-all.
+    return "zzzz" if rate >= 1.0 else format(int(rate * 65536), "04x")
+
+
+def docs_stratified_sample(sf_dir: str):
+    """Per-language deterministic sample: keep doc iff the first 4 hex chars
+    of md5(doc_id) fall under the language's rate threshold.  One streaming
+    column-pruned pass, no shuffle; the DuckDB oracle applies the identical
+    md5-prefix rule, so the gate checks exact set equality, not statistics."""
+    import hashlib
+
+    thr = {lang: _rate_hex(r) for lang, r in _STRATA_RATES.items()}
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        langs = t["lang"].to_pylist()
+        keep = [
+            hashlib.md5(str(i).encode()).hexdigest()[:4] < thr.get(l, "zzzz")
+            for i, l in zip(ids, langs)
+        ]
+        return t.filter(pa.array(keep, pa.bool_()))
+
+    return _read_docs(sf_dir, columns=["doc_id", "lang"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+SELECT doc_id, lang FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+  CASE lang
+    WHEN 'en' THEN '{_rate_hex(_STRATA_RATES["en"])}'
+    WHEN 'zh' THEN '{_rate_hex(_STRATA_RATES["zh"])}'
+    ELSE 'zzzz'
+  END
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: greedy first-fit-in-order of docs into fixed token-budget
+# bins — the step that turns a curated corpus into training sequences.
+_PACK_BUDGET = 256
+_PACK_SHARDS = 4
+
+
+def docs_pack_sequences(sf_dir: str, budget: int = _PACK_BUDGET,
+                        n_shards: int = _PACK_SHARDS):
+    """Greedy sequence packing: within each shard (doc_id % n_shards), docs
+    are taken in doc_id order and appended to the current bin until the next
+    doc would overflow `budget` tokens, which starts a new bin (an oversized
+    doc gets a bin of its own).  Packing is inherently sequential *within a
+    stream*, so the scale unit is the shard: shards pack independently and
+    in parallel (at 100 TB one shard = one input partition), and the only
+    per-shard state is (acc, bin) — two integers.  Token counts come from
+    the same vectorized tokenize kernel as token_counts, so the DuckDB
+    oracle (a recursive CTE replaying the same greedy rule per shard) is
+    bit-comparable.  Output: (shard, doc_id, n_tokens, bin_id)."""
+    from ..analyze import tokenize_counts_arrow
+
+    def counts(t: pa.Table) -> pa.Table:
+        _, _, _, doclens = tokenize_counts_arrow(t["text"])
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(doclens.astype(np.int64), pa.int64()),
+                "shard": pa.array(ids % n_shards, pa.int64()),
+            }
+        )
+
+    def pack_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        toks = g["n_tokens"].to_numpy()
+        bins = np.empty(len(g), dtype=np.int64)
+        acc, b = 0, -1
+        for i, tk in enumerate(toks):  # O(shard) scalar loop: two ints of
+            # state per shard, unavoidable for first-fit-in-order semantics
+            if b < 0 or acc + tk > budget:
+                b += 1
+                acc = int(tk)
+            else:
+                acc += int(tk)
+            bins[i] = b
+        out = g[["shard", "doc_id", "n_tokens"]].copy()
+        out["bin_id"] = bins
+        return out
+
+    return (
+        _read_docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(pack_shard, batch_format="pandas")
+    )
+
+
+PACK_SEQUENCES_SQL = f"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id,
+         doc_id % {_PACK_SHARDS} AS shard,
+         len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '')) AS n_tokens,
+         row_number() OVER (PARTITION BY doc_id % {_PACK_SHARDS}
+                            ORDER BY doc_id) AS rn
+  FROM documents
+),
+pack AS (
+  SELECT shard, rn, doc_id, n_tokens,
+         n_tokens AS acc, CAST(0 AS BIGINT) AS bin_id
+  FROM tok WHERE rn = 1
+  UNION ALL
+  SELECT t.shard, t.rn, t.doc_id, t.n_tokens,
+         CASE WHEN p.acc + t.n_tokens > {_PACK_BUDGET}
+              THEN t.n_tokens ELSE p.acc + t.n_tokens END,
+         CASE WHEN p.acc + t.n_tokens > {_PACK_BUDGET}
+              THEN p.bin_id + 1 ELSE p.bin_id END
+  FROM pack p JOIN tok t ON t.shard = p.shard AND t.rn = p.rn + 1
+)
+SELECT shard, doc_id, n_tokens, bin_id FROM pack
+"""

@@ -898,3 +898,156 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3):
             batch_format="pandas",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+_N_CC_PARTS = 32
+
+
+def _connected_components(edges, max_iters: int = 64):
+    """Connected components over an (a, b) edge Dataset: every node gets
+    cluster_id = the smallest node id reachable from it.
+
+    Scale shape: iterative min-label propagation, the groupby-only analog of
+    large-star contraction.  Each round is two coarse hash shuffles —
+    (1) co-locate label rows with edge rows keyed by the edge's source
+    endpoint and emit (neighbor, lbl) candidates via one vectorized pandas
+    merge per partition, (2) min-reduce candidates per node on a coarse
+    node-hash partition — so per-round traffic is O(edges + nodes) rows and
+    nothing is ever driver-collected.  Labels are monotone non-increasing
+    and bounded by the component minimum, so sum(lbl) strictly decreases
+    until the fixpoint; the driver watches that one scalar per round
+    (converges in graph-diameter rounds; dup clusters are near-cliques, so
+    typically 2-3).  Edges and the label frontier are result-scale (bounded
+    by 2x the pair count), so the per-round materialize holds only
+    pair-scale state in the object store, never the corpus."""
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        src = np.concatenate([a, b])  # label flows FROM src TO dst
+        dst = np.concatenate([b, a])
+        return pa.table(
+            {
+                "key": pa.array(src, pa.int64()),
+                "other": pa.array(dst, pa.int64()),
+                "lbl": pa.array(np.full(src.size, -1), pa.int64()),
+                "part": pa.array(src % _N_CC_PARTS, pa.int64()),
+            }
+        )
+
+    sym = edges.map_batches(symmetrize, batch_format="pyarrow").materialize()
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        n = np.unique(t["key"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "key": pa.array(n, pa.int64()),
+                "other": pa.array(np.full(n.size, -1), pa.int64()),
+                "lbl": pa.array(n, pa.int64()),
+                "part": pa.array(n % _N_CC_PARTS, pa.int64()),
+            }
+        )
+
+    _CC_SCHEMA = pa.schema(
+        [("key", pa.int64()), ("other", pa.int64()),
+         ("lbl", pa.int64()), ("part", pa.int64())]
+    )
+
+    def _to_arrow(out: pd.DataFrame) -> pa.Table:
+        # keep blocks Arrow so union(sym, labels) sees one block type
+        return pa.Table.from_pandas(out, schema=_CC_SCHEMA, preserve_index=False)
+
+    def min_per_node(t: pa.Table) -> pa.Table:
+        g = t.to_pandas()
+        out = g.groupby("key", sort=False, as_index=False).agg(lbl=("lbl", "min"))
+        out["other"] = -1
+        out["part"] = out["key"] % _N_CC_PARTS
+        return _to_arrow(out[["key", "other", "lbl", "part"]])
+
+    labels = (
+        sym.map_batches(init_labels, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(min_per_node, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def propagate(t: pa.Table) -> pa.Table:
+        g = t.to_pandas()
+        lab = g[g["other"] == -1][["key", "lbl"]]
+        edg = g[g["other"] != -1][["key", "other"]]
+        cand = edg.merge(lab, on="key", how="inner")  # (other <- lbl of key)
+        cand = cand.groupby("other", sort=False, as_index=False).agg(
+            lbl=("lbl", "min")
+        )
+        cand = cand.rename(columns={"other": "key"})
+        out = pd.concat([lab, cand], ignore_index=True)
+        out["other"] = -1
+        out["part"] = out["key"] % _N_CC_PARTS
+        return _to_arrow(out[["key", "other", "lbl", "part"]])
+
+    prev_sum = labels.sum("lbl") or 0
+    for _ in range(max_iters):
+        labels = (
+            sym.union(labels)
+            .groupby("part")
+            .map_groups(propagate, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(min_per_node, batch_format="pyarrow")
+            .materialize()
+        )
+        s = labels.sum("lbl") or 0
+        if s == prev_sum:  # labels are monotone; equal sum == fixpoint
+            break
+        prev_sum = s
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["key"],
+                "cluster_id": t["lbl"],
+            }
+        )
+
+    return labels.map_batches(finalize, batch_format="pyarrow")
+
+
+def dup_clusters(sf_dir: str, threshold: float = 0.8):
+    """Keep-one-per-cluster dedup over the EXACT jaccard pair graph (the
+    SQL-gateable baseline; the recursive-CTE oracle replays the same
+    reachability).  The reference has only direct-key dedup
+    (rds_schema.sql:29 UNIQUE upsert); transitive near-dup clustering is the
+    training-data extension (SlimPajama/CCNet-style "keep one per cluster").
+    Output: (doc_id, cluster_id) for every doc in >= 1 pair."""
+    return _connected_components(
+        ngram_jaccard_pairs(sf_dir, threshold).select_columns(["a", "b"])
+    )
+
+
+def minhash_dup_clusters(sf_dir: str, threshold: float = 0.6):
+    """The 100-TB composition: MinHash -> banded LSH -> verified pairs ->
+    connected components -> cluster ids.  Rows-only (MinHash candidate
+    generation is approximate by nature); pytest asserts the cluster
+    partition equals union-find over the same verified pair list."""
+    return _connected_components(
+        minhash_lsh_pairs(sf_dir, threshold).select_columns(["a", "b"])
+    )
+
+
+DUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS ({NGRAM_JACCARD_SQL}),
+edges AS (
+  SELECT a AS u, b AS v FROM pairs
+  UNION
+  SELECT b AS u, a AS v FROM pairs
+),
+walk (node, lbl) AS (
+  SELECT u AS node, u AS lbl FROM edges
+  UNION
+  SELECT e.u AS node, w.lbl
+  FROM edges e JOIN walk w ON w.node = e.v
+  WHERE w.lbl < e.u
+)
+SELECT node AS doc_id, min(lbl) AS cluster_id
+FROM walk GROUP BY node
+"""

@@ -1548,3 +1548,94 @@ def events_value_quantiles_sketch(sf_dir: str, k: int = _QSKETCH_K):
         .groupby("event_type")
         .map_groups(quants, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+_FUNNEL_STEPS = ("signup", "view", "purchase")
+
+
+_FUNNEL_WINDOW_US = 12 * 3600 * 1_000_000  # 12-hour conversion window
+
+
+def events_funnel(sf_dir: str):
+    """Ordered first-touch funnel over the events stream: a user completes
+    step k iff a step-k event exists strictly AFTER their completion time of
+    step k-1 and within a 12-hour conversion window of it, where the
+    completion time is the EARLIEST qualifying event
+    (reference analog: the multi-stage ingest funnel paper->theorem->slogan
+    ->embedding whose per-stage coverage the NOT EXISTS anti-joins measure,
+    ec2/generate_slogans/__main__.py:64-76 — here re-expressed as event-time
+    ordering over one stream).
+
+    Scale shape: ONE coarse user-hash shuffle; a user's events co-locate, so
+    each partition resolves all of its users with three vectorized
+    min-aggregations (step k filters on ts > the user's step-(k-1) time via
+    an index-aligned merge), and only n_parts x n_steps count rows reach the
+    final reduce — nothing user-cardinality leaves the partitions."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "part", pa.array(_keypart(t["user_id"].to_numpy(zero_copy_only=False)))
+        )
+
+    def funnel_of_partition(g: pd.DataFrame) -> pd.DataFrame:
+        prev = None  # completion time per user for the previous step
+        counts = []
+        for step in _FUNNEL_STEPS:
+            e = g[g["event_type"] == step][["user_id", "ts"]]
+            if prev is not None:
+                e = e.merge(prev.rename("prev_ts"), left_on="user_id", right_index=True)
+                dt = e["ts"].to_numpy().astype("datetime64[us]").astype(
+                    np.int64
+                ) - e["prev_ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+                e = e[(dt > 0) & (dt <= _FUNNEL_WINDOW_US)]
+            prev = e.groupby("user_id")["ts"].min()
+            counts.append(len(prev))
+        return pd.DataFrame(
+            {
+                "step": np.arange(1, len(_FUNNEL_STEPS) + 1, dtype=np.int64),
+                "event_type": list(_FUNNEL_STEPS),
+                "n_users_p": np.asarray(counts, dtype=np.int64),
+            }
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["step", "event_type"], sort=False, as_index=False).agg(
+            n_users=("n_users_p", "sum")
+        )
+        return out[["step", "event_type", "n_users"]]
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(funnel_of_partition, batch_format="pandas")
+        .groupby("step")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
+EVENTS_FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'view' AND e.ts > s1.t
+    AND e.ts <= s1.t + INTERVAL 12 HOUR
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t
+    AND e.ts <= s2.t + INTERVAL 12 HOUR
+  GROUP BY e.user_id
+)
+SELECT CAST(1 AS BIGINT) AS step, 'signup' AS event_type,
+       (SELECT count(*) FROM s1) AS n_users
+UNION ALL
+SELECT 2, 'view', (SELECT count(*) FROM s2)
+UNION ALL
+SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+"""

@@ -83,6 +83,10 @@ SQL_CHECKED = [
     "docs_autocomplete",
     "curate_docs",
     "events_type_distinct_users",
+    "dup_clusters",
+    "events_funnel",
+    "docs_stratified_sample",
+    "docs_pack_sequences",
 ]
 
 
@@ -533,3 +537,69 @@ def test_curate_corpus_writes_exactly_the_keep_set(tmp_path, con):
     # written rows carry the full original schema
     schema_names = set(pads.dataset(out).schema.names)
     assert {"doc_id", "text", "lang", "source"} <= schema_names
+
+
+def test_dup_clusters_match_union_find():
+    """Independent oracle for the distributed min-label propagation AND the
+    recursive-CTE SQL: plain union-find over the exact jaccard pair list."""
+    from engine.ops.dedup import dup_clusters, ngram_jaccard_pairs
+
+    pairs = _to_pandas(ngram_jaccard_pairs(SF))
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["a"], pairs["b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    got = _to_pandas(dup_clusters(SF))
+    got_map = dict(zip(got["doc_id"], got["cluster_id"]))
+    assert got_map == want
+
+
+def test_pack_sequences_invariants():
+    """Bins respect the budget (except singleton oversized docs), are
+    contiguous per shard, and partition the input exactly."""
+    from engine.ops.curate import _PACK_BUDGET, docs_pack_sequences
+
+    got = _to_pandas(docs_pack_sequences(SF)).sort_values(["shard", "doc_id"])
+    import duckdb
+
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM '{SF}/documents.parquet'"
+    ).fetchone()[0]
+    assert len(got) == n_docs
+    for _, s in got.groupby("shard"):
+        bins = s["bin_id"].to_numpy()
+        assert bins[0] == 0
+        assert np.all(np.diff(bins) >= 0) and np.all(np.diff(bins) <= 1)
+        sums = s.groupby("bin_id")["n_tokens"].agg(["sum", "count"])
+        over = sums[sums["sum"] > _PACK_BUDGET]
+        assert (over["count"] == 1).all()  # only oversized singletons exceed
+
+
+def test_minhash_dup_clusters_match_union_find():
+    from engine.ops.dedup import minhash_dup_clusters, minhash_lsh_pairs
+
+    pairs = _to_pandas(minhash_lsh_pairs(SF))
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["a"], pairs["b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    got = _to_pandas(minhash_dup_clusters(SF))
+    assert dict(zip(got["doc_id"], got["cluster_id"])) == want
