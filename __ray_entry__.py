@@ -26,14 +26,16 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """Ordered so the driver's 50-entry correctness window is ENTIRELY
-    SQL-hash-gated: 60 operators carry an oracle_sql() twin, so 10 of them
-    rotate into the overflow each round (round 4 rotates out ten that were
-    driver-green in rounds 2 AND 3: customers_per_region,
+    SQL-hash-gated: 63 operators carry an oracle_sql() twin, so 13 of them
+    rotate into the overflow each round (round 4 rotates out thirteen that
+    were driver-green in rounds 2 AND 3: customers_per_region,
     events_hopping_daily, events_page3, orders_price_band_join,
     orders_by_year, parts_like, events_type_counts, orders_semi_building,
-    orders_topk, docs_lang_sets — rotate a different ten next round; the new
-    dup_spans, dup_clusters, events_funnel, docs_stratified_sample and
-    docs_pack_sequences take window slots).  All rows-only / sketch entries
+    orders_topk, docs_lang_sets, events_sample_stats, events_distinct_users,
+    authors_unnest_distinct — rotate a different thirteen next round; the
+    new dup_spans, dup_clusters, events_funnel, events_retention,
+    docs_stratified_sample, docs_pack_sequences, docs_unigram_surprisal and
+    docs_pmi_bigrams take window slots).  All rows-only / sketch entries
     come after slot 50."""
     from engine.ops import (
         ann, curate, decontam, dedup, docsearch, embed, enrich, listops,
@@ -78,18 +80,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": relational.events_sessionize,
         "events_attribution_asof": relational.events_attribution_asof,
         "events_value_quantiles": relational.events_value_quantiles,
-        "events_sample_stats": relational.events_sample_stats,
-        "events_distinct_users": relational.events_distinct_users,
         "events_type_distinct_users": relational.events_type_distinct_users,
         # ordered first-touch funnel with a conversion window
         "events_funnel": relational.events_funnel,
+        # cohort retention matrix: day-of-first-event cohorts x purchase day-k
+        "events_retention": relational.events_retention,
         "customers_without_recent_orders": relational.customers_without_recent_orders,
         "orders_topn_per_customer": relational.orders_topn_per_customer,
         "orders_union_tiers": relational.orders_union_tiers,
         # multi-source ingest: parquet + zip-of-JSONL union (S5/S6, D3)
         "docs_union_sources": multisource.docs_union_sources,
-        # list-typed columns: unnest + array-overlap (A2, §2.8)
-        "authors_unnest_distinct": listops.authors_unnest_distinct,
+        # list-typed columns: array-overlap semi-join (§2.8)
         "docs_author_overlap": listops.docs_author_overlap,
         # dedup family (SURVEY.md §2.7 + training-data extensions)
         "exact_dedup": dedup.exact_dedup,
@@ -106,7 +107,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": textops.lang_id,
         "redact_pii": textops.redact_pii,
         "repetition_scores": textops.repetition_scores,
+        # corpus-LM mean token surprisal (CCNet-style perplexity gate)
+        "docs_unigram_surprisal": textops.docs_unigram_surprisal,
         "top_terms": textops.top_terms,
+        # top bigram collocations by PMI (phrase mining / merge candidates)
+        "docs_pmi_bigrams": textops.docs_pmi_bigrams,
         "keywords_tfidf": textops.keywords_tfidf,
         # benchmark decontamination (n-gram overlap vs a held-out slice)
         "decontaminate_docs": decontam.decontaminate_docs,
@@ -122,6 +127,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_topk": ann.knn_topk,
         "cosine_dup_pairs": ann.cosine_dup_pairs,
         # ---- slots 51+: rotated-out SQL-gated ops (green r02 + r03) ----
+        "events_sample_stats": relational.events_sample_stats,
+        "events_distinct_users": relational.events_distinct_users,
+        "authors_unnest_distinct": listops.authors_unnest_distinct,
         "customers_per_region": relational.customers_per_region,
         "events_hopping_daily": relational.events_hopping_daily,
         "events_page3": relational.events_page3,
@@ -208,6 +216,9 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans": dedup.DUP_SPANS_SQL,
         "dup_clusters": dedup.DUP_CLUSTERS_SQL,
         "events_funnel": relational.EVENTS_FUNNEL_SQL,
+        "events_retention": relational.EVENTS_RETENTION_SQL,
+        "docs_unigram_surprisal": textops.UNIGRAM_SURPRISAL_SQL,
+        "docs_pmi_bigrams": textops.PMI_BIGRAMS_SQL,
         "docs_stratified_sample": curate.STRATIFIED_SAMPLE_SQL,
         "docs_pack_sequences": curate.PACK_SEQUENCES_SQL,
         "token_counts": textops.TOKEN_COUNTS_SQL,

@@ -1639,3 +1639,88 @@ SELECT 2, 'view', (SELECT count(*) FROM s2)
 UNION ALL
 SELECT 3, 'purchase', (SELECT count(*) FROM s3)
 """
+
+
+# ---------------------------------------------------------------------------
+_RETENTION_MAX_DAY = 7
+_DAY_US = 86_400_000_000
+
+
+def events_retention(sf_dir: str):
+    """Cohort retention: users are cohorted by the DAY of their first event
+    (any type); a cohort counts as active on day k if the user has a
+    PURCHASE event k days after the cohort day (k <= 7).  The classic
+    cohort-retention matrix every analytics pipeline ships; the reference's
+    nearest analog is the per-stage coverage tracking of its ingest funnel
+    (ec2/parse_arxiv_papers/__main__.py:180-185 progress counts).
+
+    Scale shape: ONE coarse user-hash shuffle (a user's events co-locate);
+    each partition derives first-event day, day offsets, and the distinct
+    (user, day_k) activity set fully vectorized, then emits per-(cohort,
+    day_k) PARTIAL counts — users never span partitions, so partials sum
+    exactly, and only n_parts x cohorts x 8 tiny rows reach the final
+    reduce."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "part", pa.array(_keypart(t["user_id"].to_numpy(zero_copy_only=False)))
+        )
+
+    def retention_of_partition(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "cohort_day": pd.Series([], dtype="int64"),
+                "day_k": pd.Series([], dtype="int64"),
+                "n_p": pd.Series([], dtype="int64"),
+            }
+        )
+        if g.empty:
+            return empty
+        day = (
+            g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64) // _DAY_US
+        )
+        g = pd.DataFrame(
+            {"user_id": g["user_id"].to_numpy(), "event_type": g["event_type"], "day": day}
+        )
+        first = g.groupby("user_id")["day"].min().rename("cohort_day")
+        p = g[g["event_type"] == "purchase"].merge(
+            first, left_on="user_id", right_index=True
+        )
+        p["day_k"] = p["day"] - p["cohort_day"]
+        p = p[p["day_k"] <= _RETENTION_MAX_DAY]
+        p = p.drop_duplicates(["user_id", "day_k"])
+        out = p.groupby(["cohort_day", "day_k"], sort=False, as_index=False).agg(
+            n_p=("user_id", "size")
+        )
+        return out[["cohort_day", "day_k", "n_p"]]
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["cohort_day", "day_k"], sort=False, as_index=False).agg(
+            n_active=("n_p", "sum")
+        )
+        out["cohort"] = (out["cohort_day"] * _DAY_US).astype("datetime64[us]")
+        return out[["cohort", "day_k", "n_active"]]
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(retention_of_partition, batch_format="pandas")
+        .groupby("cohort_day")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
+EVENTS_RETENTION_SQL = f"""
+WITH f AS (
+  SELECT user_id, date_trunc('day', min(ts)) AS cohort FROM events GROUP BY user_id
+),
+a AS (
+  SELECT DISTINCT e.user_id, f.cohort,
+         datediff('day', f.cohort, date_trunc('day', e.ts)) AS day_k
+  FROM events e JOIN f USING (user_id)
+  WHERE e.event_type = 'purchase'
+    AND datediff('day', f.cohort, date_trunc('day', e.ts)) <= {_RETENTION_MAX_DAY}
+)
+SELECT cohort, day_k, count(*) AS n_active FROM a GROUP BY cohort, day_k
+"""

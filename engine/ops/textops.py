@@ -811,3 +811,482 @@ SELECT doc_id,
        CAST(c1 + c2 + len(regexp_extract_all(t2, '\b\d{7,}\b')) AS BIGINT) AS n_redacted
 FROM counted2
 """
+
+
+# ---------------------------------------------------------------------------
+# vocab rows the driver will collect + broadcast; same size class / rationale
+# as _KW_BCAST_BUDGET_ROWS (keywords_tfidf's df table).
+_SURPRISAL_BCAST_BUDGET_ROWS = 20_000_000
+
+
+def docs_unigram_surprisal(
+    sf_dir: str,
+    ctf_broadcast_budget_rows: int = _SURPRISAL_BCAST_BUDGET_ROWS,
+):
+    """Per-doc mean unigram surprisal under the corpus MLE language model:
+    mean over tokens of -ln(ctf(t)/N) — the classic LM-perplexity quality
+    gate (CCNet-style) with the corpus itself as the model.  Low scores =
+    boilerplate-heavy docs; high = rare-token soup; both tails are what a
+    curation pass drops.  Reference analog: the quality screens its ingest
+    applies before a paper reaches the index
+    (ec2/parse_arxiv_papers/__main__.py ingest-time filtering).
+
+    Adaptive like keywords_tfidf: pass (1) aggregates collection term
+    frequencies (ctf) on coarse term-hash partitions; under the row budget
+    the (term, ctf) table broadcasts once via ray.put and pass (2) is one
+    streaming corpus pass.  Above it, (doc,term,tf) rows and (term,ctf)
+    rows ride the SAME coarse term-hash partitions (union, one shuffle);
+    per-doc PARTIAL surprisal sums re-key on a coarse doc-hash shuffle and
+    finish with an exact weighted mean — nothing vocab-scale reaches the
+    driver on that path.  Both paths round-6-identical
+    (tests/test_ops.py)."""
+    import ray
+
+    def ctf_partials(t: pa.Table) -> pa.Table:
+        _, terms, tfs, _ = tokenize_counts_arrow(t["text"])
+        tt = pa.table(
+            {"term": terms, "tf": pa.array(tfs.astype(np.int64), pa.int64())}
+        )
+        g = tt.group_by("term").aggregate([("tf", "sum")])
+        return pa.table(
+            {
+                "term": g["term"],
+                "ctf_part": g["tf_sum"],
+                "part": _term_parts(g["term"]),
+            }
+        )
+
+    def ctf_of_partition(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("term", sort=False, as_index=False).agg(
+            ctf=("ctf_part", "sum")
+        )
+
+    docs = _read_docs(sf_dir, columns=["doc_id", "text"])
+    ctf_ds = (
+        docs.map_batches(ctf_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(ctf_of_partition, batch_format="pandas")
+        .materialize()  # vocab-scale by construction; executed exactly once
+    )
+    n_tokens = float(ctf_ds.sum("ctf") or 0)
+    if ctf_ds.count() > ctf_broadcast_budget_rows:
+        return _surprisal_distributed(docs, ctf_ds, n_tokens)
+    ctf_tbl = pa.concat_tables(
+        [t for t in (ray.get(r) for r in ctf_ds.to_arrow_refs()) if t.num_columns]
+    )
+    vocab = ctf_tbl["term"].combine_chunks()
+    ctfs = ctf_tbl["ctf"].to_numpy(zero_copy_only=False).astype(np.float64)
+    bcast = ray.put((vocab, ctfs))
+
+    def score_batch(t: pa.Table) -> pa.Table:
+        v, c = ray.get(bcast)
+        doc_idx, terms, tfs, doclens = tokenize_counts_arrow(t["text"])
+        pos = pc.index_in(terms, value_set=v).to_numpy(zero_copy_only=False)
+        s = tfs.astype(np.float64) * np.log(n_tokens / c[pos.astype(np.int64)])
+        tot = np.zeros(len(t), np.float64)
+        np.add.at(tot, doc_idx, s)
+        lens = doclens.astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(doclens.astype(np.int64), pa.int64()),
+                "surprisal_r6": pa.array(
+                    np.round(tot / np.maximum(lens, 1.0), 6), pa.float64()
+                ),
+            }
+        )
+
+    return docs.map_batches(score_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_DOCPART_MULT = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _doc_parts(ids: np.ndarray) -> np.ndarray:
+    """Coarse doc-hash partition key (64 partitions), same mix as
+    keywords_tfidf's distributed top-k shuffle."""
+    return (
+        (ids.astype(np.uint64) * _DOCPART_MULT) >> np.uint64(64 - 6)
+    ).astype(np.int64)
+
+
+def _surprisal_distributed(docs, ctf_ds, n_tokens: float):
+    """Above-budget surprisal: keywords_tfidf's union-shuffle shape.  ctf
+    rows are tagged doc_id = -1; per term-partition merges emit per-doc
+    PARTIAL (sum, token-count) pairs; zero-token marker rows keep empty
+    docs present; a coarse doc-hash shuffle finishes the exact weighted
+    mean."""
+
+    def tf_rows(t: pa.Table) -> pa.Table:
+        doc_idx, terms, tfs, _ = tokenize_counts_arrow(t["text"])
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "part": _term_parts(terms),
+                "term": terms.cast(pa.string()),
+                "doc_id": pa.array(ids[doc_idx].astype(np.int64), pa.int64()),
+                "val": pa.array(tfs.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def ctf_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "part": _term_parts(t["term"]),
+                "term": t["term"].cast(pa.string()),
+                "doc_id": pa.array(np.full(len(t), -1, np.int64), pa.int64()),
+                "val": t["ctf"].cast(pa.int64()),
+            }
+        )
+
+    union = docs.map_batches(
+        tf_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).union(ctf_ds.map_batches(ctf_rows, batch_format="pyarrow"))
+
+    def merge_of_partition(g: pd.DataFrame) -> pd.DataFrame:
+        cm = g[g["doc_id"] < 0][["term", "val"]].rename(columns={"val": "ctf"})
+        tfm = g[g["doc_id"] >= 0]
+        m = tfm.merge(cm, on="term", how="inner")
+        tfv = m["val"].to_numpy(np.float64)
+        s = tfv * np.log(n_tokens / m["ctf"].to_numpy(np.float64))
+        out = pd.DataFrame(
+            {"doc_id": m["doc_id"].to_numpy(np.int64), "s_part": s, "tf_part": tfv}
+        ).groupby("doc_id", sort=False, as_index=False).agg(
+            s_part=("s_part", "sum"), tf_part=("tf_part", "sum")
+        )
+        out.insert(0, "docpart", _doc_parts(out["doc_id"].to_numpy(np.int64)))
+        return out
+
+    def marker_rows(b: pd.DataFrame) -> pd.DataFrame:
+        # pandas in/out so the union's block type matches map_groups output
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "docpart": _doc_parts(ids),
+                "doc_id": ids,
+                "s_part": np.zeros(len(ids)),
+                "tf_part": np.zeros(len(ids)),
+            }
+        )
+
+    partials = (
+        union.groupby("part")
+        .map_groups(merge_of_partition, batch_format="pandas")
+        .union(
+            docs.select_columns(["doc_id"]).map_batches(
+                marker_rows, batch_format="pandas"
+            )
+        )
+    )
+
+    def mean_of_partition(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("doc_id", sort=False, as_index=False).agg(
+            s=("s_part", "sum"), n=("tf_part", "sum")
+        )
+        lens = out["n"].to_numpy(np.float64)
+        return pd.DataFrame(
+            {
+                "doc_id": out["doc_id"],
+                "n_tokens": lens.astype(np.int64),
+                "surprisal_r6": np.round(
+                    out["s"].to_numpy(np.float64) / np.maximum(lens, 1.0), 6
+                ),
+            }
+        )
+
+    return partials.groupby("docpart").map_groups(
+        mean_of_partition, batch_format="pandas"
+    )
+
+
+UNIGRAM_SURPRISAL_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, tk, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS tk FROM tok)
+  GROUP BY doc_id, tk
+),
+ctf AS (SELECT tk, sum(tf) AS c FROM tf GROUP BY tk),
+stats AS (SELECT sum(c) AS n FROM ctf),
+per_doc AS (
+  SELECT tf.doc_id, sum(tf.tf * ln(s.n * 1.0 / ctf.c)) AS tot,
+         sum(tf.tf) AS len
+  FROM tf JOIN ctf ON ctf.tk = tf.tk CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT t.doc_id,
+       CAST(coalesce(p.len, 0) AS BIGINT) AS n_tokens,
+       round(coalesce(p.tot, 0) / greatest(coalesce(p.len, 0), 1), 6)
+         AS surprisal_r6
+FROM tok t LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+_PMI_MIN_COUNT = 5
+_PMI_TOP = 100
+
+
+def docs_pmi_bigrams(
+    sf_dir: str, min_count: int = _PMI_MIN_COUNT, n_out: int = _PMI_TOP
+):
+    """Global top-N bigram collocations by pointwise mutual information:
+    pmi = ln((c_ab/M) / ((c_a/N)*(c_b/N))), c_ab >= min_count, ties by
+    bigram ASC — the classic phrase-mining pass (Church & Hanks 1990) a
+    training-data pipeline runs to build tokenizer merge candidates and
+    stop-phrase lists.  Reference analog: the index-side vocabulary
+    statistics its search config derives (theorem corpus term tables).
+
+    Scale shape: ONE tokenize pass emits per-batch partial unigram counts
+    (keyed hash(term)) and partial bigram counts (keyed hash(first token)),
+    plus two count-total marker rows per batch (part -1); shuffle 1
+    finalizes both count tables — a bigram's c_a lands in its own partition
+    by construction — applies the min_count gate and re-keys surviving
+    bigrams by hash(second token); shuffle 2 attaches c_b and emits a
+    per-partition LOCAL top-N by the oracle's exact (pmi_r6 DESC, bigram)
+    key, so the driver merges only P*N candidate rows.  N and M (token /
+    bigram totals) come from the two marker rows of the materialized
+    shuffle-1 output — no second corpus pass, nothing vocab-scale on the
+    driver."""
+    import ray
+
+    # kind: 0 = unigram count, 1 = bigram count, 2 = totals marker
+    def partials(t: pa.Table) -> pa.Table:
+        flat, parents = token_array_stream(t["text"])
+        n_tok = len(flat)
+        if n_tok:
+            per_doc = np.bincount(parents, minlength=len(t))
+            n_big = int(np.maximum(per_doc - 1, 0).sum())
+        else:
+            n_big = 0
+        parts = [
+            pa.table(
+                {
+                    "part": pa.array([-1, -1], pa.int64()),
+                    "kind": pa.array([2, 2], pa.int64()),
+                    "gram": pa.array(["n", "m"], pa.string()),
+                    "b": pa.array(["", ""], pa.string()),
+                    "c": pa.array([n_tok, n_big], pa.int64()),
+                }
+            )
+        ]
+        if n_tok:
+            ut = pa.table(
+                {"term": flat, "one": pa.array(np.ones(n_tok, np.int64))}
+            )
+            ug = ut.group_by("term").aggregate([("one", "sum")])
+            parts.append(
+                pa.table(
+                    {
+                        "part": _term_parts(ug["term"]),
+                        "kind": pa.array(np.zeros(len(ug), np.int64)),
+                        "gram": ug["term"].cast(pa.string()),
+                        "b": pa.array([""] * len(ug), pa.string()),
+                        "c": ug["one_sum"].cast(pa.int64()),
+                    }
+                )
+            )
+        codes, _, vocab = ngram_from_stream(flat, parents, 2)
+        if len(codes):
+            cnt = np.bincount(codes, minlength=len(vocab)).astype(np.int64)
+            halves = pc.split_pattern(vocab, pattern=" ", max_splits=1)
+            parts.append(
+                pa.table(
+                    {
+                        "part": _term_parts(pc.list_element(halves, 0)),
+                        "kind": pa.array(np.ones(len(vocab), np.int64)),
+                        "gram": vocab.cast(pa.string()),
+                        "b": pc.list_element(halves, 1).cast(pa.string()),
+                        "c": pa.array(cnt, pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    _EMPTY_STAGE1 = pd.DataFrame(
+        {
+            "part2": pd.Series([], dtype="int64"),
+            "kind": pd.Series([], dtype="int64"),
+            "gram": pd.Series([], dtype="object"),
+            "b": pd.Series([], dtype="object"),
+            "c_ab": pd.Series([], dtype="int64"),
+            "c_a": pd.Series([], dtype="int64"),
+        }
+    )
+
+    def finalize_of_partition(g: pd.DataFrame) -> pd.DataFrame:
+        mark = g[g["kind"] == 2]
+        if len(mark):  # the part = -1 marker partition (markers only)
+            out = mark.groupby("gram", sort=False, as_index=False).agg(
+                c_ab=("c", "sum")
+            )
+            return pd.DataFrame(
+                {
+                    "part2": np.full(len(out), -1, np.int64),
+                    "kind": np.full(len(out), 2, np.int64),
+                    "gram": out["gram"],
+                    "b": "",
+                    "c_ab": out["c_ab"].astype(np.int64),
+                    "c_a": np.zeros(len(out), np.int64),
+                }
+            )
+        uc = (
+            g[g["kind"] == 0]
+            .groupby("gram", sort=False, as_index=False)
+            .agg(c=("c", "sum"))
+        )
+        bc = (
+            g[g["kind"] == 1]
+            .groupby(["gram", "b"], sort=False, as_index=False)
+            .agg(c_ab=("c", "sum"))
+        )
+        bc = bc[bc["c_ab"] >= min_count]
+        rows = []
+        if len(bc):
+            a = bc["gram"].str.split(" ", n=1).str[0]
+            m = bc.assign(a=a).merge(
+                uc.rename(columns={"gram": "a", "c": "c_a"}), on="a", how="inner"
+            )
+            rows.append(
+                pd.DataFrame(
+                    {
+                        "part2": _term_parts(
+                            pa.array(m["b"], type=pa.string())
+                        ).to_numpy(zero_copy_only=False),
+                        "kind": np.ones(len(m), np.int64),
+                        "gram": m["gram"],
+                        "b": m["b"],
+                        "c_ab": m["c_ab"].astype(np.int64),
+                        "c_a": m["c_a"].astype(np.int64),
+                    }
+                )
+            )
+        if len(uc):
+            rows.append(
+                pd.DataFrame(
+                    {
+                        "part2": _term_parts(
+                            pa.array(uc["gram"], type=pa.string())
+                        ).to_numpy(zero_copy_only=False),
+                        "kind": np.zeros(len(uc), np.int64),
+                        "gram": uc["gram"],
+                        "b": "",
+                        "c_ab": uc["c"].astype(np.int64),
+                        "c_a": np.zeros(len(uc), np.int64),
+                    }
+                )
+            )
+        if not rows:
+            return _EMPTY_STAGE1
+        return pd.concat(rows, ignore_index=True)
+
+    docs = _read_docs(sf_dir, columns=["doc_id", "text"])
+    stage1 = (
+        docs.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(finalize_of_partition, batch_format="pandas")
+        .materialize()  # vocab-scale; consumed twice (markers + shuffle 2)
+    )
+    marks = stage1.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], 2)), batch_format="pyarrow"
+    ).to_pandas()
+    totals = dict(zip(marks["gram"], marks["c_ab"]))
+    n_tokens = float(totals.get("n", 0) or 1)
+    m_bigrams = float(totals.get("m", 0) or 1)
+
+    _EMPTY_TOPK = pd.DataFrame(
+        {
+            "bigram": pd.Series([], dtype="object"),
+            "c_ab": pd.Series([], dtype="int64"),
+            "pmi_r6": pd.Series([], dtype="float64"),
+        }
+    )
+
+    def topk_of_partition(g: pd.DataFrame) -> pd.DataFrame:
+        bc = g[g["kind"] == 1]
+        if not len(bc):
+            return _EMPTY_TOPK
+        uc = g[g["kind"] == 0][["gram", "c_ab"]].rename(
+            columns={"gram": "b", "c_ab": "c_b"}
+        )
+        m = bc.merge(uc, on="b", how="inner")
+        pmi = np.round(
+            np.log(
+                (m["c_ab"].to_numpy(np.float64) / m_bigrams)
+                / (
+                    (m["c_a"].to_numpy(np.float64) / n_tokens)
+                    * (m["c_b"].to_numpy(np.float64) / n_tokens)
+                )
+            ),
+            6,
+        )
+        out = pd.DataFrame(
+            {
+                "bigram": m["gram"],
+                "c_ab": m["c_ab"].astype(np.int64),
+                "pmi_r6": pmi,
+            }
+        )
+        return out.sort_values(
+            ["pmi_r6", "bigram"], ascending=[False, True], kind="mergesort"
+        ).head(n_out)
+
+    cand = (
+        stage1.groupby("part2")
+        .map_groups(topk_of_partition, batch_format="pandas")
+        .to_pandas()  # <= n_partitions * n_out rows
+    )
+    cand = (
+        cand.sort_values(
+            ["pmi_r6", "bigram"], ascending=[False, True], kind="mergesort"
+        )
+        .head(n_out)
+        .reset_index(drop=True)
+    )
+    cand.insert(0, "rank", np.arange(1, len(cand) + 1, dtype=np.int64))
+    return cand[["rank", "bigram", "c_ab", "pmi_r6"]]
+
+
+PMI_BIGRAMS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+u AS (SELECT unnest(toks) AS tk FROM tok),
+uc AS (SELECT tk, count(*) AS c FROM u GROUP BY tk),
+stats AS (
+  SELECT (SELECT count(*) FROM u) AS n,
+         (SELECT sum(greatest(len(toks) - 1, 0)) FROM tok) AS m
+),
+pos AS (
+  SELECT unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS i, toks
+  FROM tok
+),
+bg AS (
+  SELECT toks[i] AS a, toks[i + 1] AS b, count(*) AS c_ab
+  FROM pos GROUP BY a, b HAVING count(*) >= {_PMI_MIN_COUNT}
+),
+scored AS (
+  SELECT bg.a || ' ' || bg.b AS bigram, bg.c_ab,
+         round(ln((bg.c_ab * 1.0 / s.m)
+                  / ((ua.c * 1.0 / s.n) * (ub.c * 1.0 / s.n))), 6) AS pmi_r6
+  FROM bg
+  JOIN uc ua ON ua.tk = bg.a
+  JOIN uc ub ON ub.tk = bg.b
+  CROSS JOIN stats s
+),
+ranked AS (
+  SELECT row_number() OVER (ORDER BY pmi_r6 DESC, bigram) AS rank,
+         bigram, c_ab, pmi_r6
+  FROM scored
+)
+SELECT rank, bigram, CAST(c_ab AS BIGINT) AS c_ab, pmi_r6
+FROM ranked WHERE rank <= {_PMI_TOP}
+"""

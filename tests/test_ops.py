@@ -85,8 +85,11 @@ SQL_CHECKED = [
     "events_type_distinct_users",
     "dup_clusters",
     "events_funnel",
+    "events_retention",
     "docs_stratified_sample",
     "docs_pack_sequences",
+    "docs_unigram_surprisal",
+    "docs_pmi_bigrams",
 ]
 
 
@@ -463,6 +466,17 @@ def test_keywords_distributed_path_matches_broadcast_path():
 
     fast = _canon(_to_pandas(keywords_tfidf(SF)))
     dist = _canon(_to_pandas(keywords_tfidf(SF, df_broadcast_budget_rows=0)))
+    pd.testing.assert_frame_equal(fast, dist)
+
+
+def test_surprisal_distributed_path_matches_broadcast_path():
+    """Force the above-budget branch (tf/ctf union on the coarse term-hash
+    shuffle, per-doc partial sums re-keyed on a doc-hash shuffle, zero-token
+    marker rows): round-6-identical to the vocab-broadcast fast path."""
+    from engine.ops.textops import docs_unigram_surprisal
+
+    fast = _canon(_to_pandas(docs_unigram_surprisal(SF)))
+    dist = _canon(_to_pandas(docs_unigram_surprisal(SF, ctf_broadcast_budget_rows=0)))
     pd.testing.assert_frame_equal(fast, dist)
 
 
