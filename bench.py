@@ -133,6 +133,9 @@ def run_bench() -> dict:
         queries["extract_tokenize_s"] = round(et_s, 3)
         queries["extract_tokenize_docs_per_s"] = round(BENCH_DOCS / et_s, 1)
     if mode == "et":
+        # closing probe: a leg whose end-calibration is far below its start
+        # collapsed mid-leg (the start probe only bounds leg-START state)
+        queries["box_calibration_end_docs_per_s"] = calibrate()
         return {
             "metric": "extract+tokenize throughput",
             "value": queries["extract_tokenize_s"],
@@ -242,6 +245,7 @@ def run_bench() -> dict:
         shutil.rmtree(index_dir, ignore_errors=True)
 
     if os.environ.get("GRAFT_HEADLINE_ONLY") == "1":
+        queries["box_calibration_end_docs_per_s"] = calibrate()
         return {
             "metric": "index-build throughput (docs/s) + BM25 query p50 (ms)",
             "value": queries["index_build_s"],
@@ -274,6 +278,8 @@ def run_bench() -> dict:
         ("events_sessionize", relational.events_sessionize),
         ("token_counts", textops.token_counts),
         ("top_terms", textops.top_terms),
+        ("docs_unigram_surprisal", textops.docs_unigram_surprisal),
+        ("docs_pmi_bigrams", textops.docs_pmi_bigrams),
         ("decontaminate_docs", decontam.decontaminate_docs),
         ("knn_topk", ann.knn_topk),
         ("ivf_knn_topk", ann.ivf_knn_topk),
@@ -341,8 +347,19 @@ def run_scaling() -> dict:
         time.sleep(8)  # let the previous session's raylet fully wind down
         b = one(ncpu, "build")
         time.sleep(8)
-        b["queries"].update(et["queries"])
-        runs[ncpu] = b["queries"]
+        # merge with build's keys winning, but keep each sub-run's own
+        # start/end calibration pair so a mid-leg load collapse is visible
+        # per leg (run 9 post-mortem, BASELINE.md)
+        merged = dict(et["queries"])
+        merged.update(b["queries"])
+        for tag, sub in (("et", et["queries"]), ("build", b["queries"])):
+            merged[f"{tag}_calibration_start"] = sub.get(
+                "box_calibration_docs_per_s"
+            )
+            merged[f"{tag}_calibration_end"] = sub.get(
+                "box_calibration_end_docs_per_s"
+            )
+        runs[ncpu] = merged
 
     def eff(metric: str, lo: int, hi: int) -> float:
         return round((runs[hi][metric] / runs[lo][metric]) / (hi / lo), 3)
@@ -365,6 +382,11 @@ def run_scaling() -> dict:
         out[f"box_calibration_docs_per_s_{ncpu}"] = runs[ncpu].get(
             "box_calibration_docs_per_s"
         )
+        for tag in ("et", "build"):
+            for edge in ("start", "end"):
+                out[f"{tag}_calibration_{edge}_{ncpu}"] = runs[ncpu].get(
+                    f"{tag}_calibration_{edge}"
+                )
     out["query_p50_ms_32"] = runs[32]["query_p50_ms"]
     return out
 
