@@ -26,17 +26,18 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """Ordered so the driver's 50-entry correctness window is ENTIRELY
-    SQL-hash-gated: 63 operators carry an oracle_sql() twin, so 13 of them
-    rotate into the overflow each round (round 4 rotates out thirteen that
+    SQL-hash-gated: 65 operators carry an oracle_sql() twin, so 15 of them
+    rotate into the overflow each round (round 4 rotates out fifteen that
     were driver-green in rounds 2 AND 3: customers_per_region,
     events_hopping_daily, events_page3, orders_price_band_join,
     orders_by_year, parts_like, events_type_counts, orders_semi_building,
     orders_topk, docs_lang_sets, events_sample_stats, events_distinct_users,
-    authors_unnest_distinct — rotate a different thirteen next round; the
-    new dup_spans, dup_clusters, events_funnel, events_retention,
-    docs_stratified_sample, docs_pack_sequences, docs_unigram_surprisal and
-    docs_pmi_bigrams take window slots).  All rows-only / sketch entries
-    come after slot 50."""
+    authors_unnest_distinct, events_pivot, orders_union_tiers — rotate a
+    different fifteen next round; the new dup_spans, dup_clusters,
+    events_funnel, events_retention, events_anomaly_zscore,
+    docs_stratified_sample, docs_pack_sequences, docs_unigram_surprisal,
+    docs_pmi_bigrams and docs_normalize take window slots).  All rows-only
+    / sketch entries come after slot 50."""
     from engine.ops import (
         ann, curate, decontam, dedup, docsearch, embed, enrich, listops,
         multimodal, multisource, pagesearch, relational, textops,
@@ -73,8 +74,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q5_nation_revenue": relational.q5_nation_revenue,
         "q6_revenue": relational.q6_revenue,
         "events_latest_per_user": relational.events_latest_per_user,
-        "events_pivot": relational.events_pivot,
         "events_tumbling_daily": relational.events_tumbling_daily,
+        # daily-volume anomaly z-scores per event type (exact int moments)
+        "events_anomaly_zscore": relational.events_anomaly_zscore,
         "events_user_deltas": relational.events_user_deltas,
         "events_keyset_page8": relational.events_keyset_page8,
         "events_sessionize": relational.events_sessionize,
@@ -87,7 +89,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_retention": relational.events_retention,
         "customers_without_recent_orders": relational.customers_without_recent_orders,
         "orders_topn_per_customer": relational.orders_topn_per_customer,
-        "orders_union_tiers": relational.orders_union_tiers,
         # multi-source ingest: parquet + zip-of-JSONL union (S5/S6, D3)
         "docs_union_sources": multisource.docs_union_sources,
         # list-typed columns: array-overlap semi-join (§2.8)
@@ -106,6 +107,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": textops.quality_scores,
         "lang_id": textops.lang_id,
         "redact_pii": textops.redact_pii,
+        # unicode canonicalization + fingerprint (NFC/lower/ws-collapse/md5)
+        "docs_normalize": textops.docs_normalize,
         "repetition_scores": textops.repetition_scores,
         # corpus-LM mean token surprisal (CCNet-style perplexity gate)
         "docs_unigram_surprisal": textops.docs_unigram_surprisal,
@@ -127,6 +130,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_topk": ann.knn_topk,
         "cosine_dup_pairs": ann.cosine_dup_pairs,
         # ---- slots 51+: rotated-out SQL-gated ops (green r02 + r03) ----
+        "events_pivot": relational.events_pivot,
+        "orders_union_tiers": relational.orders_union_tiers,
         "events_sample_stats": relational.events_sample_stats,
         "events_distinct_users": relational.events_distinct_users,
         "authors_unnest_distinct": listops.authors_unnest_distinct,
@@ -217,8 +222,10 @@ def oracle_sql() -> dict[str, str]:
         "dup_clusters": dedup.DUP_CLUSTERS_SQL,
         "events_funnel": relational.EVENTS_FUNNEL_SQL,
         "events_retention": relational.EVENTS_RETENTION_SQL,
+        "events_anomaly_zscore": relational.EVENTS_ANOMALY_SQL,
         "docs_unigram_surprisal": textops.UNIGRAM_SURPRISAL_SQL,
         "docs_pmi_bigrams": textops.PMI_BIGRAMS_SQL,
+        "docs_normalize": textops.DOCS_NORMALIZE_SQL,
         "docs_stratified_sample": curate.STRATIFIED_SAMPLE_SQL,
         "docs_pack_sequences": curate.PACK_SEQUENCES_SQL,
         "token_counts": textops.TOKEN_COUNTS_SQL,

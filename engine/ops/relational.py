@@ -1724,3 +1724,82 @@ a AS (
 )
 SELECT cohort, day_k, count(*) AS n_active FROM a GROUP BY cohort, day_k
 """
+
+
+
+# ---------------------------------------------------------------------------
+def events_anomaly_zscore(sf_dir: str):
+    """Daily-volume anomaly detection: for every (event_type, day), the
+    z-score of that day's event count against the SAME type's across-days
+    distribution — the ops-dashboard staple for catching traffic spikes /
+    outages.  Reference analog: the ingest progress counting its ETL logs
+    per stage (ec2/parse_arxiv_papers/__main__.py progress counters).
+
+    Scale shape: map-side partial (type, day) counts collapse each batch
+    to at most |types|*|days| rows, then ONE shuffle keyed by event_type;
+    per-type day counts are bounded by the time range (days), not the
+    corpus, so the per-group kernel is result-scale.  Moments are computed
+    from EXACT integer sums (S1, S2), so mu/sigma — and the round-6
+    z-score — are bitwise reproducible regardless of partial order."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def count_partials(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["ts"], unit="day")
+        g = pa.table({"event_type": t["event_type"], "day": day}).group_by(
+            ["event_type", "day"]
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "day": g["day"],
+                "n_part": g["count_all"].cast(pa.int64()),
+            }
+        )
+
+    def zscores_of_type(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["event_type", "day"], sort=False, as_index=False).agg(
+            n=("n_part", "sum")
+        )
+        n = c["n"].to_numpy(np.int64)
+        d = len(n)
+        s1 = int(n.sum())
+        s2 = int((n * n).sum())
+        mu = s1 * 1.0 / d
+        sigma = np.sqrt(max(s2 * 1.0 / d - mu * mu, 0.0))
+        z = np.round((n - mu) / sigma, 6) if sigma > 0 else np.zeros(d)
+        return pd.DataFrame(
+            {
+                "event_type": c["event_type"],
+                "day": c["day"],
+                "n": n,
+                "z_r6": z,
+            }
+        )
+
+    return (
+        ds.map_batches(count_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .map_groups(zscores_of_type, batch_format="pandas")
+    )
+
+
+EVENTS_ANOMALY_SQL = """
+WITH c AS (
+  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+  FROM events GROUP BY event_type, day
+),
+s AS (
+  SELECT event_type, sum(n) AS s1, sum(n * n) AS s2, count(*) AS d
+  FROM c GROUP BY event_type
+),
+z AS (
+  SELECT c.event_type, c.day, c.n,
+         s.s1 * 1.0 / s.d AS mu,
+         sqrt(greatest(s.s2 * 1.0 / s.d
+                       - (s.s1 * 1.0 / s.d) * (s.s1 * 1.0 / s.d), 0)) AS sigma
+  FROM c JOIN s USING (event_type)
+)
+SELECT event_type, day, CAST(n AS BIGINT) AS n,
+       round(CASE WHEN sigma > 0 THEN (n - mu) / sigma ELSE 0 END, 6) AS z_r6
+FROM z
+"""

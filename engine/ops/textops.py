@@ -1290,3 +1290,79 @@ ranked AS (
 SELECT rank, bigram, CAST(c_ab AS BIGINT) AS c_ab, pmi_r6
 FROM ranked WHERE rank <= {_PMI_TOP}
 """
+
+
+
+# ---------------------------------------------------------------------------
+# Deterministic messy-unicode suffix appended per doc so the normalizer has
+# real work on the (ASCII-clean) synthetic corpus: a combining-accent e
+# (NFC-composes to U+00E9), an A with ring (composes to U+00C5), a tab and
+# run of spaces.  The SQL oracle appends the identical suffix with chr().
+_NORM_AUG_PY = " Café  NÅIVE\tx"
+
+
+def docs_normalize(sf_dir: str):
+    """Text canonicalization (the M21-normalizer analog on `documents`):
+    Unicode NFC -> lowercase -> collapse [ \\t\\n\\r]+ runs to one space ->
+    trim, then fingerprint the canonical form.  The stage every web-text
+    pipeline runs before hashing/dedup so byte-different but
+    canonically-equal docs collide.  Reference analog: the id/url
+    normalizers its ingest applies before keying
+    (ec2/parse_arxiv_papers/__main__.py arXiv-id canonicalization).
+
+    Lower/collapse/trim/length are vectorized pyarrow; NFC runs per row via
+    unicodedata (pyarrow's utf8_normalize decomposes but does NOT apply
+    canonical composition, verified empirically) alongside the per-row md5
+    — the same per-doc digest budget as exact_dedup.  Embarrassingly
+    parallel — no shuffle."""
+    import unicodedata
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        aug = pc.binary_join_element_wise(
+            t["text"].cast(pa.string()),
+            pa.array([_NORM_AUG_PY + str(i % 7) for i in ids], pa.string()),
+            "",
+        )
+        norm = pa.array(
+            [unicodedata.normalize("NFC", s) for s in aug.to_pylist()],
+            pa.string(),
+        )
+        norm = pc.utf8_lower(norm)
+        norm = pc.replace_substring_regex(norm, pattern="[ \t\n\r]+", replacement=" ")
+        norm = pc.utf8_trim_whitespace(norm)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "norm_chars": pc.utf8_length(norm).cast(pa.int64()),
+                "norm_md5": pa.array(
+                    [
+                        hashlib.md5(s.encode("utf-8")).hexdigest()
+                        for s in norm.to_pylist()
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+
+    return _read_docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+DOCS_NORMALIZE_SQL = """
+WITH aug AS (
+  SELECT doc_id,
+         text || ' Cafe' || chr(769) || '  NA' || chr(778) || 'IVE'
+              || chr(9) || 'x' || CAST(doc_id % 7 AS VARCHAR) AS t
+  FROM documents
+),
+norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(nfc_normalize(t)),
+                             '[ \t\n\r]+', ' ', 'g')) AS n
+  FROM aug
+)
+SELECT doc_id, CAST(length(n) AS BIGINT) AS norm_chars, md5(n) AS norm_md5
+FROM norm
+"""

@@ -90,6 +90,8 @@ SQL_CHECKED = [
     "docs_pack_sequences",
     "docs_unigram_surprisal",
     "docs_pmi_bigrams",
+    "events_anomaly_zscore",
+    "docs_normalize",
 ]
 
 
