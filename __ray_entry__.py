@@ -26,18 +26,19 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """Ordered so the driver's 50-entry correctness window is ENTIRELY
-    SQL-hash-gated: 65 operators carry an oracle_sql() twin, so 15 of them
-    rotate into the overflow each round (round 4 rotates out fifteen that
+    SQL-hash-gated: 66 operators carry an oracle_sql() twin, so 16 of them
+    rotate into the overflow each round (round 4 rotates out sixteen that
     were driver-green in rounds 2 AND 3: customers_per_region,
     events_hopping_daily, events_page3, orders_price_band_join,
     orders_by_year, parts_like, events_type_counts, orders_semi_building,
     orders_topk, docs_lang_sets, events_sample_stats, events_distinct_users,
-    authors_unnest_distinct, events_pivot, orders_union_tiers — rotate a
-    different fifteen next round; the new dup_spans, dup_clusters,
-    events_funnel, events_retention, events_anomaly_zscore,
-    docs_stratified_sample, docs_pack_sequences, docs_unigram_surprisal,
-    docs_pmi_bigrams and docs_normalize take window slots).  All rows-only
-    / sketch entries come after slot 50."""
+    authors_unnest_distinct, events_pivot, orders_union_tiers,
+    events_user_deltas — rotate a different sixteen next round; the new
+    dup_spans, dup_clusters, events_funnel, events_retention,
+    events_anomaly_zscore, docs_stratified_sample, docs_pack_sequences,
+    docs_unigram_surprisal, docs_pmi_bigrams, docs_normalize and
+    docs_hybrid_rrf take window slots).  All rows-only / sketch entries
+    come after slot 50."""
     from engine.ops import (
         ann, curate, decontam, dedup, docsearch, embed, enrich, listops,
         multimodal, multisource, pagesearch, relational, textops,
@@ -53,6 +54,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_spell_suggest": docsearch.docs_spell_suggest,
         # related docs: per-probe TF-IDF keywords -> BM25, self excluded
         "docs_more_like_this": docsearch.docs_more_like_this,
+        # hybrid retrieval: sparse MLT + dense cosine kNN fused by RRF
+        "docs_hybrid_rrf": docsearch.docs_hybrid_rrf,
         # autocomplete: prefix -> top completions by (df DESC, term ASC)
         "docs_autocomplete": docsearch.docs_autocomplete,
         # boolean query language: +must / -not / "phrase" over the same index
@@ -77,7 +80,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling_daily": relational.events_tumbling_daily,
         # daily-volume anomaly z-scores per event type (exact int moments)
         "events_anomaly_zscore": relational.events_anomaly_zscore,
-        "events_user_deltas": relational.events_user_deltas,
         "events_keyset_page8": relational.events_keyset_page8,
         "events_sessionize": relational.events_sessionize,
         "events_attribution_asof": relational.events_attribution_asof,
@@ -130,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_topk": ann.knn_topk,
         "cosine_dup_pairs": ann.cosine_dup_pairs,
         # ---- slots 51+: rotated-out SQL-gated ops (green r02 + r03) ----
+        "events_user_deltas": relational.events_user_deltas,
         "events_pivot": relational.events_pivot,
         "orders_union_tiers": relational.orders_union_tiers,
         "events_sample_stats": relational.events_sample_stats,
@@ -240,6 +243,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_search_facets": docsearch.FACETS_DOCS_SQL,
         "docs_spell_suggest": docsearch.SPELL_SUGGEST_SQL,
         "docs_more_like_this": docsearch.MORE_LIKE_THIS_SQL,
+        "docs_hybrid_rrf": docsearch.HYBRID_RRF_SQL,
         "docs_autocomplete": docsearch.AUTOCOMPLETE_SQL,
         "knn_topk": ann.KNN_TOPK_SQL,
         "cosine_dup_pairs": ann.COSINE_DUP_SQL,

@@ -45,12 +45,14 @@ def _emb_matrix(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     return ids, m
 
 
-def _load_queries(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+def _load_queries(
+    sf_dir: str, query_ids: tuple[int, ...] = QUERY_IDS
+) -> tuple[np.ndarray, np.ndarray]:
     import pyarrow.parquet as pq
 
     t = pq.read_table(
         os.path.join(sf_dir, "embeddings.parquet"),
-        filters=[("vec_id", "in", list(QUERY_IDS))],
+        filters=[("vec_id", "in", list(query_ids))],
     )
     ids, m = _emb_matrix(t)
     order = np.argsort(ids)
@@ -61,10 +63,11 @@ class _CosineTopK:
     """Actor-pool stage: per batch, sims vs the broadcast query matrix, local
     top-k rows emitted (global merge handles the rest)."""
 
-    def __init__(self, q_ref, k: int):
+    def __init__(self, q_ref, k: int, exclude_self: bool = False):
         self.q_ids, q = ray.get(q_ref)
         self.qn = q / np.linalg.norm(q, axis=1, keepdims=True)
         self.k = k
+        self.exclude_self = exclude_self
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ids, m = _emb_matrix(t)
@@ -75,6 +78,8 @@ class _CosineTopK:
         k = min(self.k, len(ids))
         for qi, qid in enumerate(self.q_ids):
             s = sims[:, qi]
+            if self.exclude_self:
+                s = np.where(ids == qid, -np.inf, s)
             top = np.argpartition(-s, k - 1)[:k] if k < len(ids) else np.arange(len(ids))
             out_q.extend([int(qid)] * len(top))
             out_v.extend(ids[top].tolist())
@@ -88,13 +93,20 @@ class _CosineTopK:
         )
 
 
-def knn_topk(sf_dir: str, k: int = K):
+def knn_topk(
+    sf_dir: str,
+    k: int = K,
+    query_ids: tuple[int, ...] = QUERY_IDS,
+    exclude_self: bool = False,
+):
     """Exact cosine top-k for the fixed query vectors -> (query_id, vec_id,
-    sim rounded, rank)."""
-    q_ref = ray.put(_load_queries(sf_dir))
+    sim rounded, rank).  query_ids/exclude_self let composers (hybrid RRF
+    retrieval in docsearch.py) reuse the same distributed kernel with their
+    own probe set; defaults preserve the gated entry's behavior."""
+    q_ref = ray.put(_load_queries(sf_dir, query_ids))
     ds = _read_emb(sf_dir).map_batches(
         _CosineTopK,
-        fn_constructor_args=(q_ref, k),
+        fn_constructor_args=(q_ref, k, exclude_self),
         batch_format="pyarrow",
         concurrency=(1, 4),
         zero_copy_batch=True,

@@ -188,7 +188,10 @@ def docs_more_like_this(sf_dir: str, k: int = K) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["probe_doc", "rank", "doc_id", "score_r6"])
 
 
-def _mlt_sql() -> str:
+def _mlt_chain() -> str:
+    """The MLT scoring chain up through its `ranked` CTE (all ranks, no
+    bound) — shared by MORE_LIKE_THIS_SQL and the hybrid-RRF oracle, which
+    appends its own CTEs to the same WITH list."""
     vals = ", ".join(f"({d})" for d in MLT_DOC_IDS)
     return f"""
 WITH probes(probe_doc) AS (VALUES {vals}),
@@ -243,9 +246,15 @@ ranked AS (
          row_number() OVER (PARTITION BY probe_doc
                             ORDER BY round(score, 6) DESC, doc_id) AS rank
   FROM scores
-)
-SELECT probe_doc, rank, doc_id, score_r6 FROM ranked WHERE rank <= {K}
-"""
+)"""
+
+
+def _mlt_sql() -> str:
+    return (
+        _mlt_chain()
+        + f"\nSELECT probe_doc, rank, doc_id, score_r6 FROM ranked"
+        + f" WHERE rank <= {K}\n"
+    )
 
 
 MORE_LIKE_THIS_SQL = _mlt_sql()
@@ -682,3 +691,104 @@ DELETED_DOCS_SQL = _bm25_docs_sql(
 BOOL_DOCS_SQL = _bool_docs_sql(BOOL_DOC_QUERIES)
 WILDCARD_DOCS_SQL = _bool_docs_sql(WILDCARD_DOC_QUERIES)
 PROX_DOCS_SQL = _bool_docs_sql(PROX_DOC_QUERIES)
+
+
+# ---------------------------------------------------------------------------
+RRF_C = 60  # the canonical reciprocal-rank-fusion constant (Cormack 2009)
+RRF_POOL = 20  # candidates taken from each retriever before fusion
+
+
+def docs_hybrid_rrf(sf_dir: str, k: int = K) -> pd.DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion: for each MLT probe doc,
+    fuse (a) the sparse BM25 more-like-this ranking and (b) the dense
+    cosine-kNN ranking over the embeddings table, by
+    rrf = sum over lists of 1/(RRF_C + rank), top-k by (rrf DESC, doc_id).
+    The modern two-tower retrieval pattern (Cormack et al. 2009 fusion;
+    the reference serves the same combination as separate keyword and
+    embedding searches over one corpus, streamlit_app.py search modes).
+
+    Scale shape: both retrievers are the ALREADY-DISTRIBUTED gated kernels
+    (`docs_more_like_this` through the serving pool, `ann.knn_topk`'s
+    broadcast-query actor pool with self-exclusion); fusion touches only
+    the two result lists (probes x RRF_POOL rows each) in pandas on the
+    driver — result-scale, independent of corpus size."""
+    from .ann import knn_topk
+
+    sparse = docs_more_like_this(sf_dir, k=RRF_POOL).rename(
+        columns={"rank": "srank"}
+    )[["probe_doc", "doc_id", "srank"]]
+    dense = knn_topk(
+        sf_dir, k=RRF_POOL, query_ids=tuple(MLT_DOC_IDS), exclude_self=True
+    ).rename(
+        columns={"query_id": "probe_doc", "vec_id": "doc_id", "rank": "drank"}
+    )[["probe_doc", "doc_id", "drank"]]
+    m = sparse.merge(dense, on=["probe_doc", "doc_id"], how="outer")
+    rs = m["srank"].to_numpy(np.float64)
+    rd = m["drank"].to_numpy(np.float64)
+    contrib = np.where(np.isnan(rs), 0.0, 1.0 / (RRF_C + rs)) + np.where(
+        np.isnan(rd), 0.0, 1.0 / (RRF_C + rd)
+    )
+    m["rrf_r6"] = np.round(contrib, 6)
+    m = m.sort_values(
+        ["probe_doc", "rrf_r6", "doc_id"],
+        ascending=[True, False, True],
+        kind="mergesort",
+    )
+    m["rank"] = m.groupby("probe_doc", sort=False).cumcount() + 1
+    m = m[m["rank"] <= k]
+    out = m[["probe_doc", "rank", "doc_id", "rrf_r6"]].reset_index(drop=True)
+    return out.astype(
+        {"probe_doc": np.int64, "rank": np.int64, "doc_id": np.int64}
+    )
+
+
+def _hybrid_rrf_sql() -> str:
+    ids = ", ".join(str(d) for d in MLT_DOC_IDS)
+    return (
+        _mlt_chain()
+        + f""",
+sparse AS (
+  SELECT probe_doc, doc_id, rank AS srank FROM ranked
+  WHERE rank <= {RRF_POOL}
+),
+dq AS (
+  SELECT vec_id AS probe_doc, embedding AS qe FROM embeddings
+  WHERE vec_id IN ({ids})
+),
+dsims AS (
+  SELECT dq.probe_doc, e.vec_id AS doc_id,
+         round(list_cosine_similarity(CAST(dq.qe AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])), 6)
+           AS sim_r
+  FROM dq CROSS JOIN embeddings e
+  WHERE e.vec_id <> dq.probe_doc
+),
+dense AS (
+  SELECT probe_doc, doc_id, drank FROM (
+    SELECT probe_doc, doc_id,
+           row_number() OVER (PARTITION BY probe_doc
+                              ORDER BY sim_r DESC, doc_id) AS drank
+    FROM dsims
+  ) WHERE drank <= {RRF_POOL}
+),
+fused AS (
+  SELECT coalesce(s.probe_doc, d.probe_doc) AS probe_doc,
+         coalesce(s.doc_id, d.doc_id) AS doc_id,
+         round(coalesce(1.0 / ({RRF_C} + s.srank), 0)
+               + coalesce(1.0 / ({RRF_C} + d.drank), 0), 6) AS rrf_r6
+  FROM sparse s
+  FULL OUTER JOIN dense d
+    ON s.probe_doc = d.probe_doc AND s.doc_id = d.doc_id
+),
+frank AS (
+  SELECT probe_doc, doc_id, rrf_r6,
+         row_number() OVER (PARTITION BY probe_doc
+                            ORDER BY rrf_r6 DESC, doc_id) AS rank
+  FROM fused
+)
+SELECT probe_doc, rank, doc_id, rrf_r6 FROM frank WHERE rank <= {K}
+"""
+    )
+
+
+HYBRID_RRF_SQL = _hybrid_rrf_sql()

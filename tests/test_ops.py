@@ -92,6 +92,7 @@ SQL_CHECKED = [
     "docs_pmi_bigrams",
     "events_anomaly_zscore",
     "docs_normalize",
+    "docs_hybrid_rrf",
 ]
 
 
