@@ -26,19 +26,19 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """Ordered so the driver's 50-entry correctness window is ENTIRELY
-    SQL-hash-gated: 66 operators carry an oracle_sql() twin, so 16 of them
-    rotate into the overflow each round (round 4 rotates out sixteen that
+    SQL-hash-gated: 67 operators carry an oracle_sql() twin, so 17 of them
+    rotate into the overflow each round (round 4 rotates out seventeen that
     were driver-green in rounds 2 AND 3: customers_per_region,
     events_hopping_daily, events_page3, orders_price_band_join,
     orders_by_year, parts_like, events_type_counts, orders_semi_building,
     orders_topk, docs_lang_sets, events_sample_stats, events_distinct_users,
     authors_unnest_distinct, events_pivot, orders_union_tiers,
-    events_user_deltas — rotate a different sixteen next round; the new
-    dup_spans, dup_clusters, events_funnel, events_retention,
-    events_anomaly_zscore, docs_stratified_sample, docs_pack_sequences,
-    docs_unigram_surprisal, docs_pmi_bigrams, docs_normalize and
-    docs_hybrid_rrf take window slots).  All rows-only / sketch entries
-    come after slot 50."""
+    events_user_deltas, orders_topn_per_customer — rotate a different
+    seventeen next round; the new dup_spans, dup_span_fraction,
+    dup_clusters, events_funnel, events_retention, events_anomaly_zscore,
+    docs_stratified_sample, docs_pack_sequences, docs_unigram_surprisal,
+    docs_pmi_bigrams, docs_normalize and docs_hybrid_rrf take window
+    slots).  All rows-only / sketch entries come after slot 50."""
     from engine.ops import (
         ann, curate, decontam, dedup, docsearch, embed, enrich, listops,
         multimodal, multisource, pagesearch, relational, textops,
@@ -90,7 +90,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cohort retention matrix: day-of-first-event cohorts x purchase day-k
         "events_retention": relational.events_retention,
         "customers_without_recent_orders": relational.customers_without_recent_orders,
-        "orders_topn_per_customer": relational.orders_topn_per_customer,
         # multi-source ingest: parquet + zip-of-JSONL union (S5/S6, D3)
         "docs_union_sources": multisource.docs_union_sources,
         # list-typed columns: array-overlap semi-join (§2.8)
@@ -100,6 +99,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         # exact duplicated 8-token spans across docs (Lee et al. 2022 unit)
         "dup_spans": dedup.dup_spans,
+        # per-doc duplicated-span fraction (the doc-level filter score)
+        "dup_span_fraction": dedup.dup_span_fraction,
         # connected components over the near-dup pair graph (keep-one-per-
         # cluster dedup): iterative min-label propagation, 2 coarse shuffles
         # per round, converges in graph-diameter rounds
@@ -132,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_topk": ann.knn_topk,
         "cosine_dup_pairs": ann.cosine_dup_pairs,
         # ---- slots 51+: rotated-out SQL-gated ops (green r02 + r03) ----
+        "orders_topn_per_customer": relational.orders_topn_per_customer,
         "events_user_deltas": relational.events_user_deltas,
         "events_pivot": relational.events_pivot,
         "orders_union_tiers": relational.orders_union_tiers,
@@ -222,6 +224,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": dedup.EXACT_DEDUP_SQL,
         "ngram_jaccard_pairs": dedup.NGRAM_JACCARD_SQL,
         "dup_spans": dedup.DUP_SPANS_SQL,
+        "dup_span_fraction": dedup.DUP_SPAN_FRACTION_SQL,
         "dup_clusters": dedup.DUP_CLUSTERS_SQL,
         "events_funnel": relational.EVENTS_FUNNEL_SQL,
         "events_retention": relational.EVENTS_RETENTION_SQL,

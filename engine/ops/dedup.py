@@ -1051,3 +1051,154 @@ walk (node, lbl) AS (
 SELECT node AS doc_id, min(lbl) AS cluster_id
 FROM walk GROUP BY node
 """
+
+
+# ---------------------------------------------------------------------------
+def dup_span_fraction(sf_dir: str, n: int = _SPAN_N, min_docs: int = _SPAN_MIN_DOCS):
+    """Per-doc duplicated-span fraction: for every doc, the share of its
+    n-token sliding windows whose span string occurs in >= min_docs
+    distinct docs corpus-wide -> (doc_id, n_spans, n_dup, dup_frac_r6).
+    The doc-level score exact-substring dedup (Lee et al. 2022) filters
+    on; `dup_spans` reports the span view, this reports the doc view.
+
+    Scale shape: ONE corpus pass emits (a) one row per distinct
+    (span, doc) pair per batch with its occurrence count, keyed by a
+    coarse span-hash partition, and (b) one per-doc span-total marker row
+    keyed into a DISJOINT partition-id range (span parts occupy
+    [0, P), markers [P, 2P)) so both ride the SAME shuffle.  Span
+    partitions decide survivors locally (a span's rows all land in one
+    partition) and emit per-doc PARTIAL duplicated counts; a second
+    coarse doc-hash shuffle sums partials with the markers into the exact
+    fraction.  Nothing span- or corpus-scale touches the driver."""
+    from ..analyze import ngram_stream_arrow
+
+    def partials(t: pa.Table) -> pa.Table:
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        docpart = pd.util.hash_array(doc_ids) % _N_SPAN_PARTS
+        codes, parents, vocab = ngram_stream_arrow(t["text"], n)
+        if codes.size:
+            tot = np.bincount(parents, minlength=len(t)).astype(np.int64)
+        else:
+            tot = np.zeros(len(t), np.int64)
+        # marker rows: one per doc, routed to partition P + hash(doc)
+        tables = [
+            pa.table(
+                {
+                    "part": pa.array(
+                        (_N_SPAN_PARTS + docpart).astype(np.int64), pa.int64()
+                    ),
+                    "g": pa.array([""] * len(t), pa.string()),
+                    "doc_id": pa.array(doc_ids, pa.int64()),
+                    "occ": pa.array(tot, pa.int64()),
+                }
+            )
+        ]
+        if codes.size:
+            order = np.lexsort((parents, codes))
+            c_s, p_s = codes[order], parents[order]
+            brk = np.r_[True, (c_s[1:] != c_s[:-1]) | (p_s[1:] != p_s[:-1])]
+            starts = np.nonzero(brk)[0]
+            occ = np.diff(np.r_[starts, c_s.size])
+            spans = vocab.take(pa.array(c_s[starts]))
+            part = pd.util.hash_array(
+                spans.to_numpy(zero_copy_only=False)
+            ) % _N_SPAN_PARTS
+            tables.append(
+                pa.table(
+                    {
+                        "part": pa.array(part.astype(np.int64), pa.int64()),
+                        "g": spans,
+                        "doc_id": pa.array(doc_ids[p_s[starts]], pa.int64()),
+                        "occ": pa.array(occ.astype(np.int64), pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(tables)
+
+    def reduce_of_partition(g: pd.DataFrame) -> pd.DataFrame:
+        """Span partitions ([0, P)): survivors -> per-doc partial dup
+        counts.  Marker partitions ([P, 2P)): pass through as totals."""
+        if g["part"].iat[0] >= _N_SPAN_PARTS:
+            tot = g.groupby("doc_id", sort=False, as_index=False).agg(
+                v=("occ", "sum")
+            )
+            tot["is_tot"] = np.int64(1)
+            return tot[["doc_id", "v", "is_tot"]]
+        nd = g.groupby("g", sort=False)["doc_id"].nunique()
+        keep = set(nd[nd >= min_docs].index)
+        m = g[g["g"].isin(keep)]
+        out = m.groupby("doc_id", sort=False, as_index=False).agg(
+            v=("occ", "sum")
+        )
+        out["is_tot"] = np.int64(0)
+        return out[["doc_id", "v", "is_tot"]]
+
+    def frac_of_partition(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g[g["is_tot"] == 1].groupby("doc_id", sort=False, as_index=False).agg(
+            n_spans=("v", "sum")
+        )
+        dup = g[g["is_tot"] == 0].groupby("doc_id", sort=False, as_index=False).agg(
+            n_dup=("v", "sum")
+        )
+        out = tot.merge(dup, on="doc_id", how="left")
+        nd = out["n_dup"].fillna(0).to_numpy(np.float64)
+        ns = out["n_spans"].to_numpy(np.float64)
+        return pd.DataFrame(
+            {
+                "doc_id": out["doc_id"],
+                "n_spans": ns.astype(np.int64),
+                "n_dup": nd.astype(np.int64),
+                "dup_frac_r6": np.round(nd * 1.0 / np.maximum(ns, 1.0), 6),
+            }
+        )
+
+    stage1 = (
+        _read_docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(reduce_of_partition, batch_format="pandas")
+    )
+
+    def add_docpart(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["docpart"] = (
+            pd.util.hash_array(b["doc_id"].to_numpy(np.int64)) % _N_SPAN_PARTS
+        ).astype(np.int64)
+        return b
+
+    return (
+        stage1.map_batches(add_docpart, batch_format="pandas")
+        .groupby("docpart")
+        .map_groups(frac_of_partition, batch_format="pandas")
+    )
+
+
+DUP_SPAN_FRACTION_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+sp AS (
+  SELECT doc_id, array_to_string(toks[i:i+{_SPAN_N - 1}], ' ') AS g
+  FROM (SELECT doc_id,
+               unnest(generate_series(1, greatest(len(toks) - {_SPAN_N - 1}, 0))) AS i,
+               toks
+        FROM base)
+),
+gd AS (SELECT g, count(DISTINCT doc_id) AS nd FROM sp GROUP BY g),
+dup AS (
+  SELECT s.doc_id, count(*) AS n_dup
+  FROM sp s JOIN gd ON gd.g = s.g
+  WHERE gd.nd >= {_SPAN_MIN_DOCS}
+  GROUP BY s.doc_id
+),
+tot AS (SELECT doc_id, greatest(len(toks) - {_SPAN_N - 1}, 0) AS n_spans FROM base)
+SELECT t.doc_id,
+       CAST(t.n_spans AS BIGINT) AS n_spans,
+       CAST(coalesce(d.n_dup, 0) AS BIGINT) AS n_dup,
+       round(coalesce(d.n_dup, 0) * 1.0 / greatest(t.n_spans, 1), 6)
+         AS dup_frac_r6
+FROM tot t LEFT JOIN dup d USING (doc_id)
+"""

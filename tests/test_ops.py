@@ -69,6 +69,7 @@ SQL_CHECKED = [
     "orders_by_year",
     "exact_dedup",
     "dup_spans",
+    "dup_span_fraction",
     "token_counts",
     "lang_id",
     "knn_topk",
