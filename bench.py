@@ -154,15 +154,20 @@ def run_bench() -> dict:
     n_builds = 1 if os.environ.get("GRAFT_HEADLINE_ONLY") == "1" else 2
     index_dir = tempfile.mkdtemp(prefix="rayft_bench_idx_")
     try:
-        build_s = None
+        build_times: list[float] = []
         for _ in range(n_builds):
             shutil.rmtree(index_dir, ignore_errors=True)
             t0 = time.perf_counter()
             metrics = build_index(
                 pages_dir, index_dir, num_partitions=8,
             )
-            dt = time.perf_counter() - t0
-            build_s = dt if build_s is None else min(build_s, dt)
+            build_times.append(time.perf_counter() - t0)
+        build_s = min(build_times)
+        # record the methodology next to the number (ADVICE round 4): a
+        # best-of-2 snapshot is not comparable to a single-shot one without
+        # knowing which it was, and the losing time bounds the box swing
+        queries["index_build_n_builds"] = n_builds
+        queries["index_build_times_s"] = [round(t, 3) for t in build_times]
         queries["index_build_s"] = round(build_s, 3)
         queries["index_docs_per_s"] = round(metrics["n_docs"] / build_s, 1)
 
@@ -389,9 +394,11 @@ def run_scaling() -> dict:
         out[f"build_docs_per_s_{ncpu}"] = runs[ncpu]["index_docs_per_s"]
         out[f"build_s_{ncpu}"] = runs[ncpu]["index_build_s"]
         out[f"extract_tokenize_docs_per_s_{ncpu}"] = runs[ncpu]["extract_tokenize_docs_per_s"]
-        out[f"box_calibration_docs_per_s_{ncpu}"] = runs[ncpu].get(
-            "box_calibration_docs_per_s"
-        )
+        # NOTE: the old box_calibration_docs_per_s_{ncpu} key is gone
+        # (ADVICE round 4: its meaning silently flipped from the ET leg's
+        # probe to the build leg's when the merge order changed); the
+        # unambiguous per-leg et_/build_ calibration_start/end fields below
+        # are the record now
         for tag in ("et", "build"):
             for edge in ("start", "end"):
                 out[f"{tag}_calibration_{edge}_{ncpu}"] = runs[ncpu].get(

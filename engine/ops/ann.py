@@ -75,14 +75,27 @@ class _CosineTopK:
         mn = m / np.maximum(norms, 1e-30)
         sims = mn @ self.qn.T  # (n_batch, n_queries)
         out_q, out_v, out_s = [], [], []
-        k = min(self.k, len(ids))
         for qi, qid in enumerate(self.q_ids):
             s = sims[:, qi]
+            cand_ids = ids
             if self.exclude_self:
-                s = np.where(ids == qid, -np.inf, s)
-            top = np.argpartition(-s, k - 1)[:k] if k < len(ids) else np.arange(len(ids))
+                # DROP the probe row rather than -inf-masking it: on a batch
+                # with fewer rows than k the masked row would otherwise reach
+                # the global head(k) merge and can surface as (probe, -inf)
+                # on small corpora (ADVICE round 4)
+                alive = cand_ids != qid
+                if not alive.all():
+                    cand_ids, s = cand_ids[alive], s[alive]
+            k = min(self.k, len(cand_ids))
+            if k == 0:
+                continue
+            top = (
+                np.argpartition(-s, k - 1)[:k]
+                if k < len(cand_ids)
+                else np.arange(len(cand_ids))
+            )
             out_q.extend([int(qid)] * len(top))
-            out_v.extend(ids[top].tolist())
+            out_v.extend(cand_ids[top].tolist())
             out_s.extend(s[top].tolist())
         return pa.table(
             {

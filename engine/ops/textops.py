@@ -1301,7 +1301,7 @@ FROM ranked WHERE rank <= {_PMI_TOP}
 _NORM_AUG_PY = " Café  NÅIVE\tx"
 
 
-def docs_normalize(sf_dir: str):
+def docs_normalize(sf_dir: str, augment: bool = True):
     """Text canonicalization (the M21-normalizer analog on `documents`):
     Unicode NFC -> lowercase -> collapse [ \\t\\n\\r]+ runs to one space ->
     trim, then fingerprint the canonical form.  The stage every web-text
@@ -1314,16 +1314,27 @@ def docs_normalize(sf_dir: str):
     unicodedata (pyarrow's utf8_normalize decomposes but does NOT apply
     canonical composition, verified empirically) alongside the per-row md5
     — the same per-doc digest budget as exact_dedup.  Embarrassingly
-    parallel — no shuffle."""
+    parallel — no shuffle.
+
+    ``augment`` (default True, the oracle path) appends the deterministic
+    messy-unicode suffix so the normalizer has real work on the ASCII-clean
+    synthetic corpus — the SQL twin appends the identical suffix.  Pass
+    ``augment=False`` to fingerprint the documents' ACTUAL text (the real
+    canonicalization/dedup stage; ADVICE round 4)."""
     import unicodedata
 
     def fn(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        aug = pc.binary_join_element_wise(
-            t["text"].cast(pa.string()),
-            pa.array([_NORM_AUG_PY + str(i % 7) for i in ids], pa.string()),
-            "",
-        )
+        if augment:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            aug = pc.binary_join_element_wise(
+                t["text"].cast(pa.string()),
+                pa.array([_NORM_AUG_PY + str(i % 7) for i in ids], pa.string()),
+                "",
+            )
+        else:
+            aug = t["text"].cast(pa.string())
+            if isinstance(aug, pa.ChunkedArray):
+                aug = aug.combine_chunks()
         norm = pa.array(
             [unicodedata.normalize("NFC", s) for s in aug.to_pylist()],
             pa.string(),

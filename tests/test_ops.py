@@ -316,6 +316,58 @@ def test_lang_id_and_fingerprints_run():
     assert (fp["n_fingerprints"] > 0).mean() > 0.9
 
 
+def test_knn_exclude_self_drops_probe_even_in_tiny_batches():
+    """exclude_self must DROP the probe row, not -inf-mask it: a batch with
+    <= k rows would otherwise emit (probe, -inf) into the global merge
+    (ADVICE round 4).  A 3-vector corpus with k=5 forces that case."""
+    import numpy as np
+    import pyarrow as pa
+    import ray as _ray
+
+    from engine.ops.ann import _CosineTopK
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(3, 8))
+    ids = np.array([0, 1, 2], dtype=np.int64)
+    q_ref = _ray.put((ids[:1], vecs[:1]))
+    stage = _CosineTopK(q_ref, k=5, exclude_self=True)
+    batch = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(vecs.ravel(), pa.float32()), 8
+            ),
+        }
+    )
+    out = stage(batch)
+    got_ids = out["vec_id"].to_pylist()
+    assert 0 not in got_ids and sorted(got_ids) == [1, 2]
+    assert all(np.isfinite(s) for s in out["sim"].to_pylist())
+
+
+def test_docs_normalize_unaugmented_fingerprints_actual_text():
+    """augment=False must fingerprint the documents' real text (the reusable
+    canonicalization stage, ADVICE round 4): md5 of NFC+lower+collapse+trim
+    of the raw text, independently re-derived here."""
+    import hashlib
+    import unicodedata
+
+    import pyarrow.parquet as pq
+
+    from engine.ops.textops import docs_normalize
+
+    got = _to_pandas(docs_normalize(SF, augment=False)).set_index("doc_id")
+    t = pq.read_table(SF + "/documents.parquet", columns=["doc_id", "text"])
+    import re
+
+    for doc_id, text in zip(
+        t["doc_id"].to_pylist()[:50], t["text"].to_pylist()[:50]
+    ):
+        n = re.sub(r"[ \t\n\r]+", " ", unicodedata.normalize("NFC", text).lower()).strip()
+        assert got.loc[doc_id, "norm_md5"] == hashlib.md5(n.encode()).hexdigest()
+        assert got.loc[doc_id, "norm_chars"] == len(n)
+
+
 def test_entry_smoke():
     res = _to_pandas(entrymod.entry())
     assert len(res) > 0
