@@ -253,6 +253,7 @@ def build_index(
     stop_after_postings: bool = False,
     input_filter=None,
     store_positions: bool = False,
+    precomputed_losers: pa.Table | None = None,
 ) -> dict:
     """Build (or resume) the full index under ``index_dir``. Returns metrics.
 
@@ -270,7 +271,12 @@ def build_index(
     bakes the corpus-global avgdl into this shard's impacts so shard-local
     top-k merge is rank-identical to one big index, and
     ``stop_after_postings`` ends the build after the ingest phases so the
-    orchestrator can derive the global stats between passes.
+    orchestrator can derive the global stats between passes, and
+    ``precomputed_losers`` injects a loser table the orchestrator computed
+    ONCE over the whole corpus (build_sharded runs S shard builds — without
+    it each would redundantly re-scan every input file for the identical
+    global loser set); the lineage fingerprint is unchanged, so a resumed
+    build without the injection still validates.
 
     ``input_filter`` is an optional ``pyarrow.dataset`` Expression pushed
     into every input read (the reference's free-form ``--condition`` WHERE
@@ -334,7 +340,16 @@ def build_index(
     # when loser_files is given, so every shard agrees on the winner
     rank_of_path = {f: i for i, f in enumerate(sorted(loser_src))}
     if not man.phase_done("losers", losers_fp, losers_path):
-        if input_kind == "pages" and loser_src:
+        if precomputed_losers is not None:
+            # a callable is a lazy memo (build_sharded): the corpus-wide
+            # loser scan runs at most once across S shard builds, and not
+            # at all on a fully-checkpointed rerun
+            losers_tbl = (
+                precomputed_losers()
+                if callable(precomputed_losers)
+                else precomputed_losers
+            )
+        elif input_kind == "pages" and loser_src:
             losers_tbl = _compute_losers_from_input(
                 loser_src, rank_of_path, input_filter=input_filter
             )

@@ -111,3 +111,44 @@ def test_sharded_pool_rank_identical_to_one_big_index(served_index, tmp_path):
             assert pool.suggest(term) == local.suggest(term), term
     finally:
         pool.shutdown()
+    # the global df reduce ran DISTRIBUTED and the driver handed actors a
+    # PATH: per-bucket-group parquet + fingerprint live under the shard root
+    gdir = str(tmp_path / "shards" / "global_dfs")
+    files = sorted(os.listdir(gdir))
+    assert ".fingerprint" in files
+    assert any(f.startswith("bg-") and f.endswith(".parquet") for f in files)
+    # fingerprint-matched reassembly is a no-op (pool creation stays free)
+    before = {f: os.path.getmtime(os.path.join(gdir, f)) for f in files}
+    from engine.serve import _assemble_global_dfs
+
+    _assemble_global_dfs(shard_dirs, gdir)
+    assert {f: os.path.getmtime(os.path.join(gdir, f))
+            for f in sorted(os.listdir(gdir))} == before
+
+
+def test_build_sharded_resumes_and_skips(served_index, tmp_path):
+    """Re-running the CONCURRENT build_sharded over unchanged inputs must
+    skip every per-shard phase via the manifests (per-shard resume semantics
+    unchanged by the thread-pool orchestration)."""
+    import os
+    import time
+
+    pages_dir = os.path.join(os.path.dirname(served_index), "pages")
+    root = str(tmp_path / "shards")
+    shard_dirs = build_sharded(pages_dir, root, 4, num_partitions=2)
+    t0 = time.perf_counter()
+    again = build_sharded(pages_dir, root, 4, num_partitions=2)
+    dt = time.perf_counter() - t0
+    assert again == shard_dirs
+    # every phase checkpointed: the rerun is manifest reads + the cached
+    # global-df fingerprint check (a fresh 4-shard build takes >>10s here)
+    assert dt < 10, dt
+    pool = ShardedQueryPool(shard_dirs, num_cpus=0.25)
+    try:
+        local = IndexReader(served_index)
+        q = synth.gen_queries_table(5).to_pylist()[0]
+        assert pool.search(q["query_text"], k=q["k"]) == local.search(
+            q["query_text"], k=q["k"]
+        )
+    finally:
+        pool.shutdown()
