@@ -256,6 +256,36 @@ def run_bench() -> dict:
                 queries["pool_qps_8actors"] = round(len(qlist) / dt, 1)
             finally:
                 pool.shutdown()
+
+            # ---- doc-sharded layout: concurrent 8-shard build + serve QPS --
+            # the corpus-scaling path: S independent shard builds run
+            # concurrently (pass A, avgdl barrier, pass B) + the distributed
+            # global-df reduce; serving is batched scatter-gather where
+            # every query hits all 8 shards (vs pool_qps's 1 actor/query)
+            from engine.serve import ShardedQueryPool, build_sharded
+
+            shards_root = tempfile.mkdtemp(prefix="rayft_bench_shards_")
+            try:
+                t0 = time.perf_counter()
+                shard_dirs = build_sharded(
+                    pages_dir, shards_root, 8, num_partitions=2,
+                )
+                queries["sharded_build_8shards_s"] = round(
+                    time.perf_counter() - t0, 3
+                )
+                spool = ShardedQueryPool(shard_dirs)
+                try:
+                    spool.search_many(
+                        [dict(q) for q in qlist[: len(qtbl)]]
+                    )  # warm
+                    t0 = time.perf_counter()
+                    spool.search_many([dict(q) for q in qlist])
+                    dt = time.perf_counter() - t0
+                    queries["sharded_qps_8shards"] = round(len(qlist) / dt, 1)
+                finally:
+                    spool.shutdown()
+            finally:
+                shutil.rmtree(shards_root, ignore_errors=True)
     finally:
         shutil.rmtree(index_dir, ignore_errors=True)
 
@@ -272,7 +302,16 @@ def run_bench() -> dict:
         }
 
     # ---- flagship operators over the relational testdata ---------------
-    from engine.ops import ann, decontam, dedup, relational, textops
+    from engine.ops import ann, decontam, dedup, docsearch, relational, textops
+
+    # hybrid retrieval re-uses the cached documents index; pay (and report)
+    # its one-off build separately so docs_hybrid_rrf below measures ONLY
+    # fuse+search (round-4 verdict #7: the old single number conflated a
+    # 10s index build with a sub-second fusion)
+    shutil.rmtree(docsearch._index_dir_for(SF_DIR), ignore_errors=True)  # cold
+    t0 = time.perf_counter()
+    docsearch._index_for(SF_DIR)
+    queries["docs_index_build_s"] = round(time.perf_counter() - t0, 3)
 
     def consume(res):
         import pandas as pd
@@ -296,6 +335,7 @@ def run_bench() -> dict:
         ("docs_unigram_surprisal", textops.docs_unigram_surprisal),
         ("docs_pmi_bigrams", textops.docs_pmi_bigrams),
         ("decontaminate_docs", decontam.decontaminate_docs),
+        ("docs_hybrid_rrf", docsearch.docs_hybrid_rrf),
         ("knn_topk", ann.knn_topk),
         ("ivf_knn_topk", ann.ivf_knn_topk),
     ]:

@@ -56,16 +56,24 @@ def _pool_for(sf_dir: str):
     return p
 
 
+def _index_dir_for(sf_dir: str) -> str:
+    """Content-addressed on-disk location of the documents index for
+    ``sf_dir`` (bench deletes it to force a cold build timing)."""
+    key = os.path.abspath(sf_dir)
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = hashlib.blake2b(
+        f"{key}:{os.path.getsize(src)}:p1".encode(), digest_size=8
+    ).hexdigest()
+    return os.path.join(tempfile.gettempdir(), f"rayft_docidx_{tag}")
+
+
 def _index_for(sf_dir: str) -> IndexReader:
     """Build (once per sf_dir per process) the documents index under /tmp."""
     key = os.path.abspath(sf_dir)
     if key in _reader_cache:
         return _reader_cache[key]
     src = os.path.join(sf_dir, "documents.parquet")
-    tag = hashlib.blake2b(
-        f"{key}:{os.path.getsize(src)}:p1".encode(), digest_size=8
-    ).hexdigest()
-    index_dir = os.path.join(tempfile.gettempdir(), f"rayft_docidx_{tag}")
+    index_dir = _index_dir_for(sf_dir)
     # positional: the boolean gate's phrase queries then run adjacency off
     # the index (the scale path) while the SQL oracle checks the results
     build_index(

@@ -208,6 +208,12 @@ class ShardQueryActor:
     def search(self, query_text: str, **kw) -> list[tuple[int, float]]:
         return self.reader.search(query_text, **kw)
 
+    def search_batch(self, queries: list[dict]) -> list[list[tuple[int, float]]]:
+        # one RPC per (actor, query LIST): the sharded scatter-gather ships
+        # each query to every shard, so batching amortizes the per-message
+        # overhead S-fold
+        return [self.reader.search(q.pop("query_text"), **q) for q in queries]
+
     def search_boolean(self, query_text: str, **kw) -> list[tuple[int, float]]:
         # boolean eligibility is doc-local (must/not masks, phrase
         # adjacency all resolve within the doc's own shard) and scores use
@@ -385,6 +391,24 @@ class ShardedQueryPool:
         merged = [hit for res in ray.get(futs) for hit in res]
         merged.sort(key=lambda t: (-t[1], t[0]))
         return merged[:k]
+
+    def search_many(self, queries: list[dict]) -> list[list[tuple[int, float]]]:
+        """Batched scatter-gather: ONE search_batch RPC per shard actor
+        carrying the whole query list (each query must hit every shard, so
+        per-query fan-out would cost len(queries) x S messages), then a
+        per-query (score DESC, doc_id ASC) merge of the shards' local
+        top-k.  Results in input order, each exact."""
+        futs = [
+            a.search_batch.remote([dict(q) for q in queries])
+            for a in self.actors
+        ]
+        per_shard = ray.get(futs)  # S lists of per-query local top-k
+        out = []
+        for j, q in enumerate(queries):
+            merged = [hit for res in per_shard for hit in res[j]]
+            merged.sort(key=lambda t: (-t[1], t[0]))
+            out.append(merged[: int(q.get("k", 10))])
+        return out
 
     def suggest(self, term: str):
         a = self.actors[0]

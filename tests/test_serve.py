@@ -92,6 +92,14 @@ def test_sharded_pool_rank_identical_to_one_big_index(served_index, tmp_path):
             want = local.search(q["query_text"], k=q["k"])
             got = pool.search(q["query_text"], k=q["k"])
             assert got == want, q["query_text"]
+        # batched scatter-gather path: identical, in input order
+        qs = [
+            {"query_text": q["query_text"], "k": q["k"]}
+            for q in synth.gen_queries_table(10).to_pylist()
+        ]
+        many = pool.search_many([dict(q) for q in qs])
+        for q, res in zip(qs, many):
+            assert res == local.search(q["query_text"], k=q["k"])
         # metadata filters work per shard (each shard owns its docmeta)
         want = local.search("the", k=10, lang_filter="en")
         assert pool.search("the", k=10, lang_filter="en") == want
