@@ -69,7 +69,8 @@ from .schema import (
 
 
 # bump when the on-disk layout or scoring-relevant semantics change
-FORMAT_VERSION = 7
+# v8: segments store varint doclens instead of raw-float64 impacts
+FORMAT_VERSION = 8
 
 # merge-phase doclen exchange: broadcast the (doc_id, doclen) table while it
 # fits this budget; above it, reduce tasks read doc_id-range row groups from
@@ -84,6 +85,22 @@ def _ensure_nonempty(out_dir: str, schema: pa.Schema) -> None:
         pa.parquet.write_table(
             schema.empty_table(), os.path.join(out_dir, "empty.parquet")
         )
+
+
+def _dir_bytes(root: str) -> int:
+    """Total on-disk bytes under ``root`` (driver-side stat walk: one stat
+    per written part file, O(files) not O(bytes)) — the build records these
+    per phase so the exchange's byte volume is attributable from the
+    manifest instead of guessed (round-4 verdict #4: the 8->32-cpu
+    inversion is a bus symptom; this is the meter for it)."""
+    total = 0
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(dirpath, f))
+            except OSError:
+                pass
+    return total
 
 
 def _hash_analyzer(cfg: AnalyzerConfig) -> str:
@@ -528,6 +545,13 @@ def build_index(
             )
     _mark("t_postings")
 
+    # byte volume of the exchange's map side (what the merge must re-read)
+    # and of the fused wave's other sinks, attributable per phase
+    metrics["bytes_input"] = sum(os.path.getsize(f) for f in files)
+    metrics["bytes_partials"] = _dir_bytes(partials_root)
+    metrics["bytes_docmeta"] = _dir_bytes(docmeta_root)
+    metrics["bytes_docstore"] = _dir_bytes(extracted_root)
+
     # ---- phase stats -----------------------------------------------------
     # N and total_tokens are DISTINCT-doc counts off the compact docmeta
     # table (one narrow two-column read per pid, in parallel): the wave's
@@ -701,8 +725,12 @@ def build_index(
         os.replace(stats_path + ".tmp", stats_path)
         man.record_phase(
             "segments", partials_fp,
-            {"n_terms": n_terms, "n_hot_terms": n_hot, "chunk_groups": n_chunks},
+            {"n_terms": n_terms, "n_hot_terms": n_hot, "chunk_groups": n_chunks,
+             "bytes_partials_read": metrics.get("bytes_partials"),
+             "bytes_segments": _dir_bytes(segments_root),
+             "bytes_dfs": _dir_bytes(dfs_root)},
         )
+    metrics["bytes_segments"] = _dir_bytes(segments_root)
 
     _mark("t_segments")
     metrics.update(stats)
@@ -1323,6 +1351,7 @@ class _MergeBucketGroup:
         order = np.argsort(key, kind="stable")
         t2 = t.take(pa.array(order))
         impacts = impacts[order]
+        dls = dls[order]
         key = key[order]
         bounds = np.nonzero(np.diff(key))[0] + 1
         starts = np.concatenate(([0], bounds))
@@ -1333,17 +1362,18 @@ class _MergeBucketGroup:
             bucket = int(key[s0] // (NUM_SALTS + 1))
             saltv = int(key[s0] % (NUM_SALTS + 1))
             n_chunks += _compress_and_write_group(
-                group, impacts[s0:e0], bucket, saltv, self.out_root
+                group, impacts[s0:e0], dls[s0:e0], bucket, saltv, self.out_root
             )
         return len(uniq), n_chunks, int(uniq_hot.sum())
 
 
 def _compress_and_write_group(
-    group: pa.Table, impacts: np.ndarray, bucket: int, salt: int, out_root: str
+    group: pa.Table, impacts: np.ndarray, dls: np.ndarray,
+    bucket: int, salt: int, out_root: str
 ) -> int:
     """One (bucket, salt) group -> compressed chunk rows written straight to
     the segment file; returns the number of term-chunk rows written."""
-    t = _compress_bucket(group, impacts, bucket, salt)
+    t = _compress_bucket(group, impacts, dls, bucket, salt)
     d = os.path.join(out_root, f"bucket={bucket}")
     os.makedirs(d, exist_ok=True)
     pa.parquet.write_table(
@@ -1357,11 +1387,15 @@ def _compress_and_write_group(
 
 
 def _compress_bucket(
-    group: pa.Table, impacts: np.ndarray, bucket: int, salt: int
+    group: pa.Table, impacts: np.ndarray, dls: np.ndarray,
+    bucket: int, salt: int
 ) -> pa.Table:
     """Exchange reducer: one (bucket, salt) group (+ its precomputed
-    per-posting impacts) -> one compressed chunk row per term in the group
-    (SURVEY.md §7.2 step 5)."""
+    per-posting impacts and doc lengths) -> one compressed chunk row per
+    term in the group (SURVEY.md §7.2 step 5).  Impacts drive the exact
+    block-max metadata but are NOT stored — the segment carries varint
+    doclens and the reader recomputes the identical float64 impacts
+    (schema.py SEGMENT_SCHEMA note)."""
     if group.num_rows == 0:
         if "positions" in group.column_names:
             return SEGMENT_POS_SCHEMA.empty_table()
@@ -1377,7 +1411,7 @@ def _compress_bucket(
     tfs = group.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
     order = np.lexsort((doc_ids, codes))
     codes, doc_ids = codes[order], doc_ids[order]
-    tfs, impacts = tfs[order], impacts[order]
+    tfs, impacts, dls = tfs[order], impacts[order], dls[order]
     row_sel = order  # original row index per output row (positions gather)
     # guard: an exact-duplicate input row split across blocks of one file can
     # emit the same (term, doc) twice; a doc lives in exactly one salt group
@@ -1387,7 +1421,7 @@ def _compress_bucket(
         uniq[1:] = (codes[1:] != codes[:-1]) | (doc_ids[1:] != doc_ids[:-1])
         if not uniq.all():
             codes, doc_ids = codes[uniq], doc_ids[uniq]
-            tfs, impacts = tfs[uniq], impacts[uniq]
+            tfs, impacts, dls = tfs[uniq], impacts[uniq], dls[uniq]
             row_sel = row_sel[uniq]
     with_pos = "positions" in group.column_names
     if with_pos:
@@ -1402,7 +1436,7 @@ def _compress_bucket(
     starts = np.concatenate(([0], bounds))
     ends = np.concatenate((bounds, [len(codes)]))
     rows = {k: [] for k in (
-        "term", "df_chunk", "doc_ids", "tfs", "impacts",
+        "term", "df_chunk", "doc_ids", "tfs", "doclens",
         "block_last_doc", "block_max_impact", "positions",
     )}
     for s0, e0 in zip(starts, ends):
@@ -1413,7 +1447,7 @@ def _compress_bucket(
         rows["df_chunk"].append(e0 - s0)
         rows["doc_ids"].append(codec.delta_encode(ids_t))
         rows["tfs"].append(codec.ints_encode(tfs[s0:e0].astype(np.uint64)))
-        rows["impacts"].append(codec.floats_encode(imp_t))
+        rows["doclens"].append(codec.ints_encode(dls[s0:e0].astype(np.uint64)))
         rows["block_last_doc"].append(block_last.tolist())
         rows["block_max_impact"].append(block_max.tolist())
         if with_pos:
@@ -1430,7 +1464,7 @@ def _compress_bucket(
         "df_chunk": pa.array(rows["df_chunk"], pa.int64()),
         "doc_ids": pa.array(rows["doc_ids"], pa.binary()),
         "tfs": pa.array(rows["tfs"], pa.binary()),
-        "impacts": pa.array(rows["impacts"], pa.binary()),
+        "doclens": pa.array(rows["doclens"], pa.binary()),
         "block_last_doc": pa.array(rows["block_last_doc"], pa.list_(pa.uint64())),
         "block_max_impact": pa.array(rows["block_max_impact"], pa.list_(pa.float64())),
     }

@@ -482,7 +482,7 @@ class IndexReader:
                 # column of a positional index through every query's read
                 cols = [
                     "term", "salt", "df_chunk", "doc_ids", "tfs",
-                    "impacts", "block_last_doc", "block_max_impact",
+                    "doclens", "block_last_doc", "block_max_impact",
                 ]
             tbl = self._segments.to_table(
                 filter=pc.field("bucket") == bucket, columns=cols
@@ -496,15 +496,27 @@ class IndexReader:
         return cached
 
     def _load_chunks(self, term: str) -> list[tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]:
-        """All compressed chunks (salted) for a term, decoded; cached."""
+        """All compressed chunks (salted) for a term, decoded; cached.
+
+        Impacts are RECOMPUTED here from the stored (tf, doclen) varints
+        with the exact arithmetic (dtype, op order, constants) the build
+        used before segments switched to storing doclens — so scores stay
+        float64-bitwise-identical to the oracle while the segment files
+        shed their one incompressible column (schema.py SEGMENT_SCHEMA).
+        Cached per term: warm-query latency is unchanged."""
         if term in self._chunk_cache:
             return self._chunk_cache[term]
+        k1 = float(self.stats["k1"])
+        b = float(self.stats["b"])
+        avgdl = self.avgdl
         tbl, index = self._bucket_rows(term_bucket(term))
         chunks = []
         for row in index.get(term, ()):
             n = tbl["df_chunk"][row].as_py()
             ids = codec.delta_decode(tbl["doc_ids"][row].as_py(), n)
-            impacts = codec.floats_decode(tbl["impacts"][row].as_py())
+            tfs = codec.ints_decode(tbl["tfs"][row].as_py(), n).astype(np.float64)
+            dls = codec.ints_decode(tbl["doclens"][row].as_py(), n).astype(np.float64)
+            impacts = tfs * (k1 + 1.0) / (tfs + k1 * ((1.0 - b) + (b * dls) / avgdl))
             block_last = np.asarray(tbl["block_last_doc"][row].as_py(), dtype=np.uint64)
             block_max = np.asarray(tbl["block_max_impact"][row].as_py(), dtype=np.float64)
             chunks.append((ids, impacts, block_last, block_max))

@@ -111,7 +111,14 @@ SEGMENT_SCHEMA = pa.schema(
         pa.field("df_chunk", pa.int64()),
         pa.field("doc_ids", pa.binary()),  # delta-varint, sorted uint64
         pa.field("tfs", pa.binary()),  # varint
-        pa.field("impacts", pa.binary()),  # float64 LE array: per-posting BM25 impact (idf excluded)
+        # per-posting doc length, tagged varint/PFor.  The float64 BM25
+        # impact is RECOMPUTED at chunk load (query.py _load_chunks) from
+        # (tf, doclen, avgdl, k1, b) with the build's exact op order —
+        # bitwise-identical scores at ~1/4 the bytes: storing impacts as
+        # raw float64 made segments the build's largest write (8B/posting,
+        # zstd-incompressible mantissas; round-4 verdict #4's merge-phase
+        # byte-volume item), while doclens are small repeating ints.
+        pa.field("doclens", pa.binary()),
         pa.field("block_last_doc", pa.list_(pa.uint64())),
         pa.field("block_max_impact", pa.list_(pa.float64())),
     ]

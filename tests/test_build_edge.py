@@ -188,7 +188,7 @@ def test_doclen_range_exchange_matches_broadcast(tmp_path, monkeypatch):
         return sorted(
             zip(
                 t["term"].to_pylist(), t["salt"].to_pylist(),
-                t["doc_ids"].to_pylist(), t["impacts"].to_pylist(),
+                t["doc_ids"].to_pylist(), t["doclens"].to_pylist(),
             )
         )
 
