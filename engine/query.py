@@ -878,13 +878,22 @@ class IndexReader:
             top = self._dispatch(term_chunks, pool, mask, method, total_postings)
             out: list[tuple[int, float]] = []
             if self.has_positions:
-                step = max(256, 4 * k)  # batched-vectorized: bigger bites
+                # batched-vectorized, GEOMETRIC steps: each _verify_batch
+                # pays a fixed per-phrase-term cost (searchsorted over the
+                # term's whole chunk ids), so fixed-size bites made a
+                # sparse-match phrase scan the index bound/step times
+                # (measured 26 passes -> 41-53 ms on 3-term head-term
+                # phrases, BENCH_r04's bool_query_pos_p95).  Growing the
+                # bite 4x keeps the early exit for head-of-list matches
+                # while bounding sparse matches at O(log) passes.
+                step = max(256, 4 * k)
                 i = 0
                 while i < len(top) and len(out) < k:
                     chunk = top[i : i + step]
                     _verify_batch([d for d, _ in chunk])
                     out.extend((d, s) for d, s in chunk if verified.get(d))
                     i += step
+                    step *= 4
             else:
                 _verify_batch([d for d, _ in top])
                 out = [(d, s) for d, s in top if verified.get(d)]
@@ -926,6 +935,31 @@ class IndexReader:
                 offs = np.concatenate(([0], np.cumsum(lens)))
                 flat = codec.poslist_decode(tbl["positions"][row].as_py(), lens)
                 data.append((ids, offs, flat))
+            if len(data) > 1:
+                # merge a hot term's salted chunks into ONE sorted run once
+                # at decode time (cached): phrase verification probes every
+                # chunk per batch, so 8 salt chunks made each verify pass
+                # pay 8 searchsorteds per term — the dominant cost of
+                # BENCH_r04's bool_query_pos p95 (sparse-match phrases)
+                ids = np.concatenate([d[0] for d in data])
+                run_lens = np.concatenate([np.diff(d[1]) for d in data])
+                flat_all = np.concatenate([d[2] for d in data])
+                bases = np.cumsum([0] + [d[2].size for d in data[:-1]])
+                run_starts = np.concatenate(
+                    [d[1][:-1] + b for d, b in zip(data, bases)]
+                )
+                order = np.argsort(ids, kind="stable")
+                ids_s = ids[order]
+                lens_s = run_lens[order]
+                starts_s = run_starts[order]
+                offs_s = np.concatenate(([0], np.cumsum(lens_s)))
+                total = int(offs_s[-1])
+                gather = (
+                    np.arange(total, dtype=np.int64)
+                    - np.repeat(offs_s[:-1], lens_s)
+                    + np.repeat(starts_s, lens_s)
+                )
+                data = [(ids_s, offs_s, flat_all[gather])]
             self._tpos_cache[term] = data
         return data
 
