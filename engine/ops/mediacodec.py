@@ -231,8 +231,9 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 # Huffman tables from the FILE (DQT/DHT segments), so externally-produced
 # baseline JPEGs decode with their own tables; the spec's Annex-K standard
 # tables below are used only by the encoder.  Supported: 8-bit baseline
-# (SOF0), 1 or 3 components, sampling factors up to 2x2, restart intervals.
-# Progressive (SOF2) / arithmetic / 12-bit raise NotImplementedError.
+# (SOF0) and 8/12-bit extended sequential Huffman (SOF1), 1 or 3
+# components, sampling factors up to 2x2, restart intervals.
+# Progressive (SOF2) / arithmetic raise NotImplementedError.
 
 _ZIGZAG = np.array(
     [
@@ -359,6 +360,26 @@ def _quality_scale(tbl: np.ndarray, quality: int) -> np.ndarray:
     return np.clip((tbl * scale + 50) // 100, 1, 255).astype(np.int64)
 
 
+def _flat_table(symbols, length: int) -> tuple[list[int], list[int]]:
+    bits = [0] * 16
+    bits[length - 1] = len(symbols)
+    return bits, list(symbols)
+
+
+# Extended-sequential (12-bit, SOF1) entropy tables: Annex K's standard
+# tables only cover 8-bit magnitude categories (DC <= 11, AC size <= 10),
+# so the 12-bit encoder emits these flat canonical tables instead — DC
+# categories 0..15 as 5-bit codes (Kraft 16/32) and the 226 AC symbols
+# (EOB, ZRL, run 0..15 x size 1..14) as 8-bit codes (Kraft 226/256, last
+# code 225 so the all-ones code stays unused as T.81 C.2 requires).  They
+# ride in the file's own DHT segment like any other table, so the decoder
+# needs nothing special.
+_EXT_DC = _flat_table(range(16), 5)
+_EXT_AC = _flat_table(
+    [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 15)], 8
+)
+
+
 class _HuffEncoder:
     """Canonical Huffman codes from a (BITS, HUFFVAL) table spec."""
 
@@ -449,14 +470,23 @@ def encode_jpeg(
     quality: int = 90,
     subsample: bool = False,
     restart_interval: int = 0,
+    precision: int = 8,
 ) -> bytes:
     """(h, w) or (h, w, {1,3}) uint8 -> baseline JPEG (interleaved single
     scan, standard Annex-K Huffman tables).  ``subsample`` emits 4:2:0
     chroma (Y 2x2 / Cb,Cr 1x1 sampling, 2x2-mean downsample);
     ``restart_interval`` emits DRI + RSTn markers every N MCUs — both exist
     so the decoder's sampling-factor and restart paths are round-trippable
-    in-container."""
-    img = np.ascontiguousarray(img, dtype=np.uint8)
+    in-container.  ``precision=12`` takes uint16 samples in [0, 4095] and
+    emits a 12-bit extended-sequential (SOF1) stream with the _EXT Huffman
+    tables (T.81 F.1.3; Annex K's tables stop at 8-bit categories)."""
+    if precision not in (8, 12):
+        raise NotImplementedError(f"JPEG encoder: precision {precision}")
+    center = 1 << (precision - 1)
+    maxval = (1 << precision) - 1
+    img = np.ascontiguousarray(img, dtype=np.uint8 if precision == 8 else np.uint16)
+    if precision == 12 and img.max(initial=0) > maxval:
+        raise ValueError("12-bit JPEG encoder: samples must be in [0, 4095]")
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, nc = img.shape
@@ -465,8 +495,8 @@ def encode_jpeg(
     if nc == 3:  # JFIF YCbCr
         f = img.astype(np.float64)
         y = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
-        cb = -0.168736 * f[..., 0] - 0.331264 * f[..., 1] + 0.5 * f[..., 2] + 128
-        cr = 0.5 * f[..., 0] - 0.418688 * f[..., 1] - 0.081312 * f[..., 2] + 128
+        cb = -0.168736 * f[..., 0] - 0.331264 * f[..., 1] + 0.5 * f[..., 2] + center
+        cr = 0.5 * f[..., 0] - 0.418688 * f[..., 1] - 0.081312 * f[..., 2] + center
         full_planes = [y, cb, cr]
     else:
         full_planes = [img[..., 0].astype(np.float64)]
@@ -487,15 +517,22 @@ def encode_jpeg(
         out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + bytes(
             int(qt[_ZIGZAG[i]]) for i in range(64)
         )
-    # SOF0
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    # SOF0 (8-bit baseline) / SOF1 (12-bit extended sequential)
+    sof = b"\xff\xc0" if precision == 8 else b"\xff\xc1"
+    out += sof + struct.pack(">HBHHB", 8 + 3 * nc, precision, h, w, nc)
     for ci in range(nc):
         hv = (sampling[ci][0] << 4) | sampling[ci][1]
         out += bytes([ci + 1, hv, 0 if ci == 0 else 1])
     # DHT
-    tables = [(0x00, _STD_DC_LUMA), (0x10, _STD_AC_LUMA)]
+    if precision == 8:
+        dc_luma, ac_luma = _STD_DC_LUMA, _STD_AC_LUMA
+        dc_chroma, ac_chroma = _STD_DC_CHROMA, _STD_AC_CHROMA
+    else:
+        dc_luma = dc_chroma = _EXT_DC
+        ac_luma = ac_chroma = _EXT_AC
+    tables = [(0x00, dc_luma), (0x10, ac_luma)]
     if nc == 3:
-        tables += [(0x01, _STD_DC_CHROMA), (0x11, _STD_AC_CHROMA)]
+        tables += [(0x01, dc_chroma), (0x11, ac_chroma)]
     for tclass_id, (bits, vals) in tables:
         out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(vals), tclass_id)
         out += bytes(bits) + bytes(vals)
@@ -506,8 +543,8 @@ def encode_jpeg(
     for ci in range(nc):
         out += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
     out += b"\x00\x3f\x00"
-    dc_enc = [_HuffEncoder(*_STD_DC_LUMA)] + [_HuffEncoder(*_STD_DC_CHROMA)] * (nc - 1)
-    ac_enc = [_HuffEncoder(*_STD_AC_LUMA)] + [_HuffEncoder(*_STD_AC_CHROMA)] * (nc - 1)
+    dc_enc = [_HuffEncoder(*dc_luma)] + [_HuffEncoder(*dc_chroma)] * (nc - 1)
+    ac_enc = [_HuffEncoder(*ac_luma)] + [_HuffEncoder(*ac_chroma)] * (nc - 1)
     # FDCT + quantize all blocks per plane up front (vectorized)
     zz_per_plane = []
     for ci, plane in enumerate(full_planes):
@@ -515,15 +552,18 @@ def encode_jpeg(
         dy, dx = vmax // sampling[ci][1], hmax // sampling[ci][0]
         if dy > 1 or dx > 1:
             p = p.reshape(H // dy, dy, W // dx, dx).mean(axis=(1, 3))
-        p = p - 128.0
+        p = p - float(center)
         by, bx = p.shape[0] // 8, p.shape[1] // 8
         blocks = p.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
         coeff = np.einsum("ux,byxw,vw->byuv", _DCT_C, blocks, _DCT_C)
         q = qts[min(ci, len(qts) - 1)].reshape(8, 8)
         # zigzag: zz[i] = raster[ZIGZAG[i]] — a direct gather
-        zz_per_plane.append(
-            np.round(coeff / q).astype(np.int64).reshape(by, bx, 64)[:, :, _ZIGZAG]
-        )
+        zz = np.round(coeff / q).astype(np.int64).reshape(by, bx, 64)[:, :, _ZIGZAG]
+        if precision == 12 and np.abs(zz[:, :, 1:]).max(initial=0) > 16383:
+            # _EXT_AC stops at size 14 (T.81 F.1.3's 12-bit AC ceiling)
+            raise ValueError("12-bit JPEG encoder: AC coefficient > 16383; "
+                             "raise quality's quant floor")
+        zz_per_plane.append(zz)
     wtr = _BitWriter()
     prev = [0] * nc
     mcuy, mcux = H // (8 * vmax), W // (8 * hmax)
@@ -606,11 +646,13 @@ def _extend(v: int, size: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG bytes -> (h, w, c) uint8 (c = 1 grayscale / 3 RGB).
+    """Sequential JPEG bytes -> (h, w, c) array, uint8 for 8-bit precision
+    and uint16 (samples in [0, 4095]) for 12-bit (c = 1 grayscale / 3 RGB).
 
     Tables come from the file's own DQT/DHT segments; supports interleaved
-    baseline scans, component sampling factors up to 2x2, and restart
-    intervals.  Progressive/arithmetic/12-bit raise NotImplementedError.
+    8-bit baseline (SOF0) and 8/12-bit extended-sequential Huffman (SOF1)
+    scans, component sampling factors up to 2x2, and restart intervals.
+    Progressive/arithmetic raise NotImplementedError.
     """
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
@@ -619,6 +661,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], _HuffDecoder] = {}
     comps: list[dict] = []
     h = w = 0
+    prec = 8
     restart = 0
     scan_comps: list[dict] = []
     entropy = b""
@@ -648,17 +691,17 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 t = np.zeros(64, np.int64)
                 t[_ZIGZAG] = vals.astype(np.int64)
                 qt[tid] = t.reshape(8, 8)
-        elif marker == 0xC0:  # SOF0 baseline
-            _prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
-            if _prec != 8:
-                raise NotImplementedError("12-bit JPEG")
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+            prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec not in (8, 12) or (marker == 0xC0 and prec != 8):
+                raise NotImplementedError(f"JPEG precision {prec}")
             comps = []
             for ci in range(nc):  # header = prec(1)+h(2)+w(2)+ncomp(1)
                 cid, hv, tq = struct.unpack_from("BBB", seg, 6 + 3 * ci)
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
                 )
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(f"non-baseline JPEG (SOF {marker:#x})")
         elif marker == 0xC4:  # DHT (possibly several tables)
@@ -756,19 +799,23 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         coeff[:, :, _ZIGZAG] = store[ci] * qt[c["tq"]].reshape(-1)[_ZIGZAG]
         coeff = coeff.reshape(by, bx, 8, 8)
         spatial = np.einsum("xu,byuv,wv->byxw", _DCT_C.T, coeff, _DCT_C.T)
-        plane = spatial.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8) + 128.0
+        center = float(1 << (prec - 1))
+        plane = spatial.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8) + center
         # upsample to full resolution (nearest), crop to (h, w)
         plane = np.repeat(
             np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
         )[:h, :w]
         planes.append(plane)
+    center = float(1 << (prec - 1))
+    maxval = (1 << prec) - 1
+    dtype = np.uint8 if prec == 8 else np.uint16
     if len(planes) == 1:
-        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)[:, :, None]
+        return np.clip(np.round(planes[0]), 0, maxval).astype(dtype)[:, :, None]
     y, cb, cr = planes
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
-    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+    r = y + 1.402 * (cr - center)
+    g = y - 0.344136 * (cb - center) - 0.714136 * (cr - center)
+    b = y + 1.772 * (cb - center)
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, maxval).astype(dtype)
 
 
 # ---------------------------------------------------------------------------

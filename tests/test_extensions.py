@@ -264,6 +264,40 @@ def test_jpeg_codec_roundtrip():
     assert np.abs(q80.astype(float) - img).mean() < 6.0
 
 
+def test_jpeg_12bit_extended_sequential_roundtrip():
+    """12-bit extended-sequential (SOF1) per T.81 F.1.3: uint16 samples in
+    [0, 4095], flat _EXT Huffman tables riding the file's own DHT.  The
+    8-bit decode path is untouched (asserted byte-identical output above);
+    12-bit gets the same round-trip guarantees at 16x the sample range."""
+    from engine.ops import mediacodec as mc
+
+    yy, xx = np.mgrid[0:37, 0:50]
+    gray = ((xx * 53 + yy * 31) % 4096).astype(np.uint16)
+    g = mc.decode_jpeg(mc.encode_jpeg(gray, quality=100, precision=12))
+    assert g.dtype == np.uint16 and g.shape == (37, 50, 1)
+    assert np.abs(g[:, :, 0].astype(int) - gray.astype(int)).max() <= 2
+    rgb = np.stack(
+        [(xx * 97) % 4096, (yy * 61) % 4096, ((xx + yy) * 41) % 4096], axis=-1
+    ).astype(np.uint16)
+    r = mc.decode_jpeg(mc.encode_jpeg(rgb, quality=100, precision=12))
+    assert r.dtype == np.uint16
+    assert np.abs(r.astype(int) - rgb.astype(int)).max() <= 2
+    # restart-interval and 4:2:0 paths hold at 12 bits too
+    rst = mc.decode_jpeg(
+        mc.encode_jpeg(rgb, quality=100, precision=12, restart_interval=2)
+    )
+    assert np.abs(rst.astype(int) - rgb.astype(int)).max() <= 2
+    sub = mc.decode_jpeg(
+        mc.encode_jpeg(rgb, quality=95, precision=12, subsample=True)
+    )
+    assert np.abs(sub.astype(float) - rgb).mean() < 8.0 * 16  # 8-bit bound x16
+    # out-of-range samples and unsupported precisions decline loudly
+    with pytest.raises(ValueError):
+        mc.encode_jpeg(np.full((8, 8), 4096, np.uint16), precision=12)
+    with pytest.raises(NotImplementedError):
+        mc.encode_jpeg(gray, precision=10)
+
+
 def test_decode_image_dispatches_jpeg_and_rejects_progressive():
     from engine.ops import mediacodec as mc
     from engine.ops.multimodal import decode_image, sniff_content_type
