@@ -1,8 +1,10 @@
 """Pure-stdlib + numpy media codecs: REAL decoders for the formats the
 multimodal pipeline meets (PNG via zlib, BMP, PPM, WAV via the stdlib
-`wave` module, and baseline-DCT JPEG implemented from the public ITU T.81
-spec — header/DQT/DHT/SOF0/SOS parsing, Huffman entropy decode, dequantize,
-inverse zigzag, separable IDCT, chroma upsampling, YCbCr->RGB), so the
+`wave` module, and DCT JPEG implemented from the public ITU T.81 spec —
+baseline SOF0, 12-bit extended-sequential SOF1, and progressive SOF2:
+header/DQT/DHT/SOF/SOS parsing, Huffman entropy decode (multi-scan spectral
+selection + successive approximation for SOF2), dequantize, inverse zigzag,
+separable IDCT, chroma upsampling, YCbCr->RGB), so the
 decode stage is genuinely exercised end-to-end in this container with no
 native media library.
 
@@ -379,6 +381,19 @@ _EXT_AC = _flat_table(
     [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 15)], 8
 )
 
+# Progressive (SOF2) AC table: progressive scans use EOBn symbols
+# (r<<4)|0 for r 0..14 (end-of-band runs of 2^r..2^{r+1}-1 blocks, T.81
+# G.1.2.2) which Annex K's sequential tables don't carry, so the
+# progressive encoder emits one flat 8-bit table covering EOB0..EOB14,
+# ZRL, and run/size pairs up to the 8-bit size-10 ceiling (176 symbols,
+# Kraft 176/256; codes 0..175 so the all-ones byte stays unused).
+_PROG_AC = _flat_table(
+    [r << 4 for r in range(15)]
+    + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)],
+    8,
+)
+
 
 class _HuffEncoder:
     """Canonical Huffman codes from a (BITS, HUFFVAL) table spec."""
@@ -465,21 +480,15 @@ def _encode_block(
     return int(zz[0])
 
 
-def encode_jpeg(
-    img: np.ndarray,
-    quality: int = 90,
-    subsample: bool = False,
-    restart_interval: int = 0,
-    precision: int = 8,
-) -> bytes:
-    """(h, w) or (h, w, {1,3}) uint8 -> baseline JPEG (interleaved single
-    scan, standard Annex-K Huffman tables).  ``subsample`` emits 4:2:0
-    chroma (Y 2x2 / Cb,Cr 1x1 sampling, 2x2-mean downsample);
-    ``restart_interval`` emits DRI + RSTn markers every N MCUs — both exist
-    so the decoder's sampling-factor and restart paths are round-trippable
-    in-container.  ``precision=12`` takes uint16 samples in [0, 4095] and
-    emits a 12-bit extended-sequential (SOF1) stream with the _EXT Huffman
-    tables (T.81 F.1.3; Annex K's tables stop at 8-bit categories)."""
+def _plan_jpeg(
+    img: np.ndarray, quality: int, subsample: bool, precision: int
+) -> tuple[list[np.ndarray], list[np.ndarray], list[tuple[int, int]], int, int, int]:
+    """Shared front half of sequential AND progressive encoding: validate,
+    color-convert to YCbCr, pad to MCU multiples (edge replicate), chroma
+    downsample, FDCT, quantize, zigzag.  Returns (zz_per_plane, qts,
+    sampling, h, w, nc): identical quantized coefficients feed both entropy
+    coders, so a progressive and a baseline encode of the same image MUST
+    decode pixel-identically — the property the round-trip tests assert."""
     if precision not in (8, 12):
         raise NotImplementedError(f"JPEG encoder: precision {precision}")
     center = 1 << (precision - 1)
@@ -510,6 +519,48 @@ def encode_jpeg(
         qts.append(_quality_scale(_STD_QT_CHROMA, quality))
     # pad to full MCU multiples (edge replicate), then per-component
     # downsample by the factor ratio (2x2 mean for 4:2:0 chroma)
+    H, W = -(-h // (8 * vmax)) * 8 * vmax, -(-w // (8 * hmax)) * 8 * hmax
+    zz_per_plane = []
+    for ci, plane in enumerate(full_planes):
+        p = np.pad(plane, ((0, H - h), (0, W - w)), mode="edge")
+        dy, dx = vmax // sampling[ci][1], hmax // sampling[ci][0]
+        if dy > 1 or dx > 1:
+            p = p.reshape(H // dy, dy, W // dx, dx).mean(axis=(1, 3))
+        p = p - float(center)
+        by, bx = p.shape[0] // 8, p.shape[1] // 8
+        blocks = p.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
+        coeff = np.einsum("ux,byxw,vw->byuv", _DCT_C, blocks, _DCT_C)
+        q = qts[min(ci, len(qts) - 1)].reshape(8, 8)
+        # zigzag: zz[i] = raster[ZIGZAG[i]] — a direct gather
+        zz = np.round(coeff / q).astype(np.int64).reshape(by, bx, 64)[:, :, _ZIGZAG]
+        if precision == 12 and np.abs(zz[:, :, 1:]).max(initial=0) > 16383:
+            # _EXT_AC stops at size 14 (T.81 F.1.3's 12-bit AC ceiling)
+            raise ValueError("12-bit JPEG encoder: AC coefficient > 16383; "
+                             "raise quality's quant floor")
+        zz_per_plane.append(zz)
+    return zz_per_plane, qts, sampling, h, w, nc
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
+    precision: int = 8,
+) -> bytes:
+    """(h, w) or (h, w, {1,3}) uint8 -> baseline JPEG (interleaved single
+    scan, standard Annex-K Huffman tables).  ``subsample`` emits 4:2:0
+    chroma (Y 2x2 / Cb,Cr 1x1 sampling, 2x2-mean downsample);
+    ``restart_interval`` emits DRI + RSTn markers every N MCUs — both exist
+    so the decoder's sampling-factor and restart paths are round-trippable
+    in-container.  ``precision=12`` takes uint16 samples in [0, 4095] and
+    emits a 12-bit extended-sequential (SOF1) stream with the _EXT Huffman
+    tables (T.81 F.1.3; Annex K's tables stop at 8-bit categories)."""
+    zz_per_plane, qts, sampling, h, w, nc = _plan_jpeg(
+        img, quality, subsample, precision
+    )
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
     H, W = -(-h // (8 * vmax)) * 8 * vmax, -(-w // (8 * hmax)) * 8 * hmax
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
@@ -545,25 +596,6 @@ def encode_jpeg(
     out += b"\x00\x3f\x00"
     dc_enc = [_HuffEncoder(*dc_luma)] + [_HuffEncoder(*dc_chroma)] * (nc - 1)
     ac_enc = [_HuffEncoder(*ac_luma)] + [_HuffEncoder(*ac_chroma)] * (nc - 1)
-    # FDCT + quantize all blocks per plane up front (vectorized)
-    zz_per_plane = []
-    for ci, plane in enumerate(full_planes):
-        p = np.pad(plane, ((0, H - h), (0, W - w)), mode="edge")
-        dy, dx = vmax // sampling[ci][1], hmax // sampling[ci][0]
-        if dy > 1 or dx > 1:
-            p = p.reshape(H // dy, dy, W // dx, dx).mean(axis=(1, 3))
-        p = p - float(center)
-        by, bx = p.shape[0] // 8, p.shape[1] // 8
-        blocks = p.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
-        coeff = np.einsum("ux,byxw,vw->byuv", _DCT_C, blocks, _DCT_C)
-        q = qts[min(ci, len(qts) - 1)].reshape(8, 8)
-        # zigzag: zz[i] = raster[ZIGZAG[i]] — a direct gather
-        zz = np.round(coeff / q).astype(np.int64).reshape(by, bx, 64)[:, :, _ZIGZAG]
-        if precision == 12 and np.abs(zz[:, :, 1:]).max(initial=0) > 16383:
-            # _EXT_AC stops at size 14 (T.81 F.1.3's 12-bit AC ceiling)
-            raise ValueError("12-bit JPEG encoder: AC coefficient > 16383; "
-                             "raise quality's quant floor")
-        zz_per_plane.append(zz)
     wtr = _BitWriter()
     prev = [0] * nc
     mcuy, mcux = H // (8 * vmax), W // (8 * hmax)
@@ -587,6 +619,254 @@ def encode_jpeg(
                     )
     out += wtr.flush()
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG (SOF2) encoder — T.81 Annex G.  The scan script follows
+# libjpeg's documented default shape (DC first at Al=1, spectral-selection
+# AC bands at Al=2/1, then one successive-approximation refinement pass per
+# level down to Al=0), so every decoder path — DC first/refine, AC
+# first/refine, EOBRUN — is exercised by our own streams.
+
+# (component ids, Ss, Se, Ah, Al) per scan; comps index into zz planes
+_PROG_SCRIPT_GRAY = [
+    ((0,), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0,), 0, 0, 1, 0),
+    ((0,), 1, 63, 1, 0),
+]
+_PROG_SCRIPT_COLOR = [
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((2,), 1, 63, 0, 1),
+    ((1,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((2,), 1, 63, 1, 0),
+    ((0,), 1, 63, 1, 0),
+    ((1,), 1, 63, 1, 0),
+]
+
+
+def _emit_dc_scan(
+    zz_per_plane, comps, sampling, mcuy, mcux, real_dims, Ah, Al, dc_enc
+) -> bytes:
+    """One progressive DC scan (T.81 G.1.2.1).  Interleaved MCU order when
+    ns > 1; a single-component scan is non-interleaved per A.2.2 — raster
+    over the component's REAL block grid (MCU padding blocks not coded)."""
+    w = _BitWriter()
+    if len(comps) == 1:
+        ci = comps[0]
+        bh, bw = real_dims[ci]
+        blocks = (zz_per_plane[ci][by, bx] for by in range(bh) for bx in range(bw))
+        if Ah == 0:
+            prev = 0
+            for blk in blocks:
+                dc = int(blk[0]) >> Al  # arithmetic shift = DC point transform
+                size, bits = _magnitude(dc - prev)
+                c, l = dc_enc[ci].code[size]
+                w.write(c, l)
+                if size:
+                    w.write(bits, size)
+                prev = dc
+        else:
+            for blk in blocks:
+                w.write((int(blk[0]) >> Al) & 1, 1)
+        return w.flush()
+    prev = [0] * len(comps)
+    for m in range(mcuy * mcux):
+        my, mx = divmod(m, mcux)
+        for j, ci in enumerate(comps):
+            hc, vc = sampling[ci]
+            for vy in range(vc):
+                for vx in range(hc):
+                    dc = int(zz_per_plane[ci][my * vc + vy, mx * hc + vx, 0]) >> Al
+                    if Ah == 0:
+                        size, bits = _magnitude(dc - prev[j])
+                        c, l = dc_enc[ci].code[size]
+                        w.write(c, l)
+                        if size:
+                            w.write(bits, size)
+                        prev[j] = dc
+                    else:
+                        w.write(dc & 1, 1)
+    return w.flush()
+
+
+def _emit_ac_first(zz, bh, bw, Ss, Se, Al, ac: _HuffEncoder) -> bytes:
+    """AC first scan for one component's band (T.81 G.1.2.2): run/size on
+    the point-transformed magnitudes, all-zero-band blocks folded into
+    EOBn runs of up to 32767 blocks."""
+    w = _BitWriter()
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            nbits = eobrun.bit_length() - 1
+            c, l = ac.code[nbits << 4]
+            w.write(c, l)
+            if nbits:
+                w.write(eobrun - (1 << nbits), nbits)
+            eobrun = 0
+
+    for by in range(bh):
+        for bx in range(bw):
+            blk = zz[by, bx]
+            r = 0
+            for k in range(Ss, Se + 1):
+                v = int(blk[k])
+                t = abs(v) >> Al  # AC point transform: magnitude shift
+                if t == 0:
+                    r += 1
+                    continue
+                flush_eob()
+                while r > 15:
+                    c, l = ac.code[0xF0]
+                    w.write(c, l)
+                    r -= 16
+                size = t.bit_length()
+                _, bits = _magnitude(t if v > 0 else -t)
+                c, l = ac.code[(r << 4) | size]
+                w.write(c, l)
+                w.write(bits, size)
+                r = 0
+            if r > 0:
+                eobrun += 1
+                if eobrun == 32767:
+                    flush_eob()
+    flush_eob()
+    return w.flush()
+
+
+def _emit_ac_refine(zz, bh, bw, Ss, Se, Al, ac: _HuffEncoder) -> bytes:
+    """AC refinement scan (T.81 G.1.2.3): newly-significant coefficients
+    (|coeff| >> Al == 1) get run/size-1 codes + a sign bit; already-nonzero
+    ones get one buffered correction bit each, emitted after the next
+    symbol (or with the EOBn run) in the exact order the decoder's
+    coefficient walk consumes them."""
+    w = _BitWriter()
+    eobrun = 0
+    be: list[int] = []  # correction bits deferred with the pending EOB run
+
+    def flush_eob():
+        nonlocal eobrun, be
+        if eobrun:
+            nbits = eobrun.bit_length() - 1
+            c, l = ac.code[nbits << 4]
+            w.write(c, l)
+            if nbits:
+                w.write(eobrun - (1 << nbits), nbits)
+            eobrun = 0
+        for b in be:
+            w.write(b, 1)
+        be = []
+
+    for by in range(bh):
+        for bx in range(bw):
+            blk = zz[by, bx]
+            absval = [abs(int(blk[k])) >> Al for k in range(Ss, Se + 1)]
+            eob = Ss - 1  # last newly-significant position in this block
+            for i, t in enumerate(absval):
+                if t == 1:
+                    eob = Ss + i
+            r = 0
+            br: list[int] = []  # correction bits since the last symbol
+            for i, t in enumerate(absval):
+                k = Ss + i
+                if t == 0:
+                    r += 1
+                    continue
+                # ZRLs only when a newly-significant coeff still follows;
+                # otherwise trailing zeros fold into the EOB run
+                while r > 15 and k <= eob:
+                    flush_eob()
+                    c, l = ac.code[0xF0]
+                    w.write(c, l)
+                    r -= 16
+                    for b in br:
+                        w.write(b, 1)
+                    br = []
+                if t > 1:  # already nonzero: one correction bit
+                    br.append(t & 1)
+                    continue
+                flush_eob()
+                c, l = ac.code[(r << 4) | 1]
+                w.write(c, l)
+                w.write(1 if int(blk[k]) > 0 else 0, 1)
+                r = 0
+                for b in br:
+                    w.write(b, 1)
+                br = []
+            if r > 0 or br:
+                eobrun += 1
+                be.extend(br)
+                if eobrun == 32767:
+                    flush_eob()
+    flush_eob()
+    return w.flush()
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray, quality: int = 90, subsample: bool = False
+) -> bytes:
+    """(h, w) or (h, w, {1,3}) uint8 -> progressive JPEG (SOF2, 8-bit).
+
+    Identical coefficient planning to ``encode_jpeg`` (same ``_plan_jpeg``
+    call), so ``decode_jpeg`` of the two encodes is pixel-identical — the
+    progressive entropy coding is lossless re-ordering of the same data."""
+    zz_per_plane, qts, sampling, h, w, nc = _plan_jpeg(img, quality, subsample, 8)
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    H, W = -(-h // (8 * vmax)) * 8 * vmax, -(-w // (8 * hmax)) * 8 * hmax
+    mcuy, mcux = H // (8 * vmax), W // (8 * hmax)
+    # real (non-interleaved) block grid per component, A.1.1/A.2.2
+    real_dims = []
+    for ci in range(nc):
+        hc, vc = sampling[ci]
+        cw, ch = -(-w * hc // hmax), -(-h * vc // vmax)
+        real_dims.append((-(-ch // 8), -(-cw // 8)))
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tid, qt in enumerate(qts):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + bytes(
+            int(qt[_ZIGZAG[i]]) for i in range(64)
+        )
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)  # SOF2
+    for ci in range(nc):
+        hv = (sampling[ci][0] << 4) | sampling[ci][1]
+        out += bytes([ci + 1, hv, 0 if ci == 0 else 1])
+    tables = [(0x00, _STD_DC_LUMA), (0x10, _PROG_AC)]
+    if nc == 3:
+        tables.append((0x01, _STD_DC_CHROMA))
+    for tclass_id, (bits, vals) in tables:
+        out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(vals), tclass_id)
+        out += bytes(bits) + bytes(vals)
+    dc_enc = [_HuffEncoder(*_STD_DC_LUMA)] + [_HuffEncoder(*_STD_DC_CHROMA)] * (
+        nc - 1
+    )
+    ac_enc = _HuffEncoder(*_PROG_AC)
+    script = _PROG_SCRIPT_GRAY if nc == 1 else _PROG_SCRIPT_COLOR
+    for comps, Ss, Se, Ah, Al in script:
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comps), len(comps))
+        for ci in comps:
+            dc_id = 0 if ci == 0 else 1
+            out += bytes([ci + 1, (dc_id << 4) | 0])
+        out += bytes([Ss, Se, (Ah << 4) | Al])
+        if Ss == 0:
+            out += _emit_dc_scan(
+                zz_per_plane, comps, sampling, mcuy, mcux, real_dims, Ah, Al, dc_enc
+            )
+        else:
+            ci = comps[0]
+            bh, bw = real_dims[ci]
+            emit = _emit_ac_first if Ah == 0 else _emit_ac_refine
+            out += emit(zz_per_plane[ci], bh, bw, Ss, Se, Al, ac_enc)
+    out += b"\xff\xd9"
     return bytes(out)
 
 
@@ -645,14 +925,79 @@ def _extend(v: int, size: int) -> int:
     return v if size == 0 or v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+def _entropy_chunks(payload: bytes, start: int) -> tuple[list[bytes], int]:
+    """Unstuff 0xFF00 and split one scan's entropy data at RSTn markers.
+    Returns (chunks, position of the terminating marker's 0xFF)."""
+    chunks: list[bytes] = []
+    cur = bytearray()
+    i = start
+    while i < len(payload):
+        b = payload[i]
+        if b == 0xFF:
+            nxt = payload[i + 1] if i + 1 < len(payload) else 0xD9
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # RSTn
+                chunks.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break  # EOI or next real marker
+        cur.append(b)
+        i += 1
+    chunks.append(bytes(cur))
+    return chunks, i
+
+
+def _jpeg_reconstruct(
+    comps: list[dict],
+    stores: list[np.ndarray],
+    qt: dict[int, np.ndarray],
+    prec: int,
+    h: int,
+    w: int,
+    hmax: int,
+    vmax: int,
+) -> np.ndarray:
+    """Dequantize + inverse zigzag + IDCT + upsample + color convert —
+    shared by the sequential and progressive paths (vectorized per comp)."""
+    planes = []
+    for ci, c in enumerate(comps):
+        by, bx = stores[ci].shape[:2]
+        coeff = np.zeros((by, bx, 64))
+        coeff[:, :, _ZIGZAG] = stores[ci] * qt[c["tq"]].reshape(-1)[_ZIGZAG]
+        coeff = coeff.reshape(by, bx, 8, 8)
+        spatial = np.einsum("xu,byuv,wv->byxw", _DCT_C.T, coeff, _DCT_C.T)
+        center = float(1 << (prec - 1))
+        plane = spatial.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8) + center
+        # upsample to full resolution (nearest), crop to (h, w)
+        plane = np.repeat(
+            np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+        )[:h, :w]
+        planes.append(plane)
+    center = float(1 << (prec - 1))
+    maxval = (1 << prec) - 1
+    dtype = np.uint8 if prec == 8 else np.uint16
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, maxval).astype(dtype)[:, :, None]
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - center)
+    g = y - 0.344136 * (cb - center) - 0.714136 * (cr - center)
+    b = y + 1.772 * (cb - center)
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, maxval).astype(dtype)
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Sequential JPEG bytes -> (h, w, c) array, uint8 for 8-bit precision
-    and uint16 (samples in [0, 4095]) for 12-bit (c = 1 grayscale / 3 RGB).
+    """JPEG bytes -> (h, w, c) array, uint8 for 8-bit precision and uint16
+    (samples in [0, 4095]) for 12-bit (c = 1 grayscale / 3 RGB).
 
     Tables come from the file's own DQT/DHT segments; supports interleaved
-    8-bit baseline (SOF0) and 8/12-bit extended-sequential Huffman (SOF1)
+    8-bit baseline (SOF0), 8/12-bit extended-sequential Huffman (SOF1), and
+    8-bit progressive Huffman (SOF2, routed to :func:`_decode_progressive`)
     scans, component sampling factors up to 2x2, and restart intervals.
-    Progressive/arithmetic raise NotImplementedError.
+    Lossless/hierarchical/arithmetic raise NotImplementedError.
     """
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
@@ -701,7 +1046,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
                 )
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker == 0xC2:  # SOF2: progressive DCT, own decode path
+            return _decode_progressive(payload)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(f"non-baseline JPEG (SOF {marker:#x})")
         elif marker == 0xC4:  # DHT (possibly several tables)
@@ -730,26 +1077,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     if not scan_comps or not h:
         raise ValueError("JPEG missing SOF/SOS")
     # split entropy data at restart markers, unstuff 0xFF00
-    chunks: list[bytes] = []
-    cur = bytearray()
-    i = 0
-    while i < len(entropy):
-        b = entropy[i]
-        if b == 0xFF:
-            nxt = entropy[i + 1] if i + 1 < len(entropy) else 0xD9
-            if nxt == 0x00:
-                cur.append(0xFF)
-                i += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:  # RSTn
-                chunks.append(bytes(cur))
-                cur = bytearray()
-                i += 2
-                continue
-            break  # EOI or next marker
-        cur.append(b)
-        i += 1
-    chunks.append(bytes(cur))
+    chunks, _ = _entropy_chunks(entropy, 0)
     hmax = max(c["h"] for c in scan_comps)
     vmax = max(c["v"] for c in scan_comps)
     mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
@@ -791,31 +1119,251 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         zz[k] = _extend(rd.bits(size), size)
                         k += 1
                     store[ci][my * c["v"] + vy, mx * c["h"] + vx] = zz
-    # dequantize + inverse zigzag + IDCT, vectorized per component
-    planes = []
-    for ci, c in enumerate(scan_comps):
-        by, bx = store[ci].shape[:2]
-        coeff = np.zeros((by, bx, 64))
-        coeff[:, :, _ZIGZAG] = store[ci] * qt[c["tq"]].reshape(-1)[_ZIGZAG]
-        coeff = coeff.reshape(by, bx, 8, 8)
-        spatial = np.einsum("xu,byuv,wv->byxw", _DCT_C.T, coeff, _DCT_C.T)
-        center = float(1 << (prec - 1))
-        plane = spatial.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8) + center
-        # upsample to full resolution (nearest), crop to (h, w)
-        plane = np.repeat(
-            np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
-        )[:h, :w]
-        planes.append(plane)
-    center = float(1 << (prec - 1))
-    maxval = (1 << prec) - 1
-    dtype = np.uint8 if prec == 8 else np.uint16
-    if len(planes) == 1:
-        return np.clip(np.round(planes[0]), 0, maxval).astype(dtype)[:, :, None]
-    y, cb, cr = planes
-    r = y + 1.402 * (cr - center)
-    g = y - 0.344136 * (cb - center) - 0.714136 * (cr - center)
-    b = y + 1.772 * (cb - center)
-    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, maxval).astype(dtype)
+    return _jpeg_reconstruct(scan_comps, store, qt, prec, h, w, hmax, vmax)
+
+
+def _decode_prog_scan(
+    chunks: list[bytes],
+    scomps: list[tuple[int, int, int]],  # (frame comp index, Td, Ta)
+    Ss: int,
+    Se: int,
+    Ah: int,
+    Al: int,
+    huff: dict,
+    comps: list[dict],
+    stores: list[np.ndarray],
+    restart: int,
+    geom: tuple[int, int, int, int],
+) -> None:
+    """Apply one progressive scan's coefficient updates (T.81 G.1.2).
+
+    DC scans (Ss == 0): first pass (Ah == 0) Huffman-decodes point-
+    transformed diffs, refinements read one raw bit per block.  AC scans
+    are single-component over the REAL block grid; first passes run
+    run/size + EOBRUN, refinements walk the band reading correction bits
+    for already-nonzero coefficients exactly where the encoder buffered
+    them.  Restart markers realign the bit stream and reset predictors
+    and the EOB run."""
+    hmax, vmax, mcux, mcuy = geom
+    rd = _BitReader(chunks[0])
+    chunk_i = 0
+    if Ss == 0:  # DC scan
+        if Se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+        if len(scomps) > 1:  # interleaved MCU order
+            dc_tabs = [huff[(0, td)] if Ah == 0 else None for (_, td, _) in scomps]
+            prev = [0] * len(scomps)
+            for m in range(mcuy * mcux):
+                if restart and m and m % restart == 0:
+                    chunk_i += 1
+                    rd = _BitReader(chunks[chunk_i])
+                    prev = [0] * len(scomps)
+                my, mx = divmod(m, mcux)
+                for j, (idx, _td, _) in enumerate(scomps):
+                    c = comps[idx]
+                    for vy in range(c["v"]):
+                        for vx in range(c["h"]):
+                            blk = stores[idx][my * c["v"] + vy, mx * c["h"] + vx]
+                            if Ah == 0:
+                                size = dc_tabs[j].decode(rd)
+                                prev[j] += _extend(rd.bits(size), size)
+                                blk[0] = prev[j] << Al
+                            elif rd.bit():
+                                blk[0] |= 1 << Al
+        else:  # single component: non-interleaved real block grid (A.2.2)
+            idx, td, _ = scomps[0]
+            c = comps[idx]
+            dc_t = huff[(0, td)] if Ah == 0 else None
+            prev = n = 0
+            for by in range(c["bh"]):
+                for bx in range(c["bw"]):
+                    if restart and n and n % restart == 0:
+                        chunk_i += 1
+                        rd = _BitReader(chunks[chunk_i])
+                        prev = 0
+                    n += 1
+                    blk = stores[idx][by, bx]
+                    if Ah == 0:
+                        size = dc_t.decode(rd)
+                        prev += _extend(rd.bits(size), size)
+                        blk[0] = prev << Al
+                    elif rd.bit():
+                        blk[0] |= 1 << Al
+        return
+    # AC scan: always single-component in progressive mode (T.81 G.1.1)
+    if len(scomps) != 1:
+        raise ValueError("progressive AC scan with ns != 1")
+    idx, _, ta = scomps[0]
+    ac_t = huff[(1, ta)]
+    c = comps[idx]
+    store = stores[idx]
+    eobrun = n = 0
+    p1, m1 = 1 << Al, -(1 << Al)
+    for by in range(c["bh"]):
+        for bx in range(c["bw"]):
+            if restart and n and n % restart == 0:
+                chunk_i += 1
+                rd = _BitReader(chunks[chunk_i])
+                eobrun = 0
+            n += 1
+            blk = store[by, bx]
+            if Ah == 0:  # band's first pass (G.1.2.2)
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = Ss
+                while k <= Se:
+                    rs = ac_t.decode(rd)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += rd.bits(r)
+                        break
+                    k += r
+                    if k > Se:
+                        raise ValueError("JPEG AC run past band end")
+                    blk[k] = _extend(rd.bits(s), s) << Al
+                    k += 1
+            else:  # refinement pass (G.1.2.3)
+                k = Ss
+                if eobrun == 0:
+                    while k <= Se:
+                        rs = ac_t.decode(rd)
+                        r, s = rs >> 4, rs & 0xF
+                        val = 0
+                        if s == 0:
+                            if r != 15:  # EOBn: rest of block is corrections
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += rd.bits(r)
+                                break
+                            # r == 15: ZRL — skip 16 zero-history coeffs
+                        else:
+                            val = p1 if rd.bit() else m1
+                        # walk: correction bit per nonzero-history coeff,
+                        # burn r zero-history slots, land on the new coeff
+                        while k <= Se:
+                            cur = int(blk[k])
+                            if cur != 0:
+                                if rd.bit() and (cur & p1) == 0:
+                                    blk[k] = cur + (p1 if cur > 0 else m1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if val and k <= Se:
+                            blk[k] = val
+                        k += 1
+                if eobrun:  # EOB region: corrections only, to band end
+                    while k <= Se:
+                        cur = int(blk[k])
+                        if cur != 0:
+                            if rd.bit() and (cur & p1) == 0:
+                                blk[k] = cur + (p1 if cur > 0 else m1)
+                        k += 1
+                    eobrun -= 1
+
+
+def _decode_progressive(payload: bytes) -> np.ndarray:
+    """Progressive JPEG (SOF2, T.81 Annex G): coefficients accumulate
+    across scans — DC first/refine (interleaved or single-component), AC
+    first/refine (single-component spectral bands with EOBRUN), successive
+    approximation via the Al point transform.  DQT/DHT/DRI may be redefined
+    between scans; each scan's entropy data is decoded with the tables in
+    effect at its SOS."""
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], _HuffDecoder] = {}
+    comps: list[dict] = []
+    stores: list[np.ndarray] = []
+    h = w = 0
+    prec = 8
+    restart = 0
+    hmax = vmax = mcux = mcuy = 1
+    saw_scan = False
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", payload, pos)
+        seg = payload[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                tprec, tid = seg[i] >> 4, seg[i] & 0xF
+                i += 1
+                if tprec:
+                    vals = np.frombuffer(seg, ">u2", count=64, offset=i)
+                    i += 128
+                else:
+                    vals = np.frombuffer(seg, np.uint8, count=64, offset=i)
+                    i += 64
+                t = np.zeros(64, np.int64)
+                t[_ZIGZAG] = vals.astype(np.int64)
+                qt[tid] = t.reshape(8, 8)
+        elif marker == 0xC2:  # SOF2
+            prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec not in (8, 12):
+                raise NotImplementedError(f"JPEG precision {prec}")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = struct.unpack_from("BBB", seg, 6 + 3 * ci)
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+            for c in comps:  # real (non-interleaved) block grid, A.1.1
+                cw, ch = -(-w * c["h"] // hmax), -(-h * c["v"] // vmax)
+                c["bw"], c["bh"] = -(-cw // 8), -(-ch // 8)
+            stores = [
+                np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.int64)
+                for c in comps
+            ]
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tclass, tid = seg[i] >> 4, seg[i] & 0xF
+                bits = list(seg[i + 1 : i + 17])
+                nsym = sum(bits)
+                huff[(tclass, tid)] = _HuffDecoder(
+                    bits, list(seg[i + 17 : i + 17 + nsym])
+                )
+                i += 17 + nsym
+        elif marker == 0xDD:  # DRI
+            (restart,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS: decode this scan, keep going
+            if not comps:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            scomps = []
+            for ci in range(ns):
+                cid, tt = struct.unpack_from("BB", seg, 1 + 2 * ci)
+                idx = next(i for i, c in enumerate(comps) if c["id"] == cid)
+                scomps.append((idx, tt >> 4, tt & 0xF))
+            Ss, Se, a = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            chunks, nxt = _entropy_chunks(payload, pos + seglen)
+            _decode_prog_scan(
+                chunks, scomps, Ss, Se, a >> 4, a & 0xF,
+                huff, comps, stores, restart, (hmax, vmax, mcux, mcuy),
+            )
+            saw_scan = True
+            pos = nxt
+            continue
+        pos += seglen
+    if not saw_scan or not h:
+        raise ValueError("JPEG missing SOF/SOS")
+    return _jpeg_reconstruct(comps, stores, qt, prec, h, w, hmax, vmax)
 
 
 # ---------------------------------------------------------------------------

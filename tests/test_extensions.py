@@ -298,7 +298,7 @@ def test_jpeg_12bit_extended_sequential_roundtrip():
         mc.encode_jpeg(gray, precision=10)
 
 
-def test_decode_image_dispatches_jpeg_and_rejects_progressive():
+def test_decode_image_dispatches_jpeg_including_progressive():
     from engine.ops import mediacodec as mc
     from engine.ops.multimodal import decode_image, sniff_content_type
 
@@ -307,10 +307,44 @@ def test_decode_image_dispatches_jpeg_and_rejects_progressive():
     assert sniff_content_type(payload) == "image/jpeg"
     out = decode_image(payload)  # solid color: DC-only, near-exact
     assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
-    # progressive (SOF2) declines loudly instead of mis-decoding
-    prog = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    # progressive (SOF2) dispatches through the same entry point
+    prog = mc.encode_jpeg_progressive(img, quality=95)
+    assert sniff_content_type(prog) == "image/jpeg"
+    assert np.array_equal(decode_image(prog), out)
+    # lossless (SOF3) still declines loudly instead of mis-decoding
     with pytest.raises(NotImplementedError):
-        decode_image(prog)
+        decode_image(payload.replace(b"\xff\xc0", b"\xff\xc3", 1))
+
+
+def test_jpeg_progressive_matches_baseline_pixelwise():
+    """Progressive (SOF2) per T.81 Annex G: spectral selection + successive
+    approximation over the SAME quantized coefficients as ``encode_jpeg``
+    (shared ``_plan_jpeg``), so decoding the two streams must be
+    pixel-identical — the entropy re-ordering is lossless.  Covers DC
+    first/refine, AC first/refine with EOB runs, interleaved and
+    single-component scans, 4:2:0 subsampling, and MCU padding."""
+    from engine.ops import mediacodec as mc
+
+    rng = np.random.default_rng(11)
+    yy, xx = np.mgrid[0:37, 0:50]
+    color = np.stack(
+        [(xx * 7) % 256, (yy * 5) % 256, ((xx + yy) * 3) % 256], axis=-1
+    ).astype(np.uint8)
+    gray = ((xx * 11 + yy * 3) % 256).astype(np.uint8)
+    noise = rng.integers(0, 256, (17, 23, 3), dtype=np.uint8)
+    flat = np.full((16, 24, 3), 128, np.uint8)
+    for img, kw in [
+        (color, {}),
+        (color, {"subsample": True}),
+        (gray, {}),
+        (noise, {"quality": 50}),
+        (flat, {}),  # long EOB runs
+        (color[:1, :1], {}),  # 1x1: heavy MCU padding
+    ]:
+        base = mc.decode_jpeg(mc.encode_jpeg(img, **kw))
+        prog = mc.decode_jpeg(mc.encode_jpeg_progressive(img, **kw))
+        assert prog.shape == base.shape
+        assert np.array_equal(prog, base)
 
 
 # ---------------------------------------------------------------------------
