@@ -56,6 +56,7 @@ from .schema import (
     EXTRACTED_SCHEMA,
     HOT_TERM_DF_FRACTION,
     K1,
+    DOC_RANGE_SHIFT,
     NUM_BUCKET_GROUPS,
     NUM_DOC_RANGES,
     NUM_SALTS,
@@ -70,7 +71,11 @@ from .schema import (
 
 # bump when the on-disk layout or scoring-relevant semantics change
 # v8: segments store varint doclens instead of raw-float64 impacts
-FORMAT_VERSION = 8
+# v9: postings delta-encode dense docnos (rank in the doc_id-sorted docmeta
+#     table) instead of raw 64-bit url-hash doc_ids, and docmeta ranges are
+#     doc_id INTERVALS (>> DOC_RANGE_SHIFT) instead of hash-modulo classes
+#     so the docno assignment stays decomposable per range (schema.py notes)
+FORMAT_VERSION = 9
 
 # merge-phase doclen exchange: broadcast the (doc_id, doclen) table while it
 # fits this budget; above it, reduce tasks read doc_id-range row groups from
@@ -569,7 +574,7 @@ def build_index(
     tombs, tomb_tag = _load_tombstones(index_dir)
 
     if stop_after_postings:
-        n_docs, dl_sum = _distinct_doc_stats(docmeta_root, parts, tombstones=tombs)
+        n_docs, dl_sum, _ = _distinct_doc_stats(docmeta_root, parts, tombstones=tombs)
         metrics["n_docs"] = n_docs
         metrics["total_tokens"] = dl_sum
         metrics["phase_seconds"] = _phase_t
@@ -583,16 +588,26 @@ def build_index(
         # segments must re-run even over identical partials
         partials_fp += f"+avgdl{avgdl_override!r}"
     if not man.phase_done("stats", partials_fp, stats_path):
-        n_docs, total_tokens = _distinct_doc_stats(docmeta_root, parts, tombstones=tombs)
+        n_docs, total_tokens, range_counts = _distinct_doc_stats(
+            docmeta_root, parts, tombstones=tombs
+        )
         avgdl = (
             float(avgdl_override)
             if avgdl_override is not None
             else (float(total_tokens) / n_docs if n_docs else 0.0)
         )
         hot_threshold = max(2.0, HOT_TERM_DF_FRACTION * n_docs)
+        # dense-docno range bases: prefix sums of per-interval-range distinct
+        # doc counts (tombstoned docs INCLUDED — the docno space is the
+        # reader's full docmeta order).  docno(d) = bases[range(d)] + rank of
+        # d within its range; bases[-1] is the docno-space size.
+        doc_range_bases = np.concatenate(
+            ([0], np.cumsum(range_counts))
+        ).astype(np.int64)
         stats = {
             "n_docs": n_docs,
             "total_tokens": int(total_tokens),
+            "doc_range_bases": doc_range_bases.tolist(),
             "avgdl": avgdl,
             "hot_df_threshold": hot_threshold,
             "k1": K1,
@@ -652,7 +667,14 @@ def build_index(
             dm_ids = dm["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
             dm_dls = dm["doclen"].to_numpy(zero_copy_only=False).astype(np.float64)
             dm_order = np.argsort(dm_ids, kind="stable")
-            doclen_ref = ray.put((dm_ids[dm_order], dm_dls[dm_order]))
+            dm_ids, dm_dls = dm_ids[dm_order], dm_dls[dm_order]
+            # keep-first per doc_id — the reader's docmeta dedup, exactly:
+            # each doc's docno is its rank in THIS deduped sorted order
+            if dm_ids.size > 1:
+                dm_keep = np.ones(dm_ids.size, dtype=bool)
+                dm_keep[1:] = dm_ids[1:] != dm_ids[:-1]
+                dm_ids, dm_dls = dm_ids[dm_keep], dm_dls[dm_keep]
+            doclen_ref = ray.put((dm_ids, dm_dls))
             metrics["doclen_exchange"] = "broadcast"
         else:
             dr_files: dict[int, dict[str, list[int]]] = {}
@@ -690,6 +712,9 @@ def build_index(
                         avgdl, stats["hot_df_threshold"], tmp, dfs_tmp,
                         doclen_ref, dr_files_ref,
                         tomb_ref=ray.put(tombs) if tombs.size else None,
+                        range_bases=np.asarray(
+                            stats["doc_range_bases"], dtype=np.int64
+                        ),
                     ),
                     batch_format="pyarrow", batch_size=None,
                 )
@@ -740,9 +765,13 @@ def build_index(
 
 def _distinct_doc_stats(
     docmeta_root: str, pids, tombstones: np.ndarray | None = None
-) -> tuple[int, int]:
-    """Exact (distinct doc count, total doclen over distinct docs) from the
-    compact docmeta table, excluding tombstoned docs.
+) -> tuple[int, int, np.ndarray]:
+    """Exact (distinct doc count, total doclen over distinct docs, per-range
+    distinct counts) from the compact docmeta table.  Count and doclen sum
+    exclude tombstoned docs (BM25 stats must not score deleted docs); the
+    per-range counts include them — they define the dense-docno space, which
+    must stay aligned with the reader's docmeta table (tombstoned rows are
+    masked at query time, not removed from docmeta).
 
     A duplicate doc_id can only occur WITHIN a pid (an exact-duplicate row
     split across Ray blocks of one input file; cross-file recrawls are
@@ -757,32 +786,40 @@ def _distinct_doc_stats(
     )
 
     @ray.remote(num_cpus=0)
-    def one(pdir: str, tref) -> tuple[int, int]:
+    def one(pdir: str, tref) -> tuple[int, int, np.ndarray]:
         import pyarrow.dataset as pads
 
+        zero = np.zeros(NUM_DOC_RANGES, dtype=np.int64)
         t = pads.dataset(pdir).to_table(columns=["doc_id", "doclen"])
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
         if ids.size == 0:
-            return 0, 0
+            return 0, 0, zero
         dls = t["doclen"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids, dls = ids[order], dls[order]
+        keep = np.ones(ids.size, dtype=bool)
+        keep[1:] = ids[1:] != ids[:-1]
+        ids, dls = ids[keep], dls[keep]
+        ranges = np.bincount(
+            (ids >> np.uint64(DOC_RANGE_SHIFT)).astype(np.int64),
+            minlength=NUM_DOC_RANGES,
+        ).astype(np.int64)
         if tref is not None:
             tomb = tref  # ObjectRef args arrive resolved
             pos = np.minimum(np.searchsorted(tomb, ids), tomb.size - 1)
             alive = tomb[pos] != ids
             ids, dls = ids[alive], dls[alive]
-            if ids.size == 0:
-                return 0, 0
-        order = np.argsort(ids, kind="stable")
-        keep = np.ones(ids.size, dtype=bool)
-        keep[1:] = ids[order][1:] != ids[order][:-1]
-        return int(keep.sum()), int(dls[order][keep].sum())
+        return int(ids.size), int(dls.sum()), ranges
 
     futs = [
         one.remote(os.path.join(docmeta_root, f"pid={pid}"), tomb_ref)
         for pid in pids
     ]
     res = ray.get(futs)
-    return sum(r[0] for r in res), sum(r[1] for r in res)
+    range_counts = np.zeros(NUM_DOC_RANGES, dtype=np.int64)
+    for r in res:
+        range_counts += r[2]
+    return sum(r[0] for r in res), sum(r[1] for r in res), range_counts
 
 
 def _prune_stale_partitions(
@@ -1009,7 +1046,7 @@ class _TokenizeAndShard(_PidTokenizer):
             # each row group): the map side of the doclen exchange — merge
             # tasks above the broadcast budget read only touched ranges
             ids_np = sub.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
-            drs_np = (ids_np % np.uint64(NUM_DOC_RANGES)).astype(np.int64)
+            drs_np = (ids_np >> np.uint64(DOC_RANGE_SHIFT)).astype(np.int64)
             dorder = np.argsort(drs_np, kind="stable")
             sub = sub.take(pa.array(dorder))
             drs_sorted = drs_np[dorder]
@@ -1216,7 +1253,8 @@ class _MergeBucketGroup:
     """
 
     def __init__(self, avgdl: float, hot_threshold: float, out_root: str,
-                 dfs_root: str, doclen_ref, dr_files_ref=None, tomb_ref=None):
+                 dfs_root: str, doclen_ref, dr_files_ref=None, tomb_ref=None,
+                 range_bases: np.ndarray | None = None):
         self.avgdl = avgdl
         self.hot_threshold = hot_threshold
         self.out_root = out_root
@@ -1224,16 +1262,23 @@ class _MergeBucketGroup:
         self.doclen_ref = doclen_ref
         self.dr_files_ref = dr_files_ref
         self.tomb_ref = tomb_ref  # sorted tombstoned doc_ids (delete_docs)
+        # prefix sums of per-range distinct doc counts (stats phase): docno
+        # of a doc in range r = range_bases[r] + its rank within the range
+        self.range_bases = range_bases
 
     def _load_doclen_ranges(
         self, doc_ids: np.ndarray
-    ) -> tuple[np.ndarray, np.ndarray]:
-        """Above-budget doclen lookup: read ONLY the doc_id-range row groups
-        this group's postings touch (footer-KV-indexed, like the partials
-        exchange).  Memory is bounded by the touched ranges' docmeta rows,
-        not the corpus."""
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray | None]:
+        """Above-budget doclen+docno lookup: read ONLY the doc_id-range row
+        groups this group's postings touch (footer-KV-indexed, like the
+        partials exchange).  Memory is bounded by the touched ranges' docmeta
+        rows, not the corpus.  Ranges are doc_id INTERVALS, so each loaded
+        range's deduped sorted docs carry global docnos range_bases[r] +
+        0..count-1 without any cross-range view."""
         dr_files = ray.get(self.dr_files_ref)
-        touched = np.unique(doc_ids.astype(np.uint64) % np.uint64(NUM_DOC_RANGES))
+        touched = np.unique(
+            doc_ids.astype(np.uint64) >> np.uint64(DOC_RANGE_SHIFT)
+        )
         per_path: dict[str, set[int]] = {}
         for dr in touched.tolist():
             for path, rgs in dr_files.get(int(dr), {}).items():
@@ -1247,15 +1292,36 @@ class _MergeBucketGroup:
                 )
             )
         if not tabs:
-            return np.empty(0, np.uint64), np.empty(0, np.float64)
+            return (
+                np.empty(0, np.uint64),
+                np.empty(0, np.float64),
+                np.empty(0, np.int64),
+            )
         dm = pa.concat_tables(tabs)
         ids = dm["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
         dls = dm["doclen"].to_numpy(zero_copy_only=False).astype(np.float64)
         order = np.argsort(ids, kind="stable")
-        return ids[order], dls[order]
+        ids, dls = ids[order], dls[order]
+        # keep-first per doc_id (the reader's docmeta dedup, exactly)
+        if ids.size > 1:
+            keep = np.ones(ids.size, dtype=bool)
+            keep[1:] = ids[1:] != ids[:-1]
+            ids, dls = ids[keep], dls[keep]
+        # global docnos: interval ranges are contiguous in the sorted order,
+        # so each range's elements are base[r] + 0..len-1
+        rng = (ids >> np.uint64(DOC_RANGE_SHIFT)).astype(np.int64)
+        seg_change = np.nonzero(np.diff(rng))[0] + 1
+        seg_starts = np.concatenate(([0], seg_change))
+        seg_lens = np.diff(np.concatenate((seg_starts, [ids.size])))
+        local = np.arange(ids.size, dtype=np.int64) - np.repeat(
+            seg_starts, seg_lens
+        )
+        nos = self.range_bases[rng] + local
+        return ids, dls, nos
 
     def __call__(self, work: pa.Table) -> pa.Table:
         dl_ids = dl_vals = None
+        dl_nos = None  # None => broadcast path: docno == searchsorted pos
         if self.doclen_ref is not None:
             dl_ids, dl_vals = ray.get(self.doclen_ref)
         tomb = ray.get(self.tomb_ref) if self.tomb_ref is not None else None
@@ -1277,12 +1343,14 @@ class _MergeBucketGroup:
                 if dead.any():
                     t = t.filter(pa.array(~dead))
             if self.doclen_ref is None:
-                dl_ids, dl_vals = self._load_doclen_ranges(
+                dl_ids, dl_vals, dl_nos = self._load_doclen_ranges(
                     t.column("doc_id").to_numpy(zero_copy_only=False)
                     if t.num_rows
                     else np.empty(0, np.uint64)
                 )
-            nt, nc, nh = self._merge_one(t, int(item["bg"]), dl_ids, dl_vals)
+            nt, nc, nh = self._merge_one(
+                t, int(item["bg"]), dl_ids, dl_vals, dl_nos
+            )
             out_terms.append(nt)
             out_chunks.append(nc)
             out_hot.append(nh)
@@ -1297,7 +1365,8 @@ class _MergeBucketGroup:
         )
 
     def _merge_one(
-        self, t: pa.Table, bg: int, dl_ids: np.ndarray, dl_vals: np.ndarray
+        self, t: pa.Table, bg: int, dl_ids: np.ndarray, dl_vals: np.ndarray,
+        dl_nos: np.ndarray | None = None,
     ) -> tuple[int, int, int]:
         if t.num_rows == 0:
             return 0, 0, 0
@@ -1339,13 +1408,24 @@ class _MergeBucketGroup:
         # per-posting impact from the broadcast doclen table; identical op
         # order to oracle.py: tf*(K1+1)/(tf + K1*((1-B) + (B*dl)/avgdl))
         pos = np.searchsorted(dl_ids, doc_ids.astype(np.uint64))
-        dls = dl_vals[np.minimum(pos, max(len(dl_ids) - 1, 0))]
+        pos = np.minimum(pos, max(len(dl_ids) - 1, 0))
+        dls = dl_vals[pos]
         tfs = t.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
         impacts = tfs * (K1 + 1.0) / (
             tfs + K1 * ((1.0 - B) + (B * dls) / self.avgdl)
         )
         salt = np.where(
             uniq_hot[codes], (doc_ids % np.uint64(NUM_SALTS)).astype(np.int64), 0
+        )
+        # dense-docno substitution (FORMAT_VERSION 9): postings leave this
+        # point keyed by each doc's rank in the doc_id-sorted docmeta order —
+        # broadcast path: the deduped broadcast IS that order, docno = pos;
+        # range path: the per-range global docnos loaded alongside doclens.
+        # Monotone in doc_id, so every downstream sort/tie-break is unchanged.
+        docnos = (pos if dl_nos is None else dl_nos[pos]).astype(np.uint64)
+        t = t.set_column(
+            t.schema.get_field_index("doc_id"), "doc_id",
+            pa.array(docnos, pa.uint64()),
         )
         key = uniq_bucket[codes] * (NUM_SALTS + 1) + salt
         order = np.argsort(key, kind="stable")

@@ -336,8 +336,17 @@ class IndexReader:
         self._urls = None  # docmeta urls, loaded lazily for url filters
         self._chunk_cache: _LRU = _LRU(cap=4096)  # term -> decoded chunks
         self._bucket_tables: _LRU = _LRU(cap=8)  # bucket -> (table, term index)
-        self._pos_cache: _LRU = _LRU(cap=4096)  # (term, chunk) -> positions
         self._tpos_cache: _LRU = _LRU(cap=512)  # term -> decoded token positions
+        # dense-docno space size = total distinct docmeta rows INCLUDING
+        # tombstoned docs (stats phase prefix sums; == len(docmeta) once
+        # loaded).  Sizes the dense score/presence arrays without forcing a
+        # docmeta load on filterless queries.
+        if "doc_range_bases" not in self.stats:
+            raise ValueError(
+                f"{index_dir}: stats.json predates FORMAT_VERSION 9 "
+                "(dense-docno postings); rebuild the index"
+            )
+        self._docno_count = int(self.stats["doc_range_bases"][-1])
         self._vocab_sorted = None  # lazy sorted vocab (wildcard expansion)
         self._vocab_df = None
         self._del_idx = None  # lazy SymSpell delete index (suggest())
@@ -554,6 +563,14 @@ class IndexReader:
                 order = order[keep]
         self._docmeta_order = order
         self._docmeta = (ids[order], codes[order], ts[order], dls[order], langs)
+        # the deduped sorted order IS the dense-docno space the build's
+        # segments encode (stats doc_range_bases) — a mismatch would mean
+        # silently mis-keyed postings, so fail loudly instead
+        if order.size != self._docno_count:
+            raise ValueError(
+                f"docmeta rows ({order.size}) != docno space "
+                f"({self._docno_count}) — stats.json and docmeta/ disagree"
+            )
 
     def _load_urls(self) -> pa.Array:
         """Docmeta urls aligned to the sorted docmeta order (lazy: the url
@@ -640,16 +657,14 @@ class IndexReader:
         return mask
 
     def _allowed_fn(self, mask: np.ndarray | None):
-        """Per-candidate probe over the compiled mask (BMW path)."""
+        """Per-candidate probe over the compiled mask (BMW path).  Candidates
+        are docnos (= docmeta positions), so the probe is one array index —
+        v8 paid a binary search over the sorted doc_id table per candidate."""
         if mask is None:
             return None
-        ids = self._docmeta[0]
 
         def allowed(doc: int) -> bool:
-            # docmeta holds exactly one (already loser-deduped) row per doc
-            d = np.uint64(doc)
-            pos = int(np.searchsorted(ids, d))
-            return pos < ids.size and ids[pos] == d and bool(mask[pos])
+            return bool(mask[doc])
 
         return allowed
 
@@ -700,7 +715,22 @@ class IndexReader:
         top = self._dispatch(term_chunks, pool, mask, method, total_postings)
         if prior_weight > 0.0:
             top = self._rerank(top, prior_weight)
-        return top[:k]
+        return self._docnos_to_ids(top[:k])
+
+    def _docnos_to_ids(
+        self, pool: list[tuple[int, float]]
+    ) -> list[tuple[int, float]]:
+        """Internal (docno, score) -> public (doc_id, score): one gather off
+        the cached doc_id-sorted docmeta column, paid only for the <=k rows
+        that leave the reader.  (At 10^12 docs per shard this becomes a
+        range-pruned docmeta read via stats' doc_range_bases — docno-to-range
+        is one binary search — but the reader already caches docmeta for
+        filters, so the in-memory column is the serving-scale path.)"""
+        if not pool:
+            return pool
+        self._load_docmeta()
+        ids = self._docmeta[0]
+        return [(int(ids[d]), s) for d, s in pool]
 
     def _gather_chunks(self, terms) -> tuple[list[tuple[str, float, list]], int]:
         """Decode (cached) posting chunks for a sorted unique term list."""
@@ -720,7 +750,10 @@ class IndexReader:
         self, term_chunks, pool: int, mask, method: str, total_postings: int
     ) -> list[tuple[int, float]]:
         """Route to the cheapest exact scoring path (shared by search and
-        search_boolean — every path returns the same ranked list)."""
+        search_boolean — every path returns the same ranked list of
+        (docno, score); callers map docnos to doc_ids at the API boundary).
+        The (score DESC, docno ASC) tie-break equals the oracle's
+        (score DESC, doc_id ASC): docnos are doc_id ranks, hence monotone."""
         if not term_chunks:
             return []
         use_vec = method == "vectorized" or (
@@ -815,8 +848,7 @@ class IndexReader:
         )
         excluded = sorted(set(bq.must_not) | set(exp_not))
         if required or excluded or must_groups:
-            self._load_docmeta()
-            n = self._docmeta[0].size
+            n = self._docno_count
             if mask is None:
                 mask = np.ones(n, dtype=bool)
             for t in required:
@@ -841,8 +873,10 @@ class IndexReader:
         if not term_chunks:
             return []
         if not bq.phrases and not bq.not_phrases:
-            return self._dispatch(term_chunks, k, mask, method, total_postings)[:k]
-        verified: dict[int, bool] = {}
+            return self._docnos_to_ids(
+                self._dispatch(term_chunks, k, mask, method, total_postings)[:k]
+            )
+        verified: dict[int, bool] = {}  # keyed by docno
 
         def _verify_batch(docs: list[int]) -> None:
             unseen = [d for d in docs if d not in verified]
@@ -851,16 +885,23 @@ class IndexReader:
             if self.has_positions:
                 # positional index: adjacency straight off the posting
                 # chunks — no doc-store read, no re-tokenize, vectorized
-                # over the whole batch
+                # over the whole batch (position chunks are docno-keyed,
+                # same id space as the candidates)
                 ok = self._phrases_ok_positional_many(unseen, bq)
                 for d, o in zip(unseen, ok):
                     verified[d] = bool(o)
             else:
-                tbl = self.fetch_docs(unseen, columns=["doc_id", "warc_ts", "text"])
+                # the doc store is doc_id-keyed: map the batch's docnos out
+                self._load_docmeta()
+                meta_ids = self._docmeta[0]
+                by_docid = {int(meta_ids[d]): d for d in unseen}
+                tbl = self.fetch_docs(
+                    list(by_docid), columns=["doc_id", "warc_ts", "text"]
+                )
                 for did, txt in zip(
                     tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()
                 ):
-                    verified[int(did)] = self._phrases_ok(txt, bq)
+                    verified[by_docid[int(did)]] = self._phrases_ok(txt, bq)
                 for d in unseen:  # doc-store miss counts as failed verify
                     verified.setdefault(d, False)
 
@@ -898,7 +939,7 @@ class IndexReader:
                 _verify_batch([d for d, _ in top])
                 out = [(d, s) for d, s in top if verified.get(d)]
             if len(out) >= k or len(top) < pool or pool == bound:
-                return out[:k]
+                return self._docnos_to_ids(out[:k])
             if self.has_positions and bound is not None:
                 pool = bound
             else:
@@ -965,8 +1006,14 @@ class IndexReader:
 
     def _positions_of(self, term: str, doc: int) -> np.ndarray:
         """Ascending analyzed-stream positions of `term` in `doc` (empty if
-        the doc lacks the term)."""
-        d64 = np.uint64(doc)
+        the doc lacks the term).  `doc` is a public doc_id; position chunks
+        are docno-keyed, so map through the docmeta order first."""
+        self._load_docmeta()
+        meta_ids = self._docmeta[0]
+        p = int(np.searchsorted(meta_ids, np.uint64(doc)))
+        if p >= meta_ids.size or meta_ids[p] != np.uint64(doc):
+            return np.empty(0, np.int32)
+        d64 = np.uint64(p)
         for ids, offs, flat in self._token_positions(term):
             i = int(np.searchsorted(ids, d64))
             if i < ids.size and ids[i] == d64:
@@ -1050,17 +1097,14 @@ class IndexReader:
         return ok
 
     def _chunk_positions(self, term: str, chunk_i: int, ids: np.ndarray) -> np.ndarray:
-        """Positions of a chunk's doc ids within the global sorted doc table
-        (cached per (term, chunk) — the searchsorted is the expensive part of
-        a cold query; warm queries become pure vector adds)."""
-        key = (term, chunk_i)
-        pos = self._pos_cache.get(key)
-        if pos is None:
-            self._load_docmeta()
-            meta_ids = self._docmeta[0]
-            pos = np.searchsorted(meta_ids, ids)
-            self._pos_cache[key] = pos
-        return pos
+        """Positions of a chunk's docs within the global sorted doc table.
+
+        FORMAT_VERSION 9 segments store dense docnos — each doc's rank in
+        the doc_id-sorted docmeta order — so a chunk's ids ARE its docmeta
+        positions: the per-(term, chunk) searchsorted + position cache of
+        v8 (the expensive part of a cold query, plus 4 B/posting of cached
+        int32 per reader) is gone entirely."""
+        return ids.view(np.int64)
 
     def _single_term(
         self, tc, k: int, mask: np.ndarray | None
@@ -1165,7 +1209,7 @@ class IndexReader:
             # plain assignment-accumulate per doc
             scores[inv[off : off + sc_part.size]] += sc_part
             off += sc_part.size
-        ids = self._docmeta[0][upos]  # _chunk_positions loaded docmeta
+        ids = upos  # positions ARE docnos; doc_id mapping happens at the API
         kk = min(k, ids.size)
         thr = -np.partition(-scores, kk - 1)[kk - 1]
         cut = scores >= thr
@@ -1203,7 +1247,6 @@ class IndexReader:
         """
         if not term_chunks:
             return []
-        self._load_docmeta()
         n = len(term_chunks)
         ubs = np.zeros(n, dtype=np.float64)
         sizes = np.zeros(n, dtype=np.int64)
@@ -1258,7 +1301,7 @@ class IndexReader:
         # buffers (1 byte + 4 bytes per doc, cache-resident at serving
         # scale, wiped in O(|candidates|) after the query) — measurably
         # ~4x faster than per-chunk binary search at 1.5M docs.
-        nd = self._docmeta[0].size
+        nd = self._docno_count
         if self._cand_mask_buf is None or self._cand_mask_buf.size != nd:
             self._cand_mask_buf = np.zeros(nd, dtype=bool)
             self._cand_rank_buf = np.empty(nd, dtype=np.int32)
@@ -1276,7 +1319,7 @@ class IndexReader:
                     scores[crank[pos[sel]]] += w * impacts[sel]
         finally:
             cmask[cand] = False
-        ids = self._docmeta[0][cand]
+        ids = cand  # candidates ARE docnos; doc_id mapping happens at the API
         kk = min(k, ids.size)
         thr = -np.partition(-scores, kk - 1)[kk - 1]
         cut = scores >= thr
@@ -1296,10 +1339,8 @@ class IndexReader:
         oracle performs."""
         if not term_chunks:
             return []
-        self._load_docmeta()
-        meta_ids = self._docmeta[0]
-        scores = np.zeros(meta_ids.size, dtype=np.float64)
-        touched = np.zeros(meta_ids.size, dtype=bool)
+        scores = np.zeros(self._docno_count, dtype=np.float64)
+        touched = np.zeros(self._docno_count, dtype=bool)
         for t, w, chunks in term_chunks:  # term_chunks is term-sorted
             for ci, (ids, impacts, _, _) in enumerate(chunks):
                 pos = self._chunk_positions(t, ci, ids)
@@ -1317,7 +1358,7 @@ class IndexReader:
         thr = -np.partition(-cscores, kk - 1)[kk - 1]
         top = cand[cscores >= thr]
         tscores = scores[top]
-        tids = meta_ids[top]
+        tids = top  # docnos; doc_id mapping happens at the API boundary
         order = np.lexsort((tids, -tscores))[:kk]
         return [(int(d), float(s)) for d, s in zip(tids[order], tscores[order])]
 
@@ -1409,12 +1450,12 @@ class IndexReader:
         if not pool:
             return pool
         self._load_docmeta()
-        uids, _codes, _ts, dls, _langs = self._docmeta
-        rescored = []
-        for d, s in pool:
-            pos = int(np.searchsorted(uids, np.uint64(d)))
-            dl = int(dls[pos]) if pos < uids.size and uids[pos] == np.uint64(d) else 0
-            rescored.append((d, s + prior_weight * float(np.log1p(dl))))
+        dls = self._docmeta[3]
+        rescored = [
+            # pool entries are docnos = docmeta positions: direct gather
+            (d, s + prior_weight * float(np.log1p(int(dls[d]))))
+            for d, s in pool
+        ]
         rescored.sort(key=lambda kv: (-kv[1], kv[0]))
         return rescored
 

@@ -43,11 +43,16 @@ NUM_SALTS = 8
 NUM_BUCKET_GROUPS = 64
 
 # doc_id-range partitions of the docmeta table: each docmeta file carries one
-# row group per range (dr = doc_id % this, recorded in the footer KV), so a
-# merge task above the doclen-broadcast budget reads ONLY the ranges its
-# postings touch instead of fetching a corpus-wide (doc_id, doclen) broadcast
-# (16 B/doc -> 160 GB at 10^10 docs).  Fixed for layout/lineage stability.
+# row group per range (dr = doc_id >> DOC_RANGE_SHIFT, recorded in the footer
+# KV), so a merge task above the doclen-broadcast budget reads ONLY the ranges
+# its postings touch instead of fetching a corpus-wide (doc_id, doclen)
+# broadcast (16 B/doc -> 160 GB at 10^10 docs).  Ranges are INTERVALS of the
+# (uniform url-hash) doc_id space, not hash-modulo classes: interval ranges
+# make the dense-docno assignment decomposable — a doc's global docno is
+# range_base[its range] + its rank within the range, so no task ever needs a
+# cross-range view.  Fixed for layout/lineage stability.
 NUM_DOC_RANGES = 32
+DOC_RANGE_SHIFT = 64 - (NUM_DOC_RANGES.bit_length() - 1)
 
 PAGES_SCHEMA = pa.schema(
     [
@@ -109,7 +114,15 @@ SEGMENT_SCHEMA = pa.schema(
         pa.field("salt", pa.int32()),
         pa.field("bucket", pa.int32()),
         pa.field("df_chunk", pa.int64()),
-        pa.field("doc_ids", pa.binary()),  # delta-varint, sorted uint64
+        # delta-varint, sorted.  v9 stores dense DOCNOS — each doc's rank in
+        # the doc_id-sorted docmeta table — not raw 64-bit url-hash doc_ids:
+        # gaps shrink from ~2^64/df (uniform hashes, ~6-9 B/posting, the
+        # dominant segment bytes of v8) to ~N/df (1-2 B/posting).  The docno
+        # space is shared with the reader's cached docmeta order, so filter
+        # masks index directly (mask[docno]) and the top-k maps back to
+        # doc_ids with one array gather; ranks are monotone in doc_id, so
+        # the (score DESC, doc_id ASC) tie-break is unchanged bitwise.
+        pa.field("doc_ids", pa.binary()),
         pa.field("tfs", pa.binary()),  # varint
         # per-posting doc length, tagged varint/PFor.  The float64 BM25
         # impact is RECOMPUTED at chunk load (query.py _load_chunks) from

@@ -144,3 +144,28 @@ def test_sparse_path_bitwise_equals_dense(built_index):
                 tcs.append((t, r.idf(t), chunks))
         for mask in (None, r._filter_mask("en", None, None)):
             assert r._sparse(tcs, 10, mask) == r._vectorized(tcs, 10, mask)
+
+
+def test_segments_store_dense_docnos(built_index):
+    """FORMAT_VERSION 9 structural contract: every decoded posting id is a
+    dense docno in [0, n_docmeta) — NOT a raw 64-bit url-hash — and mapping
+    docnos through the doc_id-sorted docmeta order recovers exactly the
+    oracle's posting doc_ids per term.  This is what lets filter masks index
+    postings directly and cuts the dominant v8 segment bytes (~2^64/df
+    delta gaps) to ~N/df."""
+    pages_dir, index_dir, metrics = built_index
+    r = IndexReader(index_dir)
+    r._load_docmeta()
+    meta_ids = r._docmeta[0]
+    oracle = OracleIndex(synth.gen_pages_table(N_DOCS))
+    terms = [synth.HEAD_TERMS[0], synth.VOCAB[300], synth.VOCAB[800]]
+    for t in terms:
+        chunks = r._load_chunks(t)
+        docnos = np.sort(np.concatenate([c[0] for c in chunks]))
+        assert docnos.size == r.df(t)
+        assert docnos.max() < meta_ids.size  # dense, not hash-valued
+        got_ids = np.sort(meta_ids[docnos.astype(np.int64)])
+        want = np.sort(
+            np.array(sorted(oracle.postings[t]), dtype=np.uint64)
+        )
+        assert np.array_equal(got_ids, want), t
