@@ -50,7 +50,11 @@ NUM_BUCKET_GROUPS = 64
 # (uniform url-hash) doc_id space, not hash-modulo classes: interval ranges
 # make the dense-docno assignment decomposable — a doc's global docno is
 # range_base[its range] + its rank within the range, so no task ever needs a
-# cross-range view.  Fixed for layout/lineage stability.
+# cross-range view.  Fixed for layout/lineage stability.  Scale note: an
+# above-budget merge task's memory is bounded by (touched ranges) x (N /
+# NUM_DOC_RANGES) docmeta rows; head-term bucket groups touch every range, so
+# past ~10^10 docs this constant scales up with the corpus (a format bump —
+# it is baked into the tokenize wave's footer-KV range layout).
 NUM_DOC_RANGES = 32
 DOC_RANGE_SHIFT = 64 - (NUM_DOC_RANGES.bit_length() - 1)
 
