@@ -116,6 +116,37 @@ def _hash_analyzer(cfg: AnalyzerConfig) -> str:
     ).hexdigest()
 
 
+def _loser_content_fp(
+    ids: np.ndarray, max_ts: np.ndarray, win_rank: np.ndarray
+) -> str:
+    """Content hash of a loser TABLE (doc_id-sorted values, order-free).
+
+    Shared by build_index and merge_indexes (engine/merge.py), which must
+    predict the fingerprint build_index will derive from a grafted
+    losers.parquet."""
+    import hashlib as _h
+
+    order = np.argsort(ids.astype(np.uint64))
+    h = _h.blake2b(digest_size=8)
+    h.update(ids.astype(np.uint64)[order].tobytes())
+    h.update(max_ts.astype(np.int64)[order].tobytes())
+    h.update(win_rank.astype(np.int32)[order].tobytes())
+    return h.hexdigest()
+
+
+def _filter_tag(input_filter) -> str:
+    return f"+W{input_filter}" if input_filter is not None else ""
+
+
+def _extract_tag(extract_chain, extract_timeout_s) -> str:
+    """Extract-lineage tag: a chain changes OUTPUT, and a poisoned row's
+    fate depends on both chain and timeout — conservative: either setting
+    is part of the extract lineage."""
+    if extract_chain or extract_timeout_s:
+        return "+X" + ",".join(extract_chain or ()) + f"@{extract_timeout_s or 0}"
+    return ""
+
+
 def _partition_inputs(input_files: list[str], num_partitions: int) -> dict[str, list[str]]:
     files = sorted(input_files)
     num_partitions = max(1, min(num_partitions, len(files)))
@@ -356,8 +387,14 @@ def build_index(
     losers_path = os.path.join(index_dir, "losers.parquet")
     loser_src = sorted(loser_files) if loser_files else files
     all_input_fp = fingerprint_files(loser_src) if loser_src else "empty"
-    filt_tag = f"+W{input_filter}" if input_filter is not None else ""
+    filt_tag = _filter_tag(input_filter)
     losers_fp = "input:" + all_input_fp + filt_tag
+    if loser_files:
+        # merge_indexes (engine/merge.py) remaps each source's loser
+        # win_ranks into the union's file-rank space; when the ranks index a
+        # WIDER corpus than this index's own inputs (shard builds), the
+        # rank-owning file list must be recoverable from the manifest
+        man.data.setdefault("config", {})["loser_src_extra"] = loser_src
     # file ranks (the ts-tie winner key) come from the GLOBAL corpus order
     # when loser_files is given, so every shard agrees on the winner
     rank_of_path = {f: i for i, f in enumerate(sorted(loser_src))}
@@ -394,13 +431,7 @@ def build_index(
     )
     # content hash of the loser set: extract partitions are invalidated only
     # when the DEDUP OUTCOME changes, not whenever any input file changes
-    import hashlib as _hashlib
-
-    _lh = _hashlib.blake2b(digest_size=8)
-    _lh.update(loser_ids[loser_order].tobytes())
-    _lh.update(loser_max_ts[loser_order].tobytes())
-    _lh.update(loser_win_rank[loser_order].tobytes())
-    loser_content_fp = _lh.hexdigest()
+    loser_content_fp = _loser_content_fp(loser_ids, loser_max_ts, loser_win_rank)
     _mark("t_losers")
 
     # ---- phases extract + postings ---------------------------------------
@@ -431,12 +462,7 @@ def build_index(
     else:
         extract_fn = documents_to_extracted
     a_hash = _hash_analyzer(analyzer)
-    x_tag = ""
-    if extract_chain or extract_timeout_s:
-        # timeout does not change OUTPUT for well-behaved rows, but a chain
-        # does, and a poisoned row's fate depends on both — conservative:
-        # either setting is part of the extract lineage
-        x_tag = "+X" + ",".join(extract_chain or ()) + f"@{extract_timeout_s or 0}"
+    x_tag = _extract_tag(extract_chain, extract_timeout_s)
     ext_fp = {
         pid: fingerprint_files(pfiles) + "+L" + loser_content_fp + x_tag + filt_tag
         for pid, pfiles in parts.items()

@@ -677,6 +677,65 @@ def _deleted_index_for(sf_dir: str) -> IndexReader:
     return reader
 
 
+def _merged_index_for(sf_dir: str) -> IndexReader:
+    """Index over `documents` built as TWO independent half-corpus indexes
+    consolidated by engine/merge.py merge_indexes — the Lucene-style segment
+    merge lifecycle (independent snapshot builds -> one serving index).  The
+    row split here is only fixture construction (simulating two separately
+    ingested corpora); the merge itself grafts both sources' checkpointed
+    partitions and re-runs the stats+segments reduce, so a hash match
+    against BM25_DOCS_SQL proves the merged index scores exactly like a
+    fresh build over the whole table."""
+    from ..merge import merge_indexes
+
+    key = os.path.abspath(sf_dir) + ":merged"
+    if key in _reader_cache:
+        return _reader_cache[key]
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = hashlib.blake2b(
+        f"{key}:{os.path.getsize(src)}:m1".encode(), digest_size=8
+    ).hexdigest()
+    root = os.path.join(tempfile.gettempdir(), f"rayft_docmrg_{tag}")
+    os.makedirs(root, exist_ok=True)
+    import pyarrow.parquet as pq
+
+    halves = [os.path.join(root, f"half-{s}.parquet") for s in "ab"]
+    if not all(os.path.exists(h) for h in halves):
+        t = pq.read_table(src)  # gate-scale fixture split, not the operator
+        mid = t.num_rows // 2
+        for h, part in zip(halves, (t.slice(0, mid), t.slice(mid))):
+            pq.write_table(part, h + ".tmp")
+            os.replace(h + ".tmp", h)
+    kw = dict(num_partitions=1, input_kind="documents", tokenize_batch_size=256)
+    srcs = []
+    for h in halves:
+        d = h[: -len(".parquet")] + ".idx"
+        build_index(h, d, **kw)
+        srcs.append(d)
+    merged = os.path.join(root, "merged")
+    merge_indexes(
+        srcs, merged, input_kind="documents", tokenize_batch_size=256
+    )
+    reader = IndexReader(merged)
+    _reader_cache[key] = reader
+    return reader
+
+
+def docs_merged_topk(sf_dir: str, k: int = K) -> pd.DataFrame:
+    """bm25_docs_topk over an index produced by merge_indexes from two
+    independently built half-corpus indexes — same fixed query set, same
+    whole-corpus BM25 oracle (rank/score identity proves the merge)."""
+    reader = _merged_index_for(sf_dir)
+    rows = []
+    for qid, qtext in enumerate(DOC_QUERIES):
+        res = reader.search(qtext, k=2 * k)
+        res = [(int(np.int64(np.uint64(d))), round(s, 6)) for d, s in res]
+        res.sort(key=lambda t: (-t[1], t[0]))
+        for rank, (did, s) in enumerate(res[:k], 1):
+            rows.append((qid, rank, did, s))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r6"])
+
+
 def bm25_docs_after_delete(sf_dir: str, k: int = K) -> pd.DataFrame:
     """bm25_docs_topk over the tombstoned+compacted index — same fixed
     query set, oracle = BM25 SQL over the surviving corpus."""
@@ -692,6 +751,8 @@ def bm25_docs_after_delete(sf_dir: str, k: int = K) -> pd.DataFrame:
 
 
 BM25_DOCS_SQL = _bm25_docs_sql()
+# merged-index entry scores the WHOLE corpus, so the oracle is identical
+MERGED_DOCS_SQL = _bm25_docs_sql()
 FACETS_DOCS_SQL = _facets_sql()
 DELETED_DOCS_SQL = _bm25_docs_sql(
     where=f"WHERE doc_id % {DELETE_MOD} <> 0"

@@ -94,6 +94,7 @@ SQL_CHECKED = [
     "events_anomaly_zscore",
     "docs_normalize",
     "docs_hybrid_rrf",
+    "docs_merged_topk",
 ]
 
 
