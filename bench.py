@@ -7,6 +7,8 @@ plus the flagship relational/dedup/ann pipelines over $GRAFT_SF_DIR.
     python bench.py             # one run at $RAY_GRAFT_CPUS (default 32)
     python bench.py --scaling   # same job at 8 and 32 CPUs in fresh
                                 # processes -> throughput + efficiency line
+    python bench.py --merge     # opt-in: merge_indexes consolidation cost
+                                # vs a fresh union build (BASELINE.md)
 
 Scaling evidence per BASELINE.json north_rule: the two-cluster-size criterion
 is evidenced by two parallelism levels in fresh processes on the same input.
@@ -358,6 +360,84 @@ def run_bench() -> dict:
     }
 
 
+def run_merge_bench() -> dict:
+    """Opt-in (`python bench.py --merge`, not part of the driver's per-round
+    snapshot): consolidation cost of engine/merge.py merge_indexes vs a
+    fresh build over the same union at BENCH_DOCS.  The merge grafts both
+    sources' partitions (no re-extract/re-tokenize) and pays only the
+    losers remap + stats + segments reduce, so merge_s should track the
+    build's stats+segments phase time, not the full build."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local", num_cpus=NCPUS, include_dashboard=False,
+            logging_level="ERROR",
+        )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    from engine.build import build_index
+    from engine.merge import merge_indexes
+    from engine.query import IndexReader
+
+    pages_dir = _corpus_dir(BENCH_DOCS)
+    files = sorted(
+        os.path.join(pages_dir, f)
+        for f in os.listdir(pages_dir)
+        if f.endswith(".parquet")
+    )
+    out: dict = {
+        "metric": "index merge consolidation vs fresh union build",
+        "unit": "sec",
+        "bench_docs": BENCH_DOCS,
+        "num_cpus": NCPUS,
+        "box_calibration_docs_per_s": calibrate(),
+    }
+
+    def _warm(b):
+        import engine.analyze  # noqa: F401
+        import engine.build  # noqa: F401
+        return b
+
+    ray.data.range(1024).map_batches(_warm, batch_size=8).count()
+    ray.data.read_parquet(pages_dir).count()
+
+    root = tempfile.mkdtemp(prefix="rayft_mergebench_")
+    try:
+        half = len(files) // 2
+        t0 = time.perf_counter()
+        build_index(files[:half], os.path.join(root, "A"), num_partitions=4)
+        build_index(files[half:], os.path.join(root, "B"), num_partitions=4)
+        out["half_builds_s"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        m = merge_indexes(
+            [os.path.join(root, "A"), os.path.join(root, "B")],
+            os.path.join(root, "merged"),
+        )
+        out["merge_s"] = round(time.perf_counter() - t0, 3)
+        out["merge_grafted"] = m["grafted_partitions"]
+        out["merge_reextracted"] = m["reextracted_partitions"]
+        out["merge_losers_mode"] = m["losers_mode"]
+        t0 = time.perf_counter()
+        build_index(pages_dir, os.path.join(root, "full"), num_partitions=8)
+        out["full_build_s"] = round(time.perf_counter() - t0, 3)
+        out["merge_speedup_vs_rebuild"] = round(
+            out["full_build_s"] / out["merge_s"], 2
+        )
+        # sanity: merged index answers like the fresh one
+        from engine import synth
+
+        rm = IndexReader(os.path.join(root, "merged"))
+        rf = IndexReader(os.path.join(root, "full"))
+        q = synth.HEAD_TERMS[0] + " " + synth.VOCAB[300]
+        out["rank_identical"] = rm.search(q, k=10) == rf.search(q, k=10)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    out["box_calibration_end"] = calibrate()
+    return out
+
+
 def run_scaling() -> dict:
     """Same headline job at 2, 8 and 32 CPUs in fresh processes, same corpus.
 
@@ -451,6 +531,11 @@ def run_scaling() -> dict:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         result = run_scaling()
+    elif "--merge" in sys.argv:
+        result = run_merge_bench()
+        import ray
+
+        ray.shutdown()
     else:
         result = run_bench()
         import ray
