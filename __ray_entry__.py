@@ -98,7 +98,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": textops.token_counts,
         # unicode canonicalization + fingerprint (NFC/lower/ws-collapse/md5)
         "docs_normalize": textops.docs_normalize,
-        "repetition_scores": textops.repetition_scores,
         # corpus-LM mean token surprisal (CCNet-style perplexity gate)
         "docs_unigram_surprisal": textops.docs_unigram_surprisal,
         "top_terms": textops.top_terms,
@@ -115,6 +114,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # greedy token-budget sequence packing (per-shard sequential, shards
         # pack in parallel)
         "docs_pack_sequences": curate.docs_pack_sequences,
+        # deterministic global shuffle -> training shards (NEW round 5:
+        # seeded md5 permutation as metadata, no payload all-to-all)
+        "docs_shuffle_shards": curate.docs_shuffle_shards,
         # similarity search over embeddings
         "knn_topk": ann.knn_topk,
         "cosine_dup_pairs": ann.cosine_dup_pairs,
@@ -140,8 +142,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- slots 51+: SQL-gated ops rotated OUT for round 5 (driver-
         # green rounds 2-4; judge re-verified in the r04 full run).
         # events_keyset_page8 (driver-green r02-r04) moved here to make
-        # room for the new docs_merged_topk in the window ----
+        # room for the new docs_merged_topk in the window;
+        # repetition_scores (driver-green r03-r04) moved here to make room
+        # for the new docs_shuffle_shards ----
         "events_keyset_page8": relational.events_keyset_page8,
+        "repetition_scores": textops.repetition_scores,
         # faceted search: metadata-value counts over the BM25 result pool
         "docs_search_facets": docsearch.bm25_docs_facets,
         # did-you-mean: SymSpell delete-index suggestion over the vocabulary
@@ -251,6 +256,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_normalize": textops.DOCS_NORMALIZE_SQL,
         "docs_stratified_sample": curate.STRATIFIED_SAMPLE_SQL,
         "docs_pack_sequences": curate.PACK_SEQUENCES_SQL,
+        "docs_shuffle_shards": curate.SHUFFLE_SHARDS_SQL,
         "token_counts": textops.TOKEN_COUNTS_SQL,
         "quality_scores": textops.QUALITY_SCORES_SQL,
         "lang_id": textops.LANG_ID_SQL,

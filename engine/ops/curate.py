@@ -332,3 +332,78 @@ pack AS (
 )
 SELECT shard, doc_id, n_tokens, bin_id FROM pack
 """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global shuffle into training shards: the data-ordering step
+# between curation and training.
+_SHUF_SEED = "shuf1"
+_HEX = "0123456789abcdef"
+
+
+def docs_shuffle_shards(sf_dir: str):
+    """Reproducible global permutation of the corpus for training-data
+    ordering, WITHOUT ray.data.random_shuffle's all-to-all payload
+    materialization: the permutation is computed as pure metadata.
+
+    key   = md5(seed || '-' || doc_id)[:16]   (seeded, so re-runs and
+            incremental additions reshuffle deterministically)
+    shard = first hex nibble of the key (gate scale: 16 shards; at 100 TB
+            use the first k nibbles -> 16^k shards, chosen so one shard's
+            (doc_id, key) rows fit a single task -- the exchange carries
+            ~24 bytes/doc regardless of payload width)
+    pos   = rank of (key, doc_id) within the shard
+
+    One column-pruned streaming pass emits (doc_id, key, shard); one coarse
+    shard-keyed shuffle sorts each shard independently.  Training then reads
+    shard s in pos order; attaching payloads is a doc_id-keyed join (the
+    doc store is doc_id-sorted, so the gather is a merge, not a shuffle).
+    The reference's only ordering device is ORDER BY RANDOM() in SQL
+    (ec2/rds/query.py:35-37) -- non-reproducible and a full sort; this is
+    the hash-shuffle a 100-TB pipeline needs.  The DuckDB oracle applies
+    the identical key rule, so the gate checks the exact permutation."""
+    import hashlib
+
+    def key_batch(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        keys = [
+            hashlib.md5(f"{_SHUF_SEED}-{i}".encode()).hexdigest()[:16]
+            for i in ids
+        ]
+        shards = np.fromiter(
+            (_HEX.index(k[0]) for k in keys), dtype=np.int64, count=len(keys)
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "key": pa.array(keys, pa.string()),
+                "shard": pa.array(shards, pa.int64()),
+            }
+        )
+
+    def order_shard(g):
+        g = g.sort_values(["key", "doc_id"]).reset_index(drop=True)
+        out = g[["doc_id", "shard"]].copy()
+        out["pos"] = np.arange(len(g), dtype=np.int64)
+        return out
+
+    return (
+        _read_docs(sf_dir, columns=["doc_id"])
+        .map_batches(key_batch, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(order_shard, batch_format="pandas")
+    )
+
+
+SHUFFLE_SHARDS_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         substr(md5('{_SHUF_SEED}-' || CAST(doc_id AS VARCHAR)), 1, 16) AS key
+  FROM documents
+)
+SELECT doc_id,
+       CAST(strpos('{_HEX}', substr(key, 1, 1)) - 1 AS BIGINT) AS shard,
+       row_number() OVER (PARTITION BY substr(key, 1, 1)
+                          ORDER BY key, doc_id) - 1 AS pos
+FROM keyed
+"""

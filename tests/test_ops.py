@@ -95,6 +95,7 @@ SQL_CHECKED = [
     "docs_normalize",
     "docs_hybrid_rrf",
     "docs_merged_topk",
+    "docs_shuffle_shards",
 ]
 
 
@@ -653,6 +654,27 @@ def test_pack_sequences_invariants():
         sums = s.groupby("bin_id")["n_tokens"].agg(["sum", "count"])
         over = sums[sums["sum"] > _PACK_BUDGET]
         assert (over["count"] == 1).all()  # only oversized singletons exceed
+
+
+def test_shuffle_shards_is_permutation():
+    """Every doc appears exactly once, pos is dense 0..n-1 per shard, and
+    the shard assignment matches the key's first hex nibble."""
+    import hashlib
+
+    from engine.ops.curate import _SHUF_SEED, docs_shuffle_shards
+
+    got = _to_pandas(docs_shuffle_shards(SF))
+    import duckdb
+
+    ids = duckdb.sql(
+        f"SELECT doc_id FROM '{SF}/documents.parquet'"
+    ).df()["doc_id"]
+    assert sorted(got["doc_id"]) == sorted(ids)
+    for shard, s in got.groupby("shard"):
+        assert sorted(s["pos"]) == list(range(len(s)))
+        for i in s["doc_id"].head(5):
+            k = hashlib.md5(f"{_SHUF_SEED}-{i}".encode()).hexdigest()
+            assert int(k[0], 16) == shard
 
 
 def test_minhash_dup_clusters_match_union_find():
