@@ -171,6 +171,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": textops.quality_scores,
         "lang_id": textops.lang_id,
         "redact_pii": textops.redact_pii,
+        # ---- new round-5 training-data ops (SQL-gated, overflow slots:
+        # the 50-slot window was already rotation-packed this round) ----
+        # temperature-scaled per-source sampling weights (data mixing)
+        "source_mixture_weights": curate.source_mixture_weights,
+        # RAG / context-window sliding-token chunking
+        "docs_chunk_sliding": curate.docs_chunk_sliding,
+        # first BPE merge iteration: within-word char-pair frequencies
+        "docs_bpe_pair_counts": textops.docs_bpe_pair_counts,
         # ---- rows-only / sketch entries (no SQL oracle by nature) ----
         "events_value_quantiles_sketch": relational.events_value_quantiles_sketch,
         "events_distinct_users_hll": relational.events_distinct_users_hll,
@@ -273,4 +281,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_autocomplete": docsearch.AUTOCOMPLETE_SQL,
         "knn_topk": ann.KNN_TOPK_SQL,
         "cosine_dup_pairs": ann.COSINE_DUP_SQL,
+        "source_mixture_weights": curate.MIXTURE_WEIGHTS_SQL,
+        "docs_chunk_sliding": curate.CHUNK_SLIDING_SQL,
+        "docs_bpe_pair_counts": textops.BPE_PAIR_COUNTS_SQL,
     }

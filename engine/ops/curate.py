@@ -407,3 +407,185 @@ SELECT doc_id,
                           ORDER BY key, doc_id) - 1 AS pos
 FROM keyed
 """
+
+
+# ---------------------------------------------------------------------------
+# Data-mixing weights: temperature-scaled per-source sampling probabilities.
+_MIX_ALPHA = 0.5
+
+
+def source_mixture_weights(sf_dir: str, alpha: float = _MIX_ALPHA):
+    """Per-source token shares -> temperature-scaled sampling weights
+    (w_i = share_i^alpha / sum_j share_j^alpha, the multilingual/multi-corpus
+    mixing rule of Lample & Conneau 2019 / the Pile): the step that turns
+    corpus stats into a training sampling distribution.  Reference analog:
+    the per-model document-count stats its dashboard aggregates server-side
+    (rds_schema.sql) — here upgraded to the mixing computation a pre-training
+    pipeline runs over source metadata.
+
+    Scale shape: token counts are pre-aggregated per source INSIDE each
+    map_batches call (Arrow group_by on the batch — a combiner), so the
+    global groupby shuffles at most n_sources rows per input block, and the
+    weight math runs on the result-scale table (one row per source).  All
+    counts are exact int64 sums; the float expression mirrors the SQL twin
+    term-for-term so round-6 values hash-match."""
+    import pandas as pd
+
+    from ..analyze import tokenize_counts_arrow
+
+    def partial(t: pa.Table) -> pa.Table:
+        _, _, _, doclens = tokenize_counts_arrow(t["text"])
+        per_doc = pa.table(
+            {
+                "source": t["source"],
+                "n_docs": pa.array(np.ones(len(t), np.int64), pa.int64()),
+                "n_tokens": pa.array(doclens.astype(np.int64), pa.int64()),
+            }
+        )
+        out = per_doc.group_by("source").aggregate(
+            [("n_docs", "sum"), ("n_tokens", "sum")]
+        )
+        return out.rename_columns(["source", "n_docs", "n_tokens"])
+
+    agg = (
+        _read_docs(sf_dir, columns=["source", "text"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .sum(["n_docs", "n_tokens"])
+        .to_pandas()  # result-scale: one row per source
+        .rename(columns={"sum(n_docs)": "n_docs", "sum(n_tokens)": "n_tokens"})
+        .sort_values("source", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    n_tokens = agg["n_tokens"].to_numpy().astype(np.float64)
+    total = float(int(agg["n_tokens"].sum()))  # exact integer total
+    share = n_tokens / total
+    powed = share**alpha
+    denom = float(powed.sum())
+    return pd.DataFrame(
+        {
+            "source": agg["source"],
+            "n_docs": agg["n_docs"].astype(np.int64),
+            "n_tokens": agg["n_tokens"].astype(np.int64),
+            "token_share_r6": np.round(share, 6),
+            "weight_r6": np.round(powed / denom, 6),
+        }
+    )
+
+
+MIXTURE_WEIGHTS_SQL = f"""
+WITH tok AS (
+  SELECT source,
+         len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '')) AS nt
+  FROM documents
+),
+agg AS (
+  SELECT source, count(*) AS n_docs, sum(nt) AS n_tokens
+  FROM tok GROUP BY source
+),
+tot AS (
+  SELECT sum(n_tokens) * 1.0 AS t,
+         sum(pow(n_tokens * 1.0 / (SELECT sum(n_tokens) FROM agg),
+                 {_MIX_ALPHA})) AS denom
+  FROM agg
+)
+SELECT a.source,
+       CAST(a.n_docs AS BIGINT) AS n_docs,
+       CAST(a.n_tokens AS BIGINT) AS n_tokens,
+       round(a.n_tokens * 1.0 / t.t, 6) AS token_share_r6,
+       round(pow(a.n_tokens * 1.0 / t.t, {_MIX_ALPHA}) / t.denom, 6)
+         AS weight_r6
+FROM agg a CROSS JOIN tot t
+"""
+
+
+# ---------------------------------------------------------------------------
+# RAG / context-window chunking: sliding token windows with overlap.
+_CHUNK_WINDOW = 64
+_CHUNK_STRIDE = 48
+
+
+def docs_chunk_sliding(sf_dir: str, window: int = _CHUNK_WINDOW,
+                       stride: int = _CHUNK_STRIDE):
+    """Sliding-window chunking: each doc is split into windows of `window`
+    tokens starting every `stride` tokens (chunks overlap by window-stride;
+    the last chunk is whatever remains past its start).  The step that turns
+    a curated corpus into retrieval/context units; zero-token docs emit no
+    chunks.  Reference analog: the statement-level splitting its ingest
+    applies to papers before indexing (SURVEY.md §2.2 extraction chain).
+
+    Scale shape: embarrassingly parallel — one column-pruned streaming pass,
+    no shuffle, chunks never re-cross the exchange.  Tokenization is the
+    shared vectorized kernel (one regex split per batch); the only per-row
+    work is the md5 chunk fingerprint (the same per-value digest budget as
+    exact_dedup — at the gate the fingerprint IS the payload; a real
+    pipeline would emit the chunk text column to the writer instead).
+    Output: (doc_id, chunk_id, start_tok, n_toks, chunk_md5)."""
+    import hashlib
+
+    def fn(t: pa.Table) -> pa.Table:
+        flat, parents = token_array_stream(t["text"])
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        n = len(t)
+        counts = (
+            np.bincount(parents, minlength=n).astype(np.int64)
+            if len(parents)
+            else np.zeros(n, np.int64)
+        )
+        offs = np.concatenate([[0], np.cumsum(counts)])
+        toks = flat.to_pylist()
+        out_doc: list[int] = []
+        out_cid: list[int] = []
+        out_start: list[int] = []
+        out_n: list[int] = []
+        out_md5: list[str] = []
+        for d in range(n):
+            length, base = int(counts[d]), int(offs[d])
+            for cid, st in enumerate(range(0, length, stride)):
+                seg = toks[base + st : base + min(st + window, length)]
+                out_doc.append(int(ids[d]))
+                out_cid.append(cid)
+                out_start.append(st)
+                out_n.append(len(seg))
+                out_md5.append(
+                    hashlib.md5(" ".join(seg).encode("utf-8")).hexdigest()
+                )
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "chunk_id": pa.array(out_cid, pa.int64()),
+                "start_tok": pa.array(out_start, pa.int64()),
+                "n_toks": pa.array(out_n, pa.int64()),
+                "chunk_md5": pa.array(out_md5, pa.string()),
+            }
+        )
+
+    return _read_docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+CHUNK_SLIDING_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, len(toks) - 1, {_CHUNK_STRIDE}))
+           AS start_tok
+  FROM tok WHERE len(toks) > 0
+)
+SELECT doc_id,
+       CAST(start_tok // {_CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(least({_CHUNK_WINDOW}, len(toks) - start_tok) AS BIGINT)
+         AS n_toks,
+       md5(array_to_string(
+             toks[start_tok + 1 : start_tok + {_CHUNK_WINDOW}], ' '))
+         AS chunk_md5
+FROM starts
+"""

@@ -1377,3 +1377,103 @@ norm AS (
 SELECT doc_id, CAST(length(n) AS BIGINT) AS norm_chars, md5(n) AS norm_md5
 FROM norm
 """
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer training primitive: within-word character-pair frequencies —
+# the first BPE merge iteration (Sennrich et al. 2016) over the corpus.
+_BPE_TOP = 50
+
+
+def docs_bpe_pair_counts(sf_dir: str, top_n: int = _BPE_TOP):
+    """Top-N most frequent adjacent character pairs inside tokens, weighted
+    by token occurrence — the merge-candidate table the first iteration of
+    BPE tokenizer training computes.  Reference analog: the fixed LaTeX
+    tokenization its search applies (SURVEY.md §2.3 analyzer); here the
+    corpus-statistics step a pipeline training its OWN tokenizer needs.
+
+    Scale shape (the distributed-BPE word-count compression): each batch is
+    first compressed to its DISTINCT tokens with counts (Arrow value_counts
+    — the classic word-frequency compaction, ~vocab rows instead of ~token
+    occurrences), pairs are expanded VECTORIZED over that small vocab (one
+    utf8_slice per character position, bounded by max token length), and
+    partial (pair, freq) rows are combined per batch before the global
+    groupby — so the shuffle carries at most |char-pair alphabet| (~1.3k
+    for [a-z0-9]) rows per block and the driver sees only the result-scale
+    pair table.  Tokens are [a-z0-9]+ so codeunits == characters and the
+    SQL twin's 1-based string slicing matches exactly."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"pair": pa.array([], pa.string()), "freq": pa.array([], pa.int64())}
+        )
+        flat, _ = token_array_stream(t["text"])
+        if len(flat) == 0:
+            return empty
+        vc = flat.value_counts()
+        toks = vc.field("values")
+        cnts = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = pc.utf8_length(toks).to_numpy(zero_copy_only=False)
+        pair_parts, cnt_parts = [], []
+        for i in range(int(lens.max()) - 1):
+            sel = lens >= i + 2
+            if not sel.any():
+                break
+            sub = toks.filter(pa.array(sel))
+            a = pc.utf8_slice_codeunits(sub, start=i, stop=i + 1)
+            b = pc.utf8_slice_codeunits(sub, start=i + 1, stop=i + 2)
+            joined = pc.binary_join_element_wise(a, b, " ")
+            if isinstance(joined, pa.ChunkedArray):
+                joined = joined.combine_chunks()
+            pair_parts.append(joined)
+            cnt_parts.append(cnts[sel])
+        if not pair_parts:
+            return empty
+        batch = pa.table(
+            {
+                "pair": pa.concat_arrays(pair_parts),
+                "freq": pa.array(np.concatenate(cnt_parts), pa.int64()),
+            }
+        )
+        out = batch.group_by("pair").aggregate([("freq", "sum")])
+        return out.rename_columns(["pair", "freq"])
+
+    agg = (
+        _read_docs(sf_dir, columns=["text"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pair")
+        .sum("freq")
+        .to_pandas()  # <= |char-pair alphabet| rows (~1.3k)
+        .rename(columns={"sum(freq)": "freq"})
+        .sort_values(["freq", "pair"], ascending=[False, True], kind="mergesort")
+        .head(top_n)
+        .reset_index(drop=True)
+    )
+    agg["freq"] = agg["freq"].astype(np.int64)
+    agg.insert(0, "rank", np.arange(1, len(agg) + 1, dtype=np.int64))
+    return agg[["rank", "pair", "freq"]]
+
+
+BPE_PAIR_COUNTS_SQL = f"""
+WITH tok AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+u AS (SELECT unnest(toks) AS tk FROM tok),
+wc AS (SELECT tk, count(*) AS c FROM u GROUP BY tk),
+p AS (
+  SELECT tk, c, unnest(generate_series(1, length(tk) - 1)) AS i
+  FROM wc WHERE length(tk) >= 2
+),
+pairs AS (
+  SELECT tk[i:i] || ' ' || tk[i+1:i+1] AS pair, sum(c) AS freq
+  FROM p GROUP BY pair
+),
+ranked AS (
+  SELECT row_number() OVER (ORDER BY freq DESC, pair) AS rank, pair, freq
+  FROM pairs
+)
+SELECT rank, pair, CAST(freq AS BIGINT) AS freq
+FROM ranked WHERE rank <= {_BPE_TOP}
+"""

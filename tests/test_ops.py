@@ -96,6 +96,9 @@ SQL_CHECKED = [
     "docs_hybrid_rrf",
     "docs_merged_topk",
     "docs_shuffle_shards",
+    "source_mixture_weights",
+    "docs_chunk_sliding",
+    "docs_bpe_pair_counts",
 ]
 
 
