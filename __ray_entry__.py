@@ -179,6 +179,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_chunk_sliding": curate.docs_chunk_sliding,
         # first BPE merge iteration: within-word char-pair frequencies
         "docs_bpe_pair_counts": textops.docs_bpe_pair_counts,
+        # DSIR hashed-bigram importance weights (target-matched selection)
+        "docs_dsir_weights": curate.docs_dsir_weights,
         # ---- rows-only / sketch entries (no SQL oracle by nature) ----
         "events_value_quantiles_sketch": relational.events_value_quantiles_sketch,
         "events_distinct_users_hll": relational.events_distinct_users_hll,
@@ -284,4 +286,5 @@ def oracle_sql() -> dict[str, str]:
         "source_mixture_weights": curate.MIXTURE_WEIGHTS_SQL,
         "docs_chunk_sliding": curate.CHUNK_SLIDING_SQL,
         "docs_bpe_pair_counts": textops.BPE_PAIR_COUNTS_SQL,
+        "docs_dsir_weights": curate.DSIR_WEIGHTS_SQL,
     }

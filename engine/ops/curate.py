@@ -589,3 +589,151 @@ SELECT doc_id,
          AS chunk_md5
 FROM starts
 """
+
+
+# ---------------------------------------------------------------------------
+# DSIR: hashed-n-gram importance weights for target-matched data selection
+# (Xie et al. 2023, "Data Selection for Language Models via Importance
+# Resampling").  Target slice: lang == 'en' (config stand-in for "docs that
+# look like the high-quality target domain").
+_DSIR_BUCKETS = 256  # first 2 hex chars of md5(bigram)
+_DSIR_TARGET_LANG = "en"
+
+
+def docs_dsir_weights(sf_dir: str):
+    """Per-doc DSIR importance weight: the log-likelihood ratio of the doc's
+    hashed-bigram features under a target-slice bag-of-ngrams model vs the
+    raw-corpus model,
+
+        llr(d) = sum_{bigram occurrences} ln( p_target(b) / p_raw(b) ),
+        p_*(b) = (count_*(b) + 1) / (total_* + 256)   (Laplace smoothing),
+
+    with b = the first two hex chars of md5(bigram) — 256 hash buckets, so
+    the feature distributions are fixed-size regardless of corpus scale.
+    Docs with no bigram (< 2 tokens) emit no row, matching the SQL join.
+
+    Scale shape — the two-pass DSIR layout: pass 1 streams the corpus once
+    and reduces per-batch bucket-count partials (<= 256 rows per block
+    through the groupby) to ONE 256-row table; the log-ratio vector is
+    broadcast via ray.put; pass 2 streams the corpus again scoring each doc
+    with a vectorized bucket lookup (md5 runs once per DISTINCT batch
+    bigram — the same per-value digest budget as exact_dedup).  Nothing
+    corpus-scale ever reaches the driver."""
+    import hashlib
+
+    def _bucket_idx(vocab: pa.Array) -> np.ndarray:
+        # md5 per distinct gram; int of the first hex byte = bucket index
+        return np.fromiter(
+            (
+                int(hashlib.md5(g.encode("utf-8")).hexdigest()[:2], 16)
+                for g in vocab.to_pylist()
+            ),
+            dtype=np.int64,
+            count=len(vocab),
+        )
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        flat, parents = token_array_stream(t["text"])
+        codes, gparents, vocab = ngram_from_stream(flat, parents, 2)
+        if len(codes) == 0:
+            return pa.table(
+                {
+                    "bidx": pa.array([], pa.int64()),
+                    "c_raw": pa.array([], pa.int64()),
+                    "c_tgt": pa.array([], pa.int64()),
+                }
+            )
+        bidx = _bucket_idx(vocab)[codes]
+        is_tgt = (
+            pc.equal(t["lang"], _DSIR_TARGET_LANG)
+            .to_numpy(zero_copy_only=False)
+            .astype(bool)[gparents]
+        )
+        c_raw = np.bincount(bidx, minlength=_DSIR_BUCKETS)
+        c_tgt = np.bincount(bidx[is_tgt], minlength=_DSIR_BUCKETS)
+        keep = c_raw > 0
+        return pa.table(
+            {
+                "bidx": pa.array(np.nonzero(keep)[0].astype(np.int64), pa.int64()),
+                "c_raw": pa.array(c_raw[keep].astype(np.int64), pa.int64()),
+                "c_tgt": pa.array(c_tgt[keep].astype(np.int64), pa.int64()),
+            }
+        )
+
+    counts = (
+        _read_docs(sf_dir, columns=["lang", "text"])
+        .map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bidx")
+        .sum(["c_raw", "c_tgt"])
+        .to_pandas()  # <= 256 rows
+    )
+    c_raw = np.zeros(_DSIR_BUCKETS, np.int64)
+    c_tgt = np.zeros(_DSIR_BUCKETS, np.int64)
+    c_raw[counts["bidx"].to_numpy()] = counts["sum(c_raw)"].to_numpy()
+    c_tgt[counts["bidx"].to_numpy()] = counts["sum(c_tgt)"].to_numpy()
+    t_raw = float(int(c_raw.sum()))
+    t_tgt = float(int(c_tgt.sum()))
+    logratio = np.log(
+        ((c_tgt + 1) / (t_tgt + _DSIR_BUCKETS))
+        / ((c_raw + 1) / (t_raw + _DSIR_BUCKETS))
+    )
+    lr_ref = ray.put(logratio)
+
+    def score(t: pa.Table) -> pa.Table:
+        lr = ray.get(lr_ref)
+        flat, parents = token_array_stream(t["text"])
+        codes, gparents, vocab = ngram_from_stream(flat, parents, 2)
+        n = len(t)
+        nbg = (
+            np.bincount(gparents, minlength=n).astype(np.int64)
+            if len(gparents)
+            else np.zeros(n, np.int64)
+        )
+        llr = np.zeros(n, np.float64)
+        if len(codes):
+            np.add.at(llr, gparents, lr[_bucket_idx(vocab)[codes]])
+        keep = nbg > 0
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].filter(pa.array(keep)),
+                "n_bigrams": pa.array(nbg[keep], pa.int64()),
+                "llr_r6": pa.array(np.round(llr[keep], 6), pa.float64()),
+            }
+        )
+
+    return _read_docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+DSIR_WEIGHTS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, lang,
+         unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS i, toks
+  FROM tok
+),
+bg AS (
+  SELECT doc_id, lang,
+         substr(md5(toks[i] || ' ' || toks[i+1]), 1, 2) AS b
+  FROM pos
+),
+counts AS (
+  SELECT b, count(*) AS c_raw,
+         count(*) FILTER (WHERE lang = '{_DSIR_TARGET_LANG}') AS c_tgt
+  FROM bg GROUP BY b
+),
+tot AS (SELECT sum(c_raw) * 1.0 AS t_raw, sum(c_tgt) * 1.0 AS t_tgt FROM counts)
+SELECT bg.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(sum(ln(((c.c_tgt + 1) / (t.t_tgt + {_DSIR_BUCKETS}))
+                    / ((c.c_raw + 1) / (t.t_raw + {_DSIR_BUCKETS})))), 6)
+         AS llr_r6
+FROM bg JOIN counts c ON c.b = bg.b CROSS JOIN tot t
+GROUP BY bg.doc_id
+"""

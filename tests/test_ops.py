@@ -99,6 +99,7 @@ SQL_CHECKED = [
     "source_mixture_weights",
     "docs_chunk_sliding",
     "docs_bpe_pair_counts",
+    "docs_dsir_weights",
 ]
 
 
