@@ -181,6 +181,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bpe_pair_counts": textops.docs_bpe_pair_counts,
         # DSIR hashed-bigram importance weights (target-matched selection)
         "docs_dsir_weights": curate.docs_dsir_weights,
+        # CCNet-style head/middle/tail perplexity bucketing
+        "docs_surprisal_buckets": textops.docs_surprisal_buckets,
         # ---- rows-only / sketch entries (no SQL oracle by nature) ----
         "events_value_quantiles_sketch": relational.events_value_quantiles_sketch,
         "events_distinct_users_hll": relational.events_distinct_users_hll,
@@ -287,4 +289,5 @@ def oracle_sql() -> dict[str, str]:
         "docs_chunk_sliding": curate.CHUNK_SLIDING_SQL,
         "docs_bpe_pair_counts": textops.BPE_PAIR_COUNTS_SQL,
         "docs_dsir_weights": curate.DSIR_WEIGHTS_SQL,
+        "docs_surprisal_buckets": textops.SURPRISAL_BUCKETS_SQL,
     }

@@ -1477,3 +1477,116 @@ ranked AS (
 SELECT rank, pair, CAST(freq AS BIGINT) AS freq
 FROM ranked WHERE rank <= {_BPE_TOP}
 """
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity bucketing: head / middle / tail corpus partition by
+# LM score, thresholds from a deterministic fixed-rate sample.
+_BUCKET_SAMPLE_HEX = "2b"  # md5(doc_id)[:2] < '2b' => 43/256 ~ 16.8% sample
+
+
+def docs_surprisal_buckets(sf_dir: str):
+    """CCNet-style corpus partition (Wenzek et al. 2020): every doc labeled
+    head / middle / tail by its LM score relative to tercile thresholds.
+    The LM score is the gated `docs_unigram_surprisal` kernel (corpus-MLE
+    unigram model, adaptive broadcast/distributed ctf paths); thresholds
+    are the ceil(n/3)- and ceil(2n/3)-th smallest (surprisal, doc_id) pairs
+    of a DETERMINISTIC md5-prefix sample — exactly how CCNet deploys: the
+    percentile cutoffs are computed once on a held-out slice, then applied
+    as constants in a streaming pass.
+
+    Scale shape: the scores Dataset materializes once (narrow doc-scale
+    rows, object-store resident / spillable) and feeds both consumers; the
+    sample is a streaming md5 filter whose RATE is the 100-TB knob (shrink
+    it so the collected sample stays task-sized, the same knob as
+    docs_stratified_sample); labeling is one vectorized comparison pass
+    against two broadcast (value, doc_id) threshold pairs — tie-safe
+    because the lexicographic tie-break is part of the rule.  Bucket
+    boundaries compare round-6 values, which the surprisal gate already
+    proves bitwise-equal to the oracle's."""
+    import hashlib
+
+    scores = docs_unigram_surprisal(sf_dir).materialize()
+
+    def sample_batch(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        keep = [
+            hashlib.md5(str(i).encode()).hexdigest()[:2] < _BUCKET_SAMPLE_HEX
+            for i in ids
+        ]
+        return t.filter(pa.array(keep, pa.bool_()))
+
+    samp = (
+        scores.map_batches(sample_batch, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()  # sample-scale by the fixed rate
+        .sort_values(["surprisal_r6", "doc_id"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    n_s = len(samp)
+    k1 = int(np.ceil(n_s / 3.0))
+    k2 = int(np.ceil(2.0 * n_s / 3.0))
+    t1 = (float(samp["surprisal_r6"].iat[k1 - 1]), int(samp["doc_id"].iat[k1 - 1]))
+    t2 = (float(samp["surprisal_r6"].iat[k2 - 1]), int(samp["doc_id"].iat[k2 - 1]))
+
+    def label(t: pa.Table) -> pa.Table:
+        s = t["surprisal_r6"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        le1 = (s < t1[0]) | ((s == t1[0]) & (ids <= t1[1]))
+        le2 = (s < t2[0]) | ((s == t2[0]) & (ids <= t2[1]))
+        bucket = np.where(le1, "head", np.where(le2, "middle", "tail"))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": t["n_tokens"],
+                "surprisal_r6": t["surprisal_r6"],
+                "bucket": pa.array(bucket, pa.string()),
+            }
+        )
+
+    return scores.map_batches(label, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SURPRISAL_BUCKETS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, tk, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS tk FROM tok)
+  GROUP BY doc_id, tk
+),
+ctf AS (SELECT tk, sum(tf) AS c FROM tf GROUP BY tk),
+stats AS (SELECT sum(c) AS n FROM ctf),
+per_doc AS (
+  SELECT tf.doc_id, sum(tf.tf * ln(s.n * 1.0 / ctf.c)) AS tot,
+         sum(tf.tf) AS len
+  FROM tf JOIN ctf ON ctf.tk = tf.tk CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+s AS (
+  SELECT t.doc_id,
+         CAST(coalesce(p.len, 0) AS BIGINT) AS n_tokens,
+         round(coalesce(p.tot, 0) / greatest(coalesce(p.len, 0), 1), 6) AS sr
+  FROM tok t LEFT JOIN per_doc p USING (doc_id)
+),
+samp AS (
+  SELECT doc_id, sr,
+         row_number() OVER (ORDER BY sr, doc_id) AS rn,
+         count(*) OVER () AS n_s
+  FROM s
+  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_BUCKET_SAMPLE_HEX}'
+),
+t1 AS (SELECT sr, doc_id FROM samp WHERE rn = CAST(ceil(n_s / 3.0) AS BIGINT)),
+t2 AS (SELECT sr, doc_id FROM samp
+       WHERE rn = CAST(ceil(2 * n_s / 3.0) AS BIGINT))
+SELECT s.doc_id, s.n_tokens, s.sr AS surprisal_r6,
+       CASE WHEN s.sr < t1.sr OR (s.sr = t1.sr AND s.doc_id <= t1.doc_id)
+              THEN 'head'
+            WHEN s.sr < t2.sr OR (s.sr = t2.sr AND s.doc_id <= t2.doc_id)
+              THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM s CROSS JOIN t1 CROSS JOIN t2
+"""

@@ -100,6 +100,7 @@ SQL_CHECKED = [
     "docs_chunk_sliding",
     "docs_bpe_pair_counts",
     "docs_dsir_weights",
+    "docs_surprisal_buckets",
 ]
 
 
