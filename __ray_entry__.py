@@ -200,6 +200,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pytest oracle re-derives assignments exactly from the same seed)
         "embedding_clusters": ann.embedding_clusters,
         "embedding_cluster_sizes": ann.embedding_cluster_sizes,
+        # product-quantization codes (rows-only: k-means; pytest oracle
+        # re-derives every code + reconstruction error exactly)
+        "embeddings_pq_codes": ann.embeddings_pq_codes,
         # registry-model embedding stage + self-retrieval (model inference:
         # rows-only; pytest oracle re-derives the model per doc)
         "doc_embed_knn": embed.doc_embed_knn,

@@ -781,3 +781,101 @@ def embedding_cluster_sizes(sf_dir: str, n_cells: int = _IVF_CELLS):
         .groupby("cluster")
         .map_groups(finish, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011): the embedding-compression step a
+# 100-TB vector corpus needs — m subspace codebooks of k centroids turn a
+# d-dim float vector into m small codes (here 4 x 4 bits = 2 bytes vs 256
+# bytes of float32x64, a 128x compression).
+_PQ_M = 4  # subspaces (d % m == 0)
+_PQ_K = 16  # centroids per subspace codebook (4-bit codes)
+
+
+def _train_pq_codebooks(
+    sample: np.ndarray, m: int, k: int, n_iter: int = 10, seed: int = 7
+) -> np.ndarray:
+    """Plain-L2 k-means per subspace on a bounded sample, deterministic
+    seed.  Returns (m, k, d/m) codebooks.  (PQ quantizes raw subvectors, so
+    Euclidean k-means — unlike the spherical `_train_centroids` the IVF
+    router uses.)"""
+    n, d = sample.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    ds = d // m
+    rng = np.random.default_rng(seed)
+    k = min(k, n)
+    books = np.empty((m, k, ds), np.float64)
+    for j in range(m):
+        sub = sample[:, j * ds : (j + 1) * ds]
+        cent = sub[rng.choice(n, size=k, replace=False)].copy()
+        for _ in range(n_iter):
+            # argmin ||x - c||^2 == argmax (x.c - ||c||^2 / 2)
+            assign = np.argmax(sub @ cent.T - 0.5 * (cent * cent).sum(1), axis=1)
+            for c in range(k):
+                members = sub[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def _pq_sample(sf_dir: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    pf = pq.ParquetFile(path)
+    want = min(_IVF_TRAIN_CAP, pf.metadata.num_rows)
+    got, n_seen = [], 0
+    for rb in pf.iter_batches(batch_size=16384, columns=["vec_id", "embedding"]):
+        got.append(pa.Table.from_batches([rb]))
+        n_seen += rb.num_rows
+        if n_seen >= want:
+            break
+    _, sample = _emb_matrix(pa.concat_tables(got))
+    return sample
+
+
+def embeddings_pq_codes(sf_dir: str, m: int = _PQ_M, k: int = _PQ_K):
+    """Per-vector PQ codes + relative reconstruction error: each of the m
+    subvectors is assigned its nearest codebook centroid (exact L2 argmin);
+    `recon_err_r6` = ||x - dequantized(x)||^2 / ||x||^2.  Output
+    (vec_id, code_0..code_{m-1}, recon_err_r6).
+
+    Rows-only entry (k-means isn't SQL-expressible); the pytest oracle
+    re-derives every assignment exactly from the same seed and asserts the
+    mean relative error beats the all-zeros quantizer by a wide margin.
+
+    Scale shape: codebooks train once on a bounded deterministic sample
+    (same cap as IVF), broadcast via ray.put (m*k*d/m floats — KB), and
+    assignment is one streaming pass of m small matmuls per batch; codes
+    never re-cross the exchange.  At 100 TB this is the writer stage that
+    makes the ANN corpus memory-resident (2 bytes/vec here vs 256)."""
+    books = _train_pq_codebooks(_pq_sample(sf_dir), m, k)
+    ref = ray.put(books)
+
+    def assign(t: pa.Table) -> pa.Table:
+        bks = ray.get(ref)
+        ids, mat = _emb_matrix(t)
+        mm, kk, ds = bks.shape
+        cols = {"vec_id": pa.array(ids, pa.int64())}
+        if len(ids) == 0:
+            for j in range(mm):
+                cols[f"code_{j}"] = pa.array([], pa.int64())
+            cols["recon_err_r6"] = pa.array([], pa.float64())
+            return pa.table(cols)
+        recon = np.empty_like(mat)
+        for j in range(mm):
+            sub = mat[:, j * ds : (j + 1) * ds]
+            cent = bks[j]
+            codes = np.argmax(sub @ cent.T - 0.5 * (cent * cent).sum(1), axis=1)
+            cols[f"code_{j}"] = pa.array(codes.astype(np.int64), pa.int64())
+            recon[:, j * ds : (j + 1) * ds] = cent[codes]
+        num = ((mat - recon) ** 2).sum(1)
+        den = np.maximum((mat * mat).sum(1), 1e-30)
+        cols["recon_err_r6"] = pa.array(np.round(num / den, 6), pa.float64())
+        return pa.table(cols)
+
+    return _read_emb(sf_dir).map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True
+    )

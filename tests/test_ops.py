@@ -701,3 +701,39 @@ def test_minhash_dup_clusters_match_union_find():
     want = {n: find(n) for n in parent}
     got = _to_pandas(minhash_dup_clusters(SF))
     assert dict(zip(got["doc_id"], got["cluster_id"])) == want
+
+
+def test_pq_codes_exact_vs_numpy():
+    """Every PQ code must equal the exact per-subspace L2 argmin against the
+    same deterministically trained codebooks, the reconstruction error must
+    match a plain recompute, and quantization must beat the zero quantizer
+    (err << 1) while staying lossy (err > 0)."""
+    import pyarrow.parquet as pq
+
+    from engine.ops.ann import (
+        _PQ_K,
+        _PQ_M,
+        _emb_matrix,
+        _pq_sample,
+        _train_pq_codebooks,
+        embeddings_pq_codes,
+    )
+
+    got = _to_pandas(embeddings_pq_codes(SF)).set_index("vec_id").sort_index()
+    books = _train_pq_codebooks(_pq_sample(SF), _PQ_M, _PQ_K)
+    t = pq.read_table(SF + "/embeddings.parquet")
+    ids, m = _emb_matrix(t)
+    order = np.argsort(ids)
+    mm, kk, ds = books.shape
+    recon = np.empty_like(m)
+    for j in range(mm):
+        sub = m[:, j * ds : (j + 1) * ds]
+        cent = books[j]
+        d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(-1)  # brute L2
+        want_codes = np.argmin(d2, axis=1)
+        assert np.array_equal(got[f"code_{j}"].to_numpy(), want_codes[order]), j
+        recon[:, j * ds : (j + 1) * ds] = cent[want_codes]
+    err = ((m - recon) ** 2).sum(1) / np.maximum((m * m).sum(1), 1e-30)
+    assert np.array_equal(got["recon_err_r6"].to_numpy(), np.round(err, 6)[order])
+    mean_err = float(err.mean())
+    assert 0.0 < mean_err < 0.9, mean_err
