@@ -183,6 +183,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dsir_weights": curate.docs_dsir_weights,
         # CCNet-style head/middle/tail perplexity bucketing
         "docs_surprisal_buckets": textops.docs_surprisal_buckets,
+        # curation funnel observability: counts + shares per drop reason
+        "curate_funnel": curate.curate_funnel,
         # ---- rows-only / sketch entries (no SQL oracle by nature) ----
         "events_value_quantiles_sketch": relational.events_value_quantiles_sketch,
         "events_distinct_users_hll": relational.events_distinct_users_hll,
@@ -296,4 +298,5 @@ def oracle_sql() -> dict[str, str]:
         "docs_bpe_pair_counts": textops.BPE_PAIR_COUNTS_SQL,
         "docs_dsir_weights": curate.DSIR_WEIGHTS_SQL,
         "docs_surprisal_buckets": textops.SURPRISAL_BUCKETS_SQL,
+        "curate_funnel": curate.CURATE_FUNNEL_SQL,
     }

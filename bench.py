@@ -304,7 +304,15 @@ def run_bench() -> dict:
         }
 
     # ---- flagship operators over the relational testdata ---------------
-    from engine.ops import ann, decontam, dedup, docsearch, relational, textops
+    from engine.ops import (
+        ann,
+        curate,
+        decontam,
+        dedup,
+        docsearch,
+        relational,
+        textops,
+    )
 
     # hybrid retrieval re-uses the cached documents index; pay (and report)
     # its one-off build separately so docs_hybrid_rrf below measures ONLY
@@ -340,6 +348,10 @@ def run_bench() -> dict:
         ("docs_hybrid_rrf", docsearch.docs_hybrid_rrf),
         ("knn_topk", ann.knn_topk),
         ("ivf_knn_topk", ann.ivf_knn_topk),
+        ("pq_knn_topk", ann.pq_knn_topk),
+        ("docs_dsir_weights", curate.docs_dsir_weights),
+        ("docs_chunk_sliding", curate.docs_chunk_sliding),
+        ("docs_bpe_pair_counts", textops.docs_bpe_pair_counts),
     ]:
         best = None
         for _ in range(2):  # best-of-2: single shots swing with neighbor load

@@ -737,3 +737,84 @@ SELECT bg.doc_id,
 FROM bg JOIN counts c ON c.b = bg.b CROSS JOIN tot t
 GROUP BY bg.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Curation funnel report: counts + shares per drop reason — the pipeline
+# observability table a curation run publishes (how much did each gate cost
+# us?).  Reasons are evaluated in fixed precedence so every doc lands in
+# exactly one row: contaminated > repetitive > too_short > kept.
+
+
+def curate_funnel(sf_dir: str):
+    """One streaming pass (the same fused verdict kernel as curate_docs —
+    benchmark n-grams broadcast once, all three signals from one
+    tokenization) reduced map-side to per-batch (reason, n) partials, so
+    the global groupby moves at most 4 rows per input block and the driver
+    sees the 4-row funnel.  Output: (reason, n, pct_r6).  Reference analog:
+    the corpus-stats dashboard its Postgres serves
+    (rds_schema.sql aggregate tables) — here derived in-pipeline."""
+
+    bench = benchmark_ngrams(sf_dir, _DECON_N)
+    bcast = ray.put(bench)
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = _verdict_batch(t, ray.get(bcast))
+        hits = v["n_hits"].to_numpy(zero_copy_only=False)
+        top2 = v["top2_frac"].to_numpy(zero_copy_only=False)
+        ntok = v["n_tokens"].to_numpy(zero_copy_only=False)
+        reason = np.where(
+            hits > 0,
+            "contaminated",
+            np.where(
+                top2 > MAX_TOP2_FRAC,
+                "repetitive",
+                np.where(ntok < MIN_TOKENS, "too_short", "kept"),
+            ),
+        )
+        tbl = pa.table(
+            {
+                "reason": pa.array(reason, pa.string()),
+                "n": pa.array(np.ones(len(reason), np.int64), pa.int64()),
+            }
+        )
+        return tbl.group_by("reason").aggregate([("n", "sum")]).rename_columns(
+            ["reason", "n"]
+        )
+
+    import pandas as pd
+
+    agg = (
+        _read_docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("reason")
+        .sum("n")
+        .to_pandas()  # <= 4 rows
+        .rename(columns={"sum(n)": "n"})
+        .sort_values("reason", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    total = float(int(agg["n"].sum()))
+    return pd.DataFrame(
+        {
+            "reason": agg["reason"],
+            "n": agg["n"].astype(np.int64),
+            "pct_r6": np.round(agg["n"].to_numpy() / total, 6),
+        }
+    )
+
+
+CURATE_FUNNEL_SQL = f"""
+WITH verdict AS ({CURATE_DOCS_SQL}),
+agg AS (
+  SELECT CASE WHEN n_hits > 0 THEN 'contaminated'
+              WHEN top2_frac > {MAX_TOP2_FRAC} THEN 'repetitive'
+              WHEN n_tokens < {MIN_TOKENS} THEN 'too_short'
+              ELSE 'kept' END AS reason,
+         count(*) AS n
+  FROM verdict GROUP BY reason
+),
+tot AS (SELECT sum(n) * 1.0 AS t FROM agg)
+SELECT reason, CAST(n AS BIGINT) AS n, round(n / t, 6) AS pct_r6
+FROM agg CROSS JOIN tot
+"""

@@ -101,6 +101,7 @@ SQL_CHECKED = [
     "docs_bpe_pair_counts",
     "docs_dsir_weights",
     "docs_surprisal_buckets",
+    "curate_funnel",
 ]
 
 
