@@ -185,6 +185,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_surprisal_buckets": textops.docs_surprisal_buckets,
         # curation funnel observability: counts + shares per drop reason
         "curate_funnel": curate.curate_funnel,
+        # first-order event-type transition matrix (user journeys)
+        "events_markov_transitions": relational.events_markov_transitions,
+        # per-doc type-token ratio (lexical diversity quality feature)
+        "docs_ttr": textops.docs_ttr,
         # ---- rows-only / sketch entries (no SQL oracle by nature) ----
         "events_value_quantiles_sketch": relational.events_value_quantiles_sketch,
         "events_distinct_users_hll": relational.events_distinct_users_hll,
@@ -299,4 +303,6 @@ def oracle_sql() -> dict[str, str]:
         "docs_dsir_weights": curate.DSIR_WEIGHTS_SQL,
         "docs_surprisal_buckets": textops.SURPRISAL_BUCKETS_SQL,
         "curate_funnel": curate.CURATE_FUNNEL_SQL,
+        "events_markov_transitions": relational.EVENTS_MARKOV_SQL,
+        "docs_ttr": textops.DOCS_TTR_SQL,
     }

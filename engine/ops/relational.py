@@ -1803,3 +1803,90 @@ SELECT event_type, day, CAST(n AS BIGINT) AS n,
        round(CASE WHEN sigma > 0 THEN (n - mu) / sigma ELSE 0 END, 6) AS z_r6
 FROM z
 """
+
+
+# ---------------------------------------------------------------------------
+# Event-type transition matrix (Markov first-order user journeys): counts and
+# row-normalized probabilities over per-user chronologically adjacent event
+# pairs.  The "what do users do next" analytics staple.
+
+
+def events_markov_transitions(sf_dir: str):
+    """Per-user ordered (event_type -> next event_type) transition counts +
+    row-normalized probabilities.  Scale shape — the sessionize layout: one
+    coarse user-hash shuffle co-locates each user's events, one vectorized
+    sort + shift per partition forms adjacent pairs, and each partition
+    collapses to at most |event types|^2 (from, to, n) rows before leaving
+    the task, so the driver sees <= n_partitions * T^2 partial rows (T is
+    the event-type alphabet, single digits here).  Probabilities come from
+    exact int64 sums (p = n / sum_n over the from-row), round 6.
+    Reference analog: the per-model query-volume stats its dashboard keeps
+    (rds_schema.sql) — upgraded to sequence analytics."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts", "event_type"])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "part", pa.array(_keypart(t["user_id"].to_numpy(zero_copy_only=False)))
+        )
+
+    def trans_of_partition(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "from_type": pd.Series([], dtype="object"),
+                "to_type": pd.Series([], dtype="object"),
+                "n": pd.Series([], dtype="int64"),
+            }
+        )
+        if g.empty:
+            return empty
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        u = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        same = u[1:] == u[:-1]
+        if not same.any():
+            return empty
+        pairs = pd.DataFrame(
+            {"from_type": et[:-1][same], "to_type": et[1:][same]}
+        )
+        out = (
+            pairs.groupby(["from_type", "to_type"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    partials = (
+        ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(trans_of_partition, batch_format="pandas")
+        .to_pandas()  # <= n_partitions * T^2 rows
+    )
+    agg = partials.groupby(["from_type", "to_type"], as_index=False).agg(
+        n=("n", "sum")
+    )
+    agg["n"] = agg["n"].astype(np.int64)
+    row_tot = agg.groupby("from_type")["n"].transform("sum").astype(np.float64)
+    agg["p_r6"] = np.round(agg["n"].to_numpy() / row_tot.to_numpy(), 6)
+    return agg.sort_values(["from_type", "to_type"], kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+EVENTS_MARKOV_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+pairs AS (
+  SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+  FROM ordered WHERE next_type IS NOT NULL
+  GROUP BY from_type, to_type
+),
+tot AS (SELECT from_type, sum(n) * 1.0 AS t FROM pairs GROUP BY from_type)
+SELECT p.from_type, p.to_type, CAST(p.n AS BIGINT) AS n,
+       round(p.n / t.t, 6) AS p_r6
+FROM pairs p JOIN tot t USING (from_type)
+"""

@@ -1590,3 +1590,53 @@ SELECT s.doc_id, s.n_tokens, s.sr AS surprisal_r6,
             ELSE 'tail' END AS bucket
 FROM s CROSS JOIN t1 CROSS JOIN t2
 """
+
+
+# ---------------------------------------------------------------------------
+def docs_ttr(sf_dir: str):
+    """Per-doc type-token ratio (lexical diversity): distinct tokens /
+    tokens — the classic vocabulary-richness quality feature (low TTR =
+    repetitive boilerplate; complements repetition_scores' top-n-gram
+    fractions).  One vectorized tokenize-and-count pass (the (doc, term)
+    triples from tokenize_counts_arrow give distinct counts by a bincount),
+    embarrassingly parallel, no shuffle."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        doc_idx, _, _, doclens = tokenize_counts_arrow(t["text"])
+        n = len(t)
+        n_types = (
+            np.bincount(doc_idx, minlength=n).astype(np.int64)
+            if len(doc_idx)
+            else np.zeros(n, np.int64)
+        )
+        n_tokens = doclens.astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(n_tokens, pa.int64()),
+                "n_types": pa.array(n_types, pa.int64()),
+                "ttr_r6": pa.array(
+                    np.round(n_types / np.maximum(n_tokens, 1), 6), pa.float64()
+                ),
+            }
+        )
+
+    return _read_docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+DOCS_TTR_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+       round(len(list_distinct(toks)) * 1.0 / greatest(len(toks), 1), 6)
+         AS ttr_r6
+FROM tok
+"""

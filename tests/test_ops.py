@@ -102,6 +102,8 @@ SQL_CHECKED = [
     "docs_dsir_weights",
     "docs_surprisal_buckets",
     "curate_funnel",
+    "events_markov_transitions",
+    "docs_ttr",
 ]
 
 
