@@ -187,6 +187,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_funnel": curate.curate_funnel,
         # first-order event-type transition matrix (user journeys)
         "events_markov_transitions": relational.events_markov_transitions,
+        # TPC-H Q14 analog: broadcast dict-join + 2-floats-per-block reduce
+        "q14_promo_revenue": relational.q14_promo_revenue,
         # per-doc type-token ratio (lexical diversity quality feature)
         "docs_ttr": textops.docs_ttr,
         # ---- rows-only / sketch entries (no SQL oracle by nature) ----
@@ -305,4 +307,5 @@ def oracle_sql() -> dict[str, str]:
         "curate_funnel": curate.CURATE_FUNNEL_SQL,
         "events_markov_transitions": relational.EVENTS_MARKOV_SQL,
         "docs_ttr": textops.DOCS_TTR_SQL,
+        "q14_promo_revenue": relational.Q14_SQL,
     }

@@ -1890,3 +1890,72 @@ SELECT p.from_type, p.to_type, CAST(p.n AS BIGINT) AS n,
        round(p.n / t.t, 6) AS p_r6
 FROM pairs p JOIN tot t USING (from_type)
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 analog: promotion revenue share in one month — the classic
+# broadcast-join + single-row aggregate.
+
+
+def q14_promo_revenue(sf_dir: str):
+    """Share of March-1996 revenue from PROMO parts.  Scale shape: the part
+    side ships once as a broadcast (sorted p_partkey array + promo mask,
+    searchsorted probe — the dict-join idiom of q5/orders_price_band_join);
+    lineitem is read column-pruned with the date filter pushed into the
+    parquet scan; each batch collapses to TWO floats (promo_rev, total_rev)
+    before the exchange, so the reduce moves 2 numbers per block."""
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_type"]
+    )
+    pk = part["p_partkey"].to_numpy(zero_copy_only=False)
+    promo = pc.equal(part["p_type"], "PROMO").to_numpy(zero_copy_only=False)
+    order = np.argsort(pk)
+    bcast = ray.put((pk[order], promo[order]))
+
+    ds = _read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(
+            (pc.field("l_shipdate") >= pc.scalar(np.datetime64("1996-03-01", "us")))
+            & (pc.field("l_shipdate") < pc.scalar(np.datetime64("1996-04-01", "us")))
+        ),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys, mask = ray.get(bcast)
+        rev = pc.multiply(
+            t["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), t["l_discount"]),
+        ).to_numpy(zero_copy_only=False)
+        lp = t["l_partkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, lp)
+        is_promo = mask[np.minimum(pos, len(keys) - 1)] & (
+            keys[np.minimum(pos, len(keys) - 1)] == lp
+        )
+        return pa.table(
+            {
+                "promo_rev": pa.array([float(rev[is_promo].sum())], pa.float64()),
+                "total_rev": pa.array([float(rev.sum())], pa.float64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .sum(["promo_rev", "total_rev"])
+    )
+    share = 100.0 * agg["sum(promo_rev)"] / agg["sum(total_rev)"]
+    return pd.DataFrame({"promo_revenue_r6": [round(share, 6)]})
+
+
+Q14_SQL = """
+SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 6)
+         AS promo_revenue_r6
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l.l_shipdate < TIMESTAMP '1996-04-01'
+"""

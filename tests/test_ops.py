@@ -104,6 +104,7 @@ SQL_CHECKED = [
     "curate_funnel",
     "events_markov_transitions",
     "docs_ttr",
+    "q14_promo_revenue",
 ]
 
 
