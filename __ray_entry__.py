@@ -191,6 +191,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q14_promo_revenue": relational.q14_promo_revenue,
         # per-doc type-token ratio (lexical diversity quality feature)
         "docs_ttr": textops.docs_ttr,
+        # deterministic per-source doc caps (crawl domain-cap rule)
+        "docs_source_caps": curate.docs_source_caps,
         # ---- rows-only / sketch entries (no SQL oracle by nature) ----
         "events_value_quantiles_sketch": relational.events_value_quantiles_sketch,
         "events_distinct_users_hll": relational.events_distinct_users_hll,
@@ -308,4 +310,5 @@ def oracle_sql() -> dict[str, str]:
         "events_markov_transitions": relational.EVENTS_MARKOV_SQL,
         "docs_ttr": textops.DOCS_TTR_SQL,
         "q14_promo_revenue": relational.Q14_SQL,
+        "docs_source_caps": curate.SOURCE_CAPS_SQL,
     }

@@ -818,3 +818,66 @@ tot AS (SELECT sum(n) * 1.0 AS t FROM agg)
 SELECT reason, CAST(n AS BIGINT) AS n, round(n / t, 6) AS pct_r6
 FROM agg CROSS JOIN tot
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-source document caps: the crawl-pipeline "cap pages per domain" rule
+# (bound any one source's share of the corpus), deterministic variant.
+_SOURCE_CAP = 10
+
+
+def docs_source_caps(sf_dir: str, cap: int = _SOURCE_CAP):
+    """Keep at most `cap` docs per source, chosen by the smallest
+    (md5(doc_id), doc_id) keys — a deterministic reservoir, so re-runs and
+    incremental additions pick a stable pseudo-random subset per source.
+
+    Scale shape — the partial-top-k combiner (same as top_terms): each
+    batch keeps only its own `cap` smallest keys PER SOURCE before the
+    exchange, so the source-keyed shuffle carries at most cap rows per
+    (batch, source) and the final per-source sort sees
+    <= n_batches * cap rows, never the source's full corpus.  Output:
+    (source, doc_id, rk)."""
+    import hashlib
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ids = t["doc_id"].to_pylist()
+        df = pd.DataFrame(
+            {
+                "source": t["source"].to_pylist(),
+                "doc_id": np.asarray(ids, np.int64),
+                "k": [hashlib.md5(str(i).encode()).hexdigest() for i in ids],
+            }
+        )
+        df = df.sort_values(["source", "k", "doc_id"], kind="mergesort")
+        return pa.Table.from_pandas(
+            df.groupby("source", sort=False).head(cap), preserve_index=False
+        )
+
+    def cap_of_source(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["k", "doc_id"], kind="mergesort").head(cap)
+        out = g[["source", "doc_id"]].reset_index(drop=True)
+        out["rk"] = np.arange(1, len(out) + 1, dtype=np.int64)
+        return out
+
+    return (
+        _read_docs(sf_dir, columns=["doc_id", "source"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .map_groups(cap_of_source, batch_format="pandas")
+    )
+
+
+SOURCE_CAPS_SQL = f"""
+WITH keyed AS (
+  SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS k FROM documents
+),
+ranked AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY k, doc_id) AS rk
+  FROM keyed
+)
+SELECT source, doc_id, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {_SOURCE_CAP}
+"""
