@@ -219,6 +219,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # registry-model embedding stage + self-retrieval (model inference:
         # rows-only; pytest oracle re-derives the model per doc)
         "doc_embed_knn": embed.doc_embed_knn,
+        # Bloom-filter decontamination (rows-only: FP by design; pytest
+        # asserts zero false negatives vs the exact path + FP bound)
+        "bloom_decontaminate": decontam.bloom_decontaminate,
         # enrichment + multimodal stages (stubbed externals: rows-only)
         "enrich_documents": enrich.enrich_documents,
         "media_features": multimodal.media_features,

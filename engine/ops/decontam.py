@@ -151,3 +151,104 @@ FROM documents d
 LEFT JOIN hits h USING (doc_id)
 WHERE d.doc_id % {_BENCH_MOD} <> {_BENCH_REM}
 """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination: the compressed-broadcast scale path.  The
+# exact-set broadcast above is MBs for real eval sets; at 100 TB a pipeline
+# decontaminating against MANY benchmarks (or n-gram-expanded ones) wants a
+# fixed-size bit array instead.  Bloom guarantees: no false negatives (every
+# truly contaminated doc is flagged), small tunable false-positive rate
+# (over-flagging clean docs costs a little recall of the corpus, never
+# leaks contamination).
+_BLOOM_BITS_PER_KEY = 12  # ~0.7% FP at k=4
+_BLOOM_K = 4
+
+
+def _bloom_positions(grams: pa.Array, m: int) -> np.ndarray:
+    """(len(grams), k) bit positions via Kirsch-Mitzenmacher double hashing
+    of a blake2b digest per DISTINCT gram (the same per-value digest budget
+    as the exact path's vocabulary probe)."""
+    import hashlib
+
+    n = len(grams)
+    h1 = np.empty(n, np.uint64)
+    h2 = np.empty(n, np.uint64)
+    for i, g in enumerate(grams.to_pylist()):
+        d = hashlib.blake2b(g.encode("utf-8"), digest_size=16).digest()
+        h1[i] = int.from_bytes(d[:8], "little")
+        h2[i] = int.from_bytes(d[8:], "little")
+    js = np.arange(_BLOOM_K, dtype=np.uint64)
+    return (h1[:, None] + js[None, :] * h2[:, None]) % np.uint64(m)
+
+
+def _bloom_build(grams: pa.Array) -> tuple[np.ndarray, int]:
+    n = max(len(grams), 1)
+    m = 1 << int(np.ceil(np.log2(max(n * _BLOOM_BITS_PER_KEY, 64))))
+    bits = np.zeros(m // 64, np.uint64)
+    if len(grams):
+        pos = _bloom_positions(grams, m)
+        for j in range(_BLOOM_K):
+            h = pos[:, j]
+            np.bitwise_or.at(bits, (h >> np.uint64(6)).astype(np.int64),
+                             np.uint64(1) << (h & np.uint64(63)))
+    return bits, m
+
+
+def _bloom_member(bits: np.ndarray, m: int, grams: pa.Array) -> np.ndarray:
+    if len(grams) == 0:
+        return np.zeros(0, bool)
+    pos = _bloom_positions(grams, m)
+    member = np.ones(len(grams), bool)
+    for j in range(_BLOOM_K):
+        h = pos[:, j]
+        member &= (
+            bits[(h >> np.uint64(6)).astype(np.int64)]
+            >> (h & np.uint64(63))
+        ) & np.uint64(1) > 0
+    return member
+
+
+def bloom_decontaminate(sf_dir: str, n: int = _DECON_N):
+    """Per non-benchmark doc: DISTINCT benchmark-n-gram hits via a Bloom
+    filter of the benchmark set -> (doc_id, n_hits_bloom, contaminated).
+    Rows-only entry (the FP rate makes it approximate BY DESIGN); the
+    pytest oracle asserts zero false negatives vs the exact
+    `decontaminate_docs`, an FP rate under the design bound, and that the
+    broadcast is genuinely smaller than the exact gram set.
+
+    Scale shape: identical streaming probe to the exact path, but the
+    broadcast is a FIXED-SIZE bit array (12 bits/gram vs ~25 bytes/gram of
+    string payload, ~16x smaller) and membership is k=4 word reads per
+    distinct batch gram — no string set on the workers at all."""
+    bench = benchmark_ngrams(sf_dir, n)
+    bits, m = _bloom_build(bench)
+    bcast = ray.put((bits, m))
+
+    def probe_batch(t: pa.Table) -> pa.Table:
+        b, mm = ray.get(bcast)
+        keep = pc.invert(_bench_mask(t["doc_id"]))
+        t = t.filter(keep)
+        n_rows = len(t)
+        hits = np.zeros(n_rows, np.int64)
+        if n_rows:
+            codes, parents, vocab = ngram_stream_arrow(t["text"], n)
+            if codes.size:
+                member = _bloom_member(b, mm, vocab)
+                occ = member[codes]
+                if occ.any():
+                    v = len(vocab)
+                    key = parents[occ] * np.int64(v) + codes[occ]
+                    upairs = np.unique(key)
+                    np.add.at(hits, (upairs // v).astype(np.int64), 1)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_hits_bloom": pa.array(hits, pa.int64()),
+                "contaminated": pa.array((hits > 0).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return _read_docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        probe_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
