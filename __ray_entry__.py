@@ -195,6 +195,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_source_caps": curate.docs_source_caps,
         # ---- rows-only / sketch entries (no SQL oracle by nature) ----
         "events_value_quantiles_sketch": relational.events_value_quantiles_sketch,
+        # DDSketch-style log-histogram quantiles (provable relative error)
+        "events_value_quantiles_dd": relational.events_value_quantiles_dd,
         "events_distinct_users_hll": relational.events_distinct_users_hll,
         "events_type_distinct_users_hll": relational.events_type_distinct_users_hll,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,  # approx: rows-only

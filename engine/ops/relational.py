@@ -1959,3 +1959,58 @@ FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
   AND l.l_shipdate < TIMESTAMP '1996-04-01'
 """
+
+
+# ---------------------------------------------------------------------------
+# DDSketch-style relative-error quantile sketch (Masson et al. 2019): the
+# third sketch of the family (HLL = distinct, bottom-k = subsample
+# quantiles, Misra-Gries = heavy hitters) — log-bucketed histograms with a
+# PROVABLE relative-error bound and trivially mergeable (bin, count) rows.
+_DD_GAMMA = 1.02  # relative accuracy ~ (gamma-1)/(gamma+1) ~ 1%
+
+
+def events_value_quantiles_dd(sf_dir: str, gamma: float = _DD_GAMMA):
+    """Per-type p50/p90/p99 from a DDSketch-style log-histogram: value ->
+    bin ceil(ln(v)/ln(gamma)); a batch collapses to (event_type, bin, n)
+    rows (bins are bounded by the DYNAMIC RANGE, not the row count —
+    ln(vmax/vmin)/ln(gamma) bins regardless of corpus size), merge is a
+    plain count sum, and the quantile estimate is the bin midpoint
+    2*gamma^b/(gamma+1) at the ceil(q*n)-th rank.  Guarantee: every
+    estimate is within (gamma-1)/(gamma+1) (~1%) RELATIVE error of a true
+    value at that rank — asserted against the exact quantiles in pytest.
+    Requires positive values (the events fixture is)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    lg = np.log(gamma)
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        bins = np.ceil(np.log(np.maximum(v, 1e-300)) / lg).astype(np.int64)
+        tt = pa.table(
+            {
+                "event_type": t["event_type"],
+                "bin": pa.array(bins, pa.int64()),
+                "n": pa.array(np.ones(len(v), np.int64), pa.int64()),
+            }
+        )
+        g = tt.group_by(["event_type", "bin"]).aggregate([("n", "sum")])
+        return g.rename_columns(["event_type", "bin", "n"])
+
+    def quants(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("bin", as_index=False)["n"].sum().sort_values("bin")
+        bins = m["bin"].to_numpy()
+        counts = m["n"].to_numpy()
+        cum = np.cumsum(counts)
+        n = int(cum[-1])
+        out = {"event_type": [g["event_type"].iloc[0]],
+               "n": np.array([n], dtype=np.int64)}
+        for q, name in ((0.5, "p50_dd"), (0.9, "p90_dd"), (0.99, "p99_dd")):
+            rank = max(1, int(np.ceil(q * n)))
+            b = bins[np.searchsorted(cum, rank)]
+            out[name] = [round(2.0 * gamma**b / (gamma + 1.0), 6)]
+        return pd.DataFrame(out)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .map_groups(quants, batch_format="pandas")
+    )

@@ -787,3 +787,26 @@ def test_bloom_decontaminate_no_false_negatives():
     bits, m = _bloom_build(grams)
     exact_bytes = sum(len(g) for g in grams.to_pylist())
     assert bits.nbytes < exact_bytes, (bits.nbytes, exact_bytes)
+
+
+def test_dd_quantiles_within_relative_bound():
+    """DDSketch's guarantee is relative to the VALUE AT THE RANK (the
+    ceil(q*n)-th order statistic), so compare against exactly that — the
+    bin-midpoint bound is (gamma-1)/(gamma+1) ~ 1%.  (The linear-interp
+    p99 differs from the ceil-rank order stat by whole sample gaps at
+    fixture n, which is rank resolution, not sketch error.)"""
+    import pyarrow.parquet as pq
+
+    from engine.ops.relational import events_value_quantiles_dd
+
+    dd = _to_pandas(events_value_quantiles_dd(SF)).set_index("event_type")
+    t = pq.read_table(SF + "/events.parquet", columns=["event_type", "value"])
+    df = t.to_pandas()
+    gamma_bound = (1.02 - 1.0) / (1.02 + 1.0) + 1e-6
+    for et, g in df.groupby("event_type"):
+        v = np.sort(g["value"].to_numpy())
+        assert int(dd.loc[et, "n"]) == v.size
+        for q in (0.5, 0.9, 0.99):
+            want = v[max(1, int(np.ceil(q * v.size))) - 1]
+            got = float(dd.loc[et, f"p{int(q * 100)}_dd"])
+            assert abs(got - want) / want <= gamma_bound, (et, q, got, want)
