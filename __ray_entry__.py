@@ -224,6 +224,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Bloom-filter decontamination (rows-only: FP by design; pytest
         # asserts zero false negatives vs the exact path + FP bound)
         "bloom_decontaminate": decontam.bloom_decontaminate,
+        # capstone export: curate -> seeded shuffle -> per-shard ordered
+        # parquet with atomic promote (rows-only manifest; composition
+        # pytest proves it equals composing the gated pieces)
+        "export_training_shards": curate.export_training_shards,
         # enrichment + multimodal stages (stubbed externals: rows-only)
         "enrich_documents": enrich.enrich_documents,
         "media_features": multimodal.media_features,

@@ -881,3 +881,88 @@ ranked AS (
 SELECT source, doc_id, CAST(rk AS BIGINT) AS rk
 FROM ranked WHERE rk <= {_SOURCE_CAP}
 """
+
+
+# ---------------------------------------------------------------------------
+# Capstone composition: curated corpus -> deterministic training shards on
+# disk.  The end-to-end export a pre-training run actually consumes: the
+# curation verdict (decontam + repetition + length, one fused pass), the
+# seeded metadata shuffle, and a per-shard ORDERED parquet writer with
+# atomic promote.
+_EXPORT_SHARDS = 8
+
+
+def export_training_shards(sf_dir: str, out_dir: str | None = None,
+                           n_shards: int = _EXPORT_SHARDS):
+    """Write the curated corpus as `n_shards` training shards, each a
+    parquet file sorted by the seeded shuffle key (so training reads shard
+    s start-to-finish and sees the deterministic global permutation
+    restricted to survivors).  Returns a one-row manifest DataFrame
+    (n_seen, n_kept, n_shards).
+
+    Scale shape: ONE streaming read of the corpus (full rows) — the fused
+    verdict kernel gates each batch, the md5 shuffle key rides along as
+    metadata — then one coarse shard-keyed shuffle; each shard sorts its
+    own rows (independent tasks) and writes its own file into a scratch
+    dir that atomically replaces `out_dir` (curate_corpus's pid-dir
+    promote: re-runs are idempotent, crashes leave the old export
+    intact).  At 100 TB shards are the resume unit: n_shards scales as
+    16^k and a shard re-export touches only its own key range."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    out_dir = out_dir or os.path.join(tempfile.gettempdir(), "rayft_export_shards")
+    bench = benchmark_ngrams(sf_dir, _DECON_N)
+    bcast = ray.put(bench)
+
+    def keep_and_key(t: pa.Table) -> pa.Table:
+        v = _verdict_batch(t.select(["doc_id", "text"]), ray.get(bcast))
+        kept_ids = v.filter(pc.equal(v["keep"], 1))["doc_id"]
+        t = t.filter(pc.is_in(t["doc_id"], value_set=kept_ids.combine_chunks()))
+        ids = t["doc_id"].to_pylist()
+        keys = [
+            hashlib.md5(f"{_SHUF_SEED}-{i}".encode()).hexdigest()[:16]
+            for i in ids
+        ]
+        shards = np.fromiter(
+            (_HEX.index(k[0]) % n_shards for k in keys),
+            dtype=np.int64, count=len(keys),
+        )
+        t = t.append_column("shuf_key", pa.array(keys, pa.string()))
+        return t.append_column("shard", pa.array(shards, pa.int64()))
+
+    tmp_dir = f"{out_dir.rstrip(os.sep)}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    os.makedirs(tmp_dir, exist_ok=True)
+
+    def write_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["shuf_key", "doc_id"], kind="mergesort").reset_index(
+            drop=True
+        )
+        g["pos"] = np.arange(len(g), dtype=np.int64)
+        shard = int(g["shard"].iloc[0])
+        path = os.path.join(tmp_dir, f"shard-{shard:05d}.parquet")
+        pq.write_table(pa.Table.from_pandas(g, preserve_index=False), path)
+        return pd.DataFrame({"shard": [shard], "n_rows": [len(g)]})
+
+    n_seen = _read_docs(sf_dir, columns=["doc_id"]).count()
+    manifest = (
+        _read_docs(sf_dir)
+        .map_batches(keep_and_key, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(write_shard, batch_format="pandas")
+        .to_pandas()  # <= n_shards rows
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.replace(tmp_dir, out_dir)
+    return pd.DataFrame(
+        {
+            "n_seen": pd.array([n_seen], dtype="int64"),
+            "n_kept": pd.array([int(manifest["n_rows"].sum())], dtype="int64"),
+            "n_shards": pd.array([len(manifest)], dtype="int64"),
+        }
+    )

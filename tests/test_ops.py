@@ -810,3 +810,37 @@ def test_dd_quantiles_within_relative_bound():
             want = v[max(1, int(np.ceil(q * v.size))) - 1]
             got = float(dd.loc[et, f"p{int(q * 100)}_dd"])
             assert abs(got - want) / want <= gamma_bound, (et, q, got, want)
+
+
+def test_export_training_shards_composition():
+    """The export must equal composing its gated pieces: row set == the
+    curate keep set; every shard file sorted by (shuf_key, doc_id) with a
+    dense pos column; a re-run atomically replaces the directory with the
+    identical content (idempotent)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from engine.ops.curate import curate_docs, export_training_shards
+
+    out = "/tmp/rayft_test_export"
+    m = _to_pandas(export_training_shards(SF, out_dir=out))
+    keep = _to_pandas(curate_docs(SF))
+    keep_ids = set(keep[keep["keep"] == 1]["doc_id"])
+    files = sorted(glob.glob(out + "/shard-*.parquet"))
+    assert len(files) == int(m["n_shards"].iloc[0])
+    got_ids = []
+    for f in files:
+        t = pq.read_table(f)
+        df = t.to_pandas()
+        assert (
+            df.sort_values(["shuf_key", "doc_id"])["doc_id"].to_list()
+            == df["doc_id"].to_list()
+        ), f
+        assert df["pos"].to_list() == list(range(len(df))), f
+        got_ids.extend(df["doc_id"].to_list())
+    assert set(got_ids) == keep_ids
+    assert len(got_ids) == int(m["n_kept"].iloc[0]) == len(keep_ids)
+    # idempotent re-run
+    m2 = _to_pandas(export_training_shards(SF, out_dir=out))
+    assert m2.equals(m)
