@@ -189,6 +189,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_markov_transitions": relational.events_markov_transitions,
         # TPC-H Q14 analog: broadcast dict-join + 2-floats-per-block reduce
         "q14_promo_revenue": relational.q14_promo_revenue,
+        # TPC-H Q10 analog: 4-table join + customer-grain partial top-k
+        "q10_returned_items": relational.q10_returned_items,
         # per-doc type-token ratio (lexical diversity quality feature)
         "docs_ttr": textops.docs_ttr,
         # deterministic per-source doc caps (crawl domain-cap rule)
@@ -319,5 +321,6 @@ def oracle_sql() -> dict[str, str]:
         "events_markov_transitions": relational.EVENTS_MARKOV_SQL,
         "docs_ttr": textops.DOCS_TTR_SQL,
         "q14_promo_revenue": relational.Q14_SQL,
+        "q10_returned_items": relational.Q10_SQL,
         "docs_source_caps": curate.SOURCE_CAPS_SQL,
     }

@@ -2014,3 +2014,114 @@ def events_value_quantiles_dd(sf_dir: str, gamma: float = _DD_GAMMA):
         .groupby("event_type")
         .map_groups(quants, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 analog: top-20 customers by returned-item revenue in a quarter —
+# the 4-table join showcase (customer x nation broadcast, orders date-pruned,
+# lineitem flag-pruned, order-grain hash join, customer-grain reduce).
+
+
+def q10_returned_items(sf_dir: str, k: int = 20):
+    """Quarter 1996-Q1, l_returnflag = 'R'.  Scale shape: nation x customer
+    resolve driver-side (both broadcast-small by TPC-H construction — the
+    q5 idiom) and ship once into the date-pruned orders scan via
+    broadcast_join; lineitem reads only 'R' rows (flag pushed into the
+    parquet filter) and pre-aggregates revenue per order INSIDE each batch;
+    ONE order-keyed hash join, then a customer-grain reduce whose output
+    feeds per-batch partial top-k (the K3 combiner) — the driver merges
+    <= n_blocks * k candidate rows, never the customer table."""
+    nation = _pa(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    cust = (
+        _pa(sf_dir, "customer", columns=["c_custkey", "c_name", "c_nationkey"])
+        .join(nation, keys=["c_nationkey"], right_keys=["n_nationkey"],
+              join_type="inner")
+        .select(["c_custkey", "c_name", "n_name"])
+    )
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey"],
+        filter=(
+            (pc.field("o_orderdate") >= pc.scalar(np.datetime64("1996-01-01", "us")))
+            & (pc.field("o_orderdate") < pc.scalar(np.datetime64("1996-04-01", "us")))
+        ),
+    )
+    orders = broadcast_join(orders, cust, on="o_custkey", right_on="c_custkey")
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+        filter=(pc.field("l_returnflag") == "R"),
+    )
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        return (
+            pa.table({"l_orderkey": t["l_orderkey"], "rev": rev})
+            .group_by("l_orderkey")
+            .aggregate([("rev", "sum")])
+        )
+
+    rev = li.map_batches(rev_partial, batch_format="pyarrow", zero_copy_batch=True)
+    joined = rev.join(
+        orders, "inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def cust_partial(t: pa.Table) -> pa.Table:
+        # batch-local customer partials (c_name/n_name ride along: they are
+        # functionally dependent on the customer key, which the broadcast
+        # join carries as o_custkey), keyed by a coarse customer-hash
+        # partition so the finisher sees whole customers
+        g = t.group_by(["o_custkey", "c_name", "n_name"]).aggregate(
+            [("rev_sum", "sum")]
+        ).rename_columns(["c_custkey", "c_name", "n_name", "rev_part"])
+        return g.append_column(
+            "part", pa.array(_keypart(g["c_custkey"].to_numpy(zero_copy_only=False)))
+        )
+
+    def top_of_partition(g: pd.DataFrame) -> pd.DataFrame:
+        # one coarse partition of customers: finish the sums, keep its top-k
+        agg = g.groupby(["c_custkey", "c_name", "n_name"], as_index=False).agg(
+            revenue=("rev_part", "sum")
+        )
+        agg["revenue"] = agg["revenue"].round(2)
+        return agg.sort_values(
+            ["revenue", "c_custkey"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    cand = (
+        joined.map_batches(cust_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(top_of_partition, batch_format="pandas")
+        .to_pandas()  # <= n_key_partitions * k rows
+        .sort_values(["revenue", "c_custkey"], ascending=[False, True],
+                     kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    cand.insert(0, "rank", np.arange(1, len(cand) + 1, dtype=np.int64))
+    return cand[["rank", "c_custkey", "c_name", "n_name", "revenue"]]
+
+
+Q10_SQL = """
+WITH agg AS (
+  SELECT c_custkey, c_name, n_name,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM customer
+  JOIN nation   ON c_nationkey = n_nationkey
+  JOIN orders   ON o_custkey = c_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1996-04-01'
+    AND l_returnflag = 'R'
+  GROUP BY c_custkey, c_name, n_name
+)
+SELECT row_number() OVER (ORDER BY revenue DESC, c_custkey) AS rank,
+       c_custkey, c_name, n_name, revenue
+FROM agg
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""

@@ -105,6 +105,7 @@ SQL_CHECKED = [
     "events_markov_transitions",
     "docs_ttr",
     "q14_promo_revenue",
+    "q10_returned_items",
     "docs_source_caps",
 ]
 
