@@ -220,6 +220,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # PQ asymmetric-distance search + exact shortlist rerank (rows-only;
         # recall 1.0 vs exact knn_topk pytest-asserted)
         "pq_knn_topk": ann.pq_knn_topk,
+        # SemDeDup semantic dedup (rows-only: k-means; pytest re-derives
+        # every verdict + greedy invariants)
+        "semdedup_prune": ann.semdedup_prune,
         # registry-model embedding stage + self-retrieval (model inference:
         # rows-only; pytest oracle re-derives the model per doc)
         "doc_embed_knn": embed.doc_embed_knn,

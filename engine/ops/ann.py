@@ -991,3 +991,84 @@ def pq_knn_topk(
     df = df.groupby("query_id", sort=False).head(k).reset_index(drop=True)
     df["rank"] = df.groupby("query_id").cumcount() + 1
     return df[["query_id", "rank", "vec_id", "sim_r"]]
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023): semantic deduplication — k-means clusters
+# bound the pairwise-cosine cost, then a deterministic greedy keep/drop
+# within each cluster.
+_SEMDEDUP_TAU = 0.4  # fixture-calibrated (cosine_dup_pairs' threshold)
+
+
+def semdedup_prune(sf_dir: str, tau: float = _SEMDEDUP_TAU,
+                   n_cells: int = _IVF_CELLS):
+    """Per-vector keep/drop verdict: within each spherical-k-means cluster,
+    walk vectors in (centroid-sim DESC, vec_id) order and DROP any vector
+    with cosine >= tau to an already-kept one — the SemDeDup recipe
+    (cluster first so the quadratic pairwise check never crosses cluster
+    boundaries; the cluster size, set by n_cells, is the cost knob).
+    Output (vec_id, cluster, csim_r6, keep).
+
+    Scale shape: centroids train once on the bounded sample and broadcast;
+    assignment is one streaming matmul pass; ONE cluster-keyed shuffle
+    carries (vec, embedding) rows — O(N*d), the price of any within-cluster
+    pairwise method and exactly SemDeDup's design point; each cluster
+    prunes independently (O(|cluster|^2) bounded by the knob).  Rows-only
+    entry; pytest re-derives every verdict exactly and asserts the greedy
+    invariants (kept set pairwise < tau; every drop has a kept witness)."""
+    cent = _sample_and_train(sf_dir, n_cells)
+    ref = ray.put(cent)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        ids, m = _emb_matrix(t)
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "cluster": pa.array([], pa.int64()),
+                    "csim": pa.array([], pa.float64()),
+                    "embedding": t["embedding"],
+                }
+            )
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        sims = mn @ c.T
+        cl = np.argmax(sims, axis=1)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster": pa.array(cl.astype(np.int64), pa.int64()),
+                "csim": pa.array(sims[np.arange(len(ids)), cl], pa.float64()),
+                "embedding": t["embedding"],
+            }
+        )
+
+    def prune_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["csim", "vec_id"], ascending=[False, True]).reset_index(
+            drop=True
+        )
+        m = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        s = mn @ mn.T
+        n = len(g)
+        keep = np.zeros(n, bool)
+        kept_idx: list[int] = []
+        for i in range(n):  # O(|cluster|^2), bounded by the n_cells knob
+            if not kept_idx or (s[i, kept_idx] < tau).all():
+                keep[i] = True
+                kept_idx.append(i)
+        return pd.DataFrame(
+            {
+                "vec_id": g["vec_id"].astype(np.int64),
+                "cluster": g["cluster"].astype(np.int64),
+                "csim_r6": np.round(g["csim"].to_numpy(), 6),
+                "keep": keep.astype(np.int64),
+            }
+        )
+
+    return (
+        _read_emb(sf_dir)
+        .map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cluster")
+        .map_groups(prune_cluster, batch_format="pandas")
+    )

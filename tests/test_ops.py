@@ -845,3 +845,55 @@ def test_export_training_shards_composition():
     # idempotent re-run
     m2 = _to_pandas(export_training_shards(SF, out_dir=out))
     assert m2.equals(m)
+
+
+def test_semdedup_invariants_and_exact_rederivation():
+    """Every verdict must equal the exact greedy re-derivation from the same
+    deterministic centroids, and the greedy invariants must hold: kept
+    vectors are pairwise < tau within a cluster; every dropped vector has a
+    kept witness >= tau in ITS cluster; and something is actually dropped
+    on these fixtures (tau chosen at the planted near-dup level)."""
+    import pyarrow.parquet as pq
+
+    from engine.ops.ann import (
+        _SEMDEDUP_TAU,
+        _emb_matrix,
+        _sample_and_train,
+        semdedup_prune,
+    )
+
+    got = _to_pandas(semdedup_prune(SF)).sort_values("vec_id").reset_index(drop=True)
+    t = pq.read_table(SF + "/embeddings.parquet")
+    ids, m = _emb_matrix(t)
+    mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+    cent = _sample_and_train(SF, 16)
+    sims = mn @ cent.T
+    cl = np.argmax(sims, axis=1)
+    csim = sims[np.arange(len(ids)), cl]
+    want_keep = {}
+    for c in np.unique(cl):
+        sel = np.flatnonzero(cl == c)
+        order = sel[np.lexsort((ids[sel], -csim[sel]))]
+        kept = []
+        for i in order:
+            if not kept or (mn[i] @ mn[kept].T < _SEMDEDUP_TAU).all():
+                kept.append(i)
+                want_keep[int(ids[i])] = 1
+            else:
+                want_keep[int(ids[i])] = 0
+    assert got["keep"].to_list() == [want_keep[int(v)] for v in got["vec_id"]]
+    assert np.array_equal(
+        got["csim_r6"].to_numpy(), np.round(csim[np.argsort(ids)], 6)
+    )
+    n_dropped = int((got["keep"] == 0).sum())
+    assert n_dropped > 0, "tau should drop the planted near-dups"
+    # invariants per cluster
+    byid = {int(v): i for i, v in enumerate(ids)}
+    for c, grp in got.groupby("cluster"):
+        kept_rows = [byid[int(v)] for v in grp[grp["keep"] == 1]["vec_id"]]
+        km = mn[kept_rows]
+        s = km @ km.T
+        np.fill_diagonal(s, 0.0)
+        assert (s < _SEMDEDUP_TAU).all(), c
+        for v in grp[grp["keep"] == 0]["vec_id"]:
+            assert (mn[byid[int(v)]] @ km.T >= _SEMDEDUP_TAU).any(), (c, v)
