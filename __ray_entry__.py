@@ -223,6 +223,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SemDeDup semantic dedup (rows-only: k-means; pytest re-derives
         # every verdict + greedy invariants)
         "semdedup_prune": ann.semdedup_prune,
+        # full BPE merge-training loop (rows-only: iterative; pytest checks
+        # equality with an independent DuckDB+regex reference)
+        "bpe_train_merges": textops.bpe_train_merges,
         # registry-model embedding stage + self-retrieval (model inference:
         # rows-only; pytest oracle re-derives the model per doc)
         "doc_embed_knn": embed.doc_embed_knn,

@@ -1640,3 +1640,85 @@ SELECT doc_id,
          AS ttr_r6
 FROM tok
 """
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (Sennrich et al. 2016): the full merge loop on top
+# of the gated pair-count primitive.
+_BPE_MERGES = 30
+
+
+def bpe_train_merges(sf_dir: str, n_merges: int = _BPE_MERGES):
+    """Learn the first `n_merges` BPE merges over the corpus: the
+    word-frequency table reduces DISTRIBUTED (per-batch value_counts
+    partials, term groupby — the same compaction as docs_bpe_pair_counts),
+    then the merge loop runs driver-side over that table.  Word counts are
+    vocab-scale (sublinear in the corpus; every production BPE trainer —
+    HF tokenizers, SentencePiece — trains on one machine over exactly this
+    table), so the driver-side loop is the documented-small step, not a
+    corpus materialization.  Ties break (freq DESC, pair ASC) so training
+    is deterministic.  Output: (rank, pair, freq) — merge `rank` joined
+    the two space-separated symbols of `pair` with frequency `freq` at the
+    time of the merge.  Consistency is pytest-pinned: merge 1 equals the
+    gated docs_bpe_pair_counts' top pair."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, _ = token_array_stream(t["text"])
+        if len(flat) == 0:
+            return pa.table(
+                {"tok": pa.array([], pa.string()), "c": pa.array([], pa.int64())}
+            )
+        vc = flat.value_counts()
+        return pa.table(
+            {
+                "tok": vc.field("values"),
+                "c": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    wc = (
+        _read_docs(sf_dir, columns=["text"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("tok")
+        .sum("c")
+        .to_pandas()  # vocab-scale (documented-small: the BPE training table)
+        .rename(columns={"sum(c)": "c"})
+    )
+    words = {
+        tuple(tok): int(c) for tok, c in zip(wc["tok"], wc["c"]) if len(tok) >= 2
+    }
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs: dict[tuple[str, str], int] = {}
+        for w, c in words.items():
+            for i in range(len(w) - 1):
+                p = (w[i], w[i + 1])
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), freq = best
+        merges.append((rank, f"{a} {b}", freq))
+        merged = a + b
+        new_words: dict[tuple, int] = {}
+        for w, c in words.items():
+            out, i = [], 0
+            while i < len(w):
+                if i + 1 < len(w) and w[i] == a and w[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(w[i])
+                    i += 1
+            t_ = tuple(out)
+            new_words[t_] = new_words.get(t_, 0) + c
+        words = new_words
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "rank": pd.array([m[0] for m in merges], dtype="int64"),
+            "pair": [m[1] for m in merges],
+            "freq": pd.array([m[2] for m in merges], dtype="int64"),
+        }
+    )

@@ -897,3 +897,60 @@ def test_semdedup_invariants_and_exact_rederivation():
         assert (s < _SEMDEDUP_TAU).all(), c
         for v in grp[grp["keep"] == 0]["vec_id"]:
             assert (mn[byid[int(v)]] @ km.T >= _SEMDEDUP_TAU).any(), (c, v)
+
+
+def test_bpe_train_merges_vs_independent_reference():
+    """The learned merge list must equal an INDEPENDENT reference: word
+    counts from DuckDB (not the Ray reduce) + the original Sennrich-style
+    regex merge loop (not the tuple-walk).  Also pins cross-op
+    consistency: merge 1 == the gated docs_bpe_pair_counts top pair."""
+    import re
+
+    import duckdb
+
+    from engine.ops.textops import bpe_train_merges, docs_bpe_pair_counts
+
+    got = _to_pandas(bpe_train_merges(SF))
+    assert len(got) == 30
+
+    con2 = duckdb.connect()
+    wc = con2.sql(f"""
+        WITH tok AS (
+          SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS toks
+          FROM '{SF}/documents.parquet'
+        ),
+        u AS (SELECT unnest(toks) AS tk FROM tok)
+        SELECT tk, count(*) AS c FROM u GROUP BY tk
+    """).df()
+    vocab = {
+        " ".join(tk): int(c)
+        for tk, c in zip(wc["tk"], wc["c"])
+        if len(tk) >= 2
+    }
+    want = []
+    for rank in range(1, 31):
+        pairs = {}
+        for w, c in vocab.items():
+            syms = w.split(" ")
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs:
+            break
+        (a, b), freq = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((rank, f"{a} {b}", freq))
+        pat = re.compile(
+            r"(?<!\S)" + re.escape(a) + r" " + re.escape(b) + r"(?!\S)"
+        )
+        # regex merge can collide two spellings into one: re-accumulate
+        merged_vocab: dict[str, int] = {}
+        for w, c in vocab.items():
+            w2 = pat.sub(a + b, w)
+            merged_vocab[w2] = merged_vocab.get(w2, 0) + c
+        vocab = merged_vocab
+    got_list = list(zip(got["rank"], got["pair"], got["freq"]))
+    assert [(int(r), p, int(f)) for r, p, f in got_list] == want
+    top = _to_pandas(docs_bpe_pair_counts(SF))
+    assert got["pair"].iloc[0] == top["pair"].iloc[0]
+    assert int(got["freq"].iloc[0]) == int(top["freq"].iloc[0])
