@@ -226,6 +226,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # full BPE merge-training loop (rows-only: iterative; pytest checks
         # equality with an independent DuckDB+regex reference)
         "bpe_train_merges": textops.bpe_train_merges,
+        # apply the learned tokenizer: per-doc piece statistics (rows-only;
+        # pytest checks per-token reference application + 0-merge identity)
+        "bpe_encode_docs": textops.bpe_encode_docs,
         # registry-model embedding stage + self-retrieval (model inference:
         # rows-only; pytest oracle re-derives the model per doc)
         "doc_embed_knn": embed.doc_embed_knn,

@@ -1722,3 +1722,82 @@ def bpe_train_merges(sf_dir: str, n_merges: int = _BPE_MERGES):
             "freq": pd.array([m[2] for m in merges], dtype="int64"),
         }
     )
+
+
+def bpe_encode_docs(sf_dir: str, n_merges: int = _BPE_MERGES):
+    """Apply the learned BPE merges: encode every document with the
+    `bpe_train_merges` tokenizer and report per-doc piece statistics
+    (n_tokens, n_chars, n_pieces, pieces_per_token_r6) — the
+    "use the tokenizer you trained" step, and the token-count signal a
+    data-mixing pass actually budgets with.
+
+    Scale shape: the merge list (30 rows) broadcasts via ray.put; each
+    batch encodes only its DISTINCT tokens (dictionary compaction — the
+    same trick as pair counting: encode cost is vocab-bounded, not
+    occurrence-bounded) and maps piece counts back through the
+    occurrence stream with one take.  Rows-only entry; pytest asserts
+    per-token equality with an independent reference application and the
+    0-merge == chars identity."""
+    import ray
+
+    merges = bpe_train_merges(sf_dir, n_merges)
+    merge_list = [tuple(p.split(" ", 1)) for p in merges["pair"]]
+    bcast = ray.put(merge_list)
+
+    def encode_token(tok: str, ml: list) -> int:
+        syms = list(tok)
+        for a, b in ml:
+            i, out = 0, []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+            if len(syms) == 1:
+                break
+        return len(syms)
+
+    def fn(t: pa.Table) -> pa.Table:
+        ml = ray.get(bcast)
+        flat, parents = token_array_stream(t["text"])
+        n = len(t)
+        n_tokens = (
+            np.bincount(parents, minlength=n).astype(np.int64)
+            if len(parents)
+            else np.zeros(n, np.int64)
+        )
+        pieces_per_doc = np.zeros(n, np.int64)
+        chars_per_doc = np.zeros(n, np.int64)
+        if len(flat):
+            de = flat.dictionary_encode()
+            if isinstance(de, pa.ChunkedArray):
+                de = de.combine_chunks()
+            codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            vocab = de.dictionary.to_pylist()
+            vocab_pieces = np.fromiter(
+                (encode_token(v, ml) for v in vocab), np.int64, count=len(vocab)
+            )
+            vocab_chars = np.fromiter(
+                (len(v) for v in vocab), np.int64, count=len(vocab)
+            )
+            np.add.at(pieces_per_doc, parents, vocab_pieces[codes])
+            np.add.at(chars_per_doc, parents, vocab_chars[codes])
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(n_tokens, pa.int64()),
+                "n_chars": pa.array(chars_per_doc, pa.int64()),
+                "n_pieces": pa.array(pieces_per_doc, pa.int64()),
+                "pieces_per_token_r6": pa.array(
+                    np.round(pieces_per_doc / np.maximum(n_tokens, 1), 6),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return _read_docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )

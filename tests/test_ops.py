@@ -954,3 +954,42 @@ def test_bpe_train_merges_vs_independent_reference():
     top = _to_pandas(docs_bpe_pair_counts(SF))
     assert got["pair"].iloc[0] == top["pair"].iloc[0]
     assert int(got["freq"].iloc[0]) == int(top["freq"].iloc[0])
+
+
+def test_bpe_encode_docs_reference_and_identity():
+    """Per-doc piece counts must equal an independent per-token reference
+    application of the same merges, and encoding with ZERO merges must
+    reduce to character counts (n_pieces == n_chars)."""
+    from engine.ops.textops import bpe_encode_docs, bpe_train_merges, tokenize
+
+    got = _to_pandas(bpe_encode_docs(SF)).set_index("doc_id").sort_index()
+    merges = [tuple(p.split(" ", 1)) for p in _to_pandas(bpe_train_merges(SF))["pair"]]
+
+    def ref_encode(tok):
+        syms = list(tok)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(SF + "/documents.parquet", columns=["doc_id", "text"])
+    df = docs.to_pandas().sample(n=50, random_state=7)
+    for _, row in df.iterrows():
+        toks = tokenize(row["text"])
+        want_pieces = sum(ref_encode(t) for t in toks)
+        assert int(got.loc[row["doc_id"], "n_pieces"]) == want_pieces
+        assert int(got.loc[row["doc_id"], "n_tokens"]) == len(toks)
+
+    zero = _to_pandas(bpe_encode_docs(SF, n_merges=0)).set_index("doc_id")
+    assert (zero["n_pieces"] == zero["n_chars"]).all()
+    # merges must genuinely compress
+    assert int(got["n_pieces"].sum()) < int(got["n_chars"].sum())
