@@ -191,6 +191,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q14_promo_revenue": relational.q14_promo_revenue,
         # TPC-H Q10 analog: 4-table join + customer-grain partial top-k
         "q10_returned_items": relational.q10_returned_items,
+        # TPC-H Q15 analog: supplier-grain map-side partials + tiny reduce
+        "q15_top_suppliers": relational.q15_top_suppliers,
         # per-doc type-token ratio (lexical diversity quality feature)
         "docs_ttr": textops.docs_ttr,
         # deterministic per-source doc caps (crawl domain-cap rule)
@@ -331,5 +333,6 @@ def oracle_sql() -> dict[str, str]:
         "docs_ttr": textops.DOCS_TTR_SQL,
         "q14_promo_revenue": relational.Q14_SQL,
         "q10_returned_items": relational.Q10_SQL,
+        "q15_top_suppliers": relational.Q15_SQL,
         "docs_source_caps": curate.SOURCE_CAPS_SQL,
     }

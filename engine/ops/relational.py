@@ -2125,3 +2125,82 @@ FROM agg
 ORDER BY revenue DESC, c_custkey
 LIMIT 20
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 analog: top suppliers by quarterly revenue — closes table
+# coverage (supplier was the last fixture table without an operator).
+
+
+def q15_top_suppliers(sf_dir: str, k: int = 10):
+    """Top-k suppliers by 1996-Q1 lineitem revenue.  Scale shape: lineitem
+    reads column-pruned with the date filter pushed into the scan and
+    pre-aggregates revenue per supplier INSIDE each batch (suppliers are
+    1/10000th of lineitem by TPC-H construction, so partials collapse
+    hard); the global supplier-grain reduce is one coarse shuffle; the
+    supplier name side ships once as a broadcast dict probed on the
+    RESULT-scale top-k rows only."""
+    import pyarrow.parquet as pq
+
+    sup = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_name"]
+    )
+    ds = _read(
+        sf_dir, "lineitem",
+        columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(
+            (pc.field("l_shipdate") >= pc.scalar(np.datetime64("1996-01-01", "us")))
+            & (pc.field("l_shipdate") < pc.scalar(np.datetime64("1996-04-01", "us")))
+        ),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        return (
+            pa.table({"l_suppkey": t["l_suppkey"], "rev": rev})
+            .group_by("l_suppkey")
+            .aggregate([("rev", "sum")])
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_suppkey")
+        .aggregate(Sum("rev_sum", alias_name="revenue"))
+        .to_pandas()  # supplier-grain: 1/10000th of lineitem by construction
+    )
+    agg["revenue"] = agg["revenue"].round(2)
+    top = (
+        agg.sort_values(["revenue", "l_suppkey"], ascending=[False, True],
+                        kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    names = dict(
+        zip(
+            sup["s_suppkey"].to_pylist(),
+            sup["s_name"].to_pylist(),
+        )
+    )
+    top.insert(0, "rank", np.arange(1, len(top) + 1, dtype=np.int64))
+    top["s_name"] = [names[int(s)] for s in top["l_suppkey"]]
+    top = top.rename(columns={"l_suppkey": "s_suppkey"})
+    return top[["rank", "s_suppkey", "s_name", "revenue"]]
+
+
+Q15_SQL = """
+WITH agg AS (
+  SELECT l_suppkey AS s_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT row_number() OVER (ORDER BY revenue DESC, s_suppkey) AS rank,
+       a.s_suppkey, s.s_name, a.revenue
+FROM agg a JOIN supplier s USING (s_suppkey)
+ORDER BY a.revenue DESC, a.s_suppkey
+LIMIT 10
+"""

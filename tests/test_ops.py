@@ -106,6 +106,7 @@ SQL_CHECKED = [
     "docs_ttr",
     "q14_promo_revenue",
     "q10_returned_items",
+    "q15_top_suppliers",
     "docs_source_caps",
 ]
 
