@@ -453,7 +453,20 @@ def source_mixture_weights(sf_dir: str, alpha: float = _MIX_ALPHA):
         .groupby("source")
         .sum(["n_docs", "n_tokens"])
         .to_pandas()  # result-scale: one row per source
-        .rename(columns={"sum(n_docs)": "n_docs", "sum(n_tokens)": "n_tokens"})
+    )
+    if "sum(n_tokens)" not in agg.columns or int(agg["sum(n_tokens)"].sum()) == 0:
+        # empty corpus (or all-empty docs): no shares to compute
+        return pd.DataFrame(
+            {
+                "source": pd.Series([], dtype="object"),
+                "n_docs": pd.Series([], dtype="int64"),
+                "n_tokens": pd.Series([], dtype="int64"),
+                "token_share_r6": pd.Series([], dtype="float64"),
+                "weight_r6": pd.Series([], dtype="float64"),
+            }
+        )
+    agg = (
+        agg.rename(columns={"sum(n_docs)": "n_docs", "sum(n_tokens)": "n_tokens"})
         .sort_values("source", kind="mergesort")
         .reset_index(drop=True)
     )
@@ -669,8 +682,9 @@ def docs_dsir_weights(sf_dir: str):
     )
     c_raw = np.zeros(_DSIR_BUCKETS, np.int64)
     c_tgt = np.zeros(_DSIR_BUCKETS, np.int64)
-    c_raw[counts["bidx"].to_numpy()] = counts["sum(c_raw)"].to_numpy()
-    c_tgt[counts["bidx"].to_numpy()] = counts["sum(c_tgt)"].to_numpy()
+    if len(counts) and "sum(c_raw)" in counts.columns:
+        c_raw[counts["bidx"].to_numpy()] = counts["sum(c_raw)"].to_numpy()
+        c_tgt[counts["bidx"].to_numpy()] = counts["sum(c_tgt)"].to_numpy()
     t_raw = float(int(c_raw.sum()))
     t_tgt = float(int(c_tgt.sum()))
     logratio = np.log(
@@ -790,7 +804,17 @@ def curate_funnel(sf_dir: str):
         .groupby("reason")
         .sum("n")
         .to_pandas()  # <= 4 rows
-        .rename(columns={"sum(n)": "n"})
+    )
+    if "sum(n)" not in agg.columns or len(agg) == 0:  # empty corpus
+        return pd.DataFrame(
+            {
+                "reason": pd.Series([], dtype="object"),
+                "n": pd.Series([], dtype="int64"),
+                "pct_r6": pd.Series([], dtype="float64"),
+            }
+        )
+    agg = (
+        agg.rename(columns={"sum(n)": "n"})
         .sort_values("reason", kind="mergesort")
         .reset_index(drop=True)
     )

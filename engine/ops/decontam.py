@@ -61,11 +61,10 @@ def benchmark_ngrams(sf_dir: str, n: int = _DECON_N) -> pa.Array:
         grams_of_batch, batch_format="pyarrow", zero_copy_batch=True
     )
     # Ray emits zero-column placeholder blocks for empty inputs
-    tbl = pa.concat_tables(
-        [t for t in (ray.get(r) for r in parts.to_arrow_refs()) if t.num_columns]
-    )
-    if tbl.num_columns == 0:
+    tables = [t for t in (ray.get(r) for r in parts.to_arrow_refs()) if t.num_columns]
+    if not tables:
         return pa.array([], pa.string())
+    tbl = pa.concat_tables(tables)
     col = tbl["ng"]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()

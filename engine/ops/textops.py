@@ -570,9 +570,13 @@ def keywords_tfidf(
     if df_ds.count() > df_broadcast_budget_rows:
         return _keywords_tfidf_distributed(docs, df_ds, n_docs, top)
     # Ray emits zero-column placeholder blocks for empty partitions
-    df_tbl = pa.concat_tables(
-        [t for t in (ray.get(r) for r in df_ds.to_arrow_refs()) if t.num_columns]
-    )
+    df_tables = [
+        t for t in (ray.get(r) for r in df_ds.to_arrow_refs()) if t.num_columns
+    ]
+    if not df_tables:  # empty corpus: nothing to score
+        df_tables = [pa.table({"term": pa.array([], pa.string()),
+                               "df": pa.array([], pa.int64())})]
+    df_tbl = pa.concat_tables(df_tables)
     vocab = df_tbl["term"].combine_chunks()
     dfs = df_tbl["df"].to_numpy(zero_copy_only=False).astype(np.float64)
     bcast = ray.put((vocab, dfs))
@@ -871,9 +875,13 @@ def docs_unigram_surprisal(
     n_tokens = float(ctf_ds.sum("ctf") or 0)
     if ctf_ds.count() > ctf_broadcast_budget_rows:
         return _surprisal_distributed(docs, ctf_ds, n_tokens)
-    ctf_tbl = pa.concat_tables(
-        [t for t in (ray.get(r) for r in ctf_ds.to_arrow_refs()) if t.num_columns]
-    )
+    ctf_tables = [
+        t for t in (ray.get(r) for r in ctf_ds.to_arrow_refs()) if t.num_columns
+    ]
+    if not ctf_tables:  # empty corpus: an empty model scores nothing
+        ctf_tables = [pa.table({"term": pa.array([], pa.string()),
+                                "ctf": pa.array([], pa.int64())})]
+    ctf_tbl = pa.concat_tables(ctf_tables)
     vocab = ctf_tbl["term"].combine_chunks()
     ctfs = ctf_tbl["ctf"].to_numpy(zero_copy_only=False).astype(np.float64)
     bcast = ray.put((vocab, ctfs))
@@ -1444,8 +1452,14 @@ def docs_bpe_pair_counts(sf_dir: str, top_n: int = _BPE_TOP):
         .groupby("pair")
         .sum("freq")
         .to_pandas()  # <= |char-pair alphabet| rows (~1.3k)
-        .rename(columns={"sum(freq)": "freq"})
-        .sort_values(["freq", "pair"], ascending=[False, True], kind="mergesort")
+    )
+    if "sum(freq)" not in agg.columns:  # empty corpus
+        agg = pd.DataFrame({"pair": pd.Series([], dtype="object"),
+                            "freq": pd.Series([], dtype="int64")})
+    else:
+        agg = agg.rename(columns={"sum(freq)": "freq"})
+    agg = (
+        agg.sort_values(["freq", "pair"], ascending=[False, True], kind="mergesort")
         .head(top_n)
         .reset_index(drop=True)
     )
@@ -1516,12 +1530,27 @@ def docs_surprisal_buckets(sf_dir: str):
         ]
         return t.filter(pa.array(keep, pa.bool_()))
 
-    samp = (
-        scores.map_batches(sample_batch, batch_format="pyarrow", zero_copy_batch=True)
-        .to_pandas()  # sample-scale by the fixed rate
-        .sort_values(["surprisal_r6", "doc_id"], kind="mergesort")
-        .reset_index(drop=True)
-    )
+    samp = scores.map_batches(
+        sample_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()  # sample-scale by the fixed rate
+    if samp.empty:
+        # tiny corpus missed by the hash rate: fall back to ALL scores as
+        # the threshold sample (still deterministic)
+        samp = scores.to_pandas()
+    if samp.empty:  # empty corpus: nothing to bucket
+        import pandas as _pd
+
+        return _pd.DataFrame(
+            {
+                "doc_id": _pd.Series([], dtype="int64"),
+                "n_tokens": _pd.Series([], dtype="int64"),
+                "surprisal_r6": _pd.Series([], dtype="float64"),
+                "bucket": _pd.Series([], dtype="object"),
+            }
+        )
+    samp = samp.sort_values(
+        ["surprisal_r6", "doc_id"], kind="mergesort"
+    ).reset_index(drop=True)
     n_s = len(samp)
     k1 = int(np.ceil(n_s / 3.0))
     k2 = int(np.ceil(2.0 * n_s / 3.0))
@@ -1676,14 +1705,20 @@ def bpe_train_merges(sf_dir: str, n_merges: int = _BPE_MERGES):
             }
         )
 
+    import pandas as pd
+
     wc = (
         _read_docs(sf_dir, columns=["text"])
         .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("tok")
         .sum("c")
         .to_pandas()  # vocab-scale (documented-small: the BPE training table)
-        .rename(columns={"sum(c)": "c"})
     )
+    if "sum(c)" not in wc.columns:  # empty corpus
+        wc = pd.DataFrame({"tok": pd.Series([], dtype="object"),
+                           "c": pd.Series([], dtype="int64")})
+    else:
+        wc = wc.rename(columns={"sum(c)": "c"})
     words = {
         tuple(tok): int(c) for tok, c in zip(wc["tok"], wc["c"]) if len(tok) >= 2
     }
@@ -1713,8 +1748,6 @@ def bpe_train_merges(sf_dir: str, n_merges: int = _BPE_MERGES):
             t_ = tuple(out)
             new_words[t_] = new_words.get(t_, 0) + c
         words = new_words
-    import pandas as pd
-
     return pd.DataFrame(
         {
             "rank": pd.array([m[0] for m in merges], dtype="int64"),
