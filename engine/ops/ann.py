@@ -45,6 +45,14 @@ def _emb_matrix(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     return ids, m
 
 
+def _emb_nrows(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(
+        os.path.join(sf_dir, "embeddings.parquet")
+    ).metadata.num_rows
+
+
 def _load_queries(
     sf_dir: str, query_ids: tuple[int, ...] = QUERY_IDS
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -116,6 +124,13 @@ def knn_topk(
     sim rounded, rank).  query_ids/exclude_self let composers (hybrid RRF
     retrieval in docsearch.py) reuse the same distributed kernel with their
     own probe set; defaults preserve the gated entry's behavior."""
+    if _emb_nrows(sf_dir) == 0:
+        return pd.DataFrame(
+            {"query_id": pd.Series([], dtype="int64"),
+             "rank": pd.Series([], dtype="int64"),
+             "vec_id": pd.Series([], dtype="int64"),
+             "sim_r": pd.Series([], dtype="float64")}
+        )
     q_ref = ray.put(_load_queries(sf_dir, query_ids))
     ds = _read_emb(sf_dir).map_batches(
         _CosineTopK,
@@ -279,6 +294,13 @@ def lsh_knn_topk(
     `probe_budget` buckets are probed per (query, table), picked in
     flip-margin order; pass `probe_radius` instead to get the legacy uniform
     hamming-ball probing."""
+    if _emb_nrows(sf_dir) == 0:
+        return pd.DataFrame(
+            {"query_id": pd.Series([], dtype="int64"),
+             "rank": pd.Series([], dtype="int64"),
+             "vec_id": pd.Series([], dtype="int64"),
+             "sim_r": pd.Series([], dtype="float64")}
+        )
     b = _LshBucketer()
     q_ids, q = _load_queries(sf_dir)
     if probe_radius is None:
@@ -667,6 +689,13 @@ def ivf_knn_topk(
     """Approximate cosine top-k via IVF cell pruning — rows-only (tests
     assert recall vs knn_topk).  With nprobe == n_cells this is exactly
     brute force; recall/cost is tuned by the probe fraction."""
+    if _emb_nrows(sf_dir) == 0:
+        return pd.DataFrame(
+            {"query_id": pd.Series([], dtype="int64"),
+             "rank": pd.Series([], dtype="int64"),
+             "vec_id": pd.Series([], dtype="int64"),
+             "sim_r": pd.Series([], dtype="float64")}
+        )
     cent = _sample_and_train(sf_dir, n_cells)
 
     q_ids, q = _load_queries(sf_dir)
@@ -720,6 +749,12 @@ def embedding_clusters(sf_dir: str, n_cells: int = _IVF_CELLS):
     """Per-vector spherical k-means assignment -> (vec_id, cluster, sim_r6)
     (cluster = argmax-cosine centroid, deterministic seed; rows-only entry,
     assignments re-derived exactly by the pytest oracle)."""
+    if _emb_nrows(sf_dir) == 0:
+        return pd.DataFrame(
+            {"vec_id": pd.Series([], dtype="int64"),
+             "cluster": pd.Series([], dtype="int64"),
+             "sim_r6": pd.Series([], dtype="float64")}
+        )
     cent = _sample_and_train(sf_dir, n_cells)
     ref = ray.put(cent)
 
@@ -851,6 +886,12 @@ def embeddings_pq_codes(sf_dir: str, m: int = _PQ_M, k: int = _PQ_K):
     assignment is one streaming pass of m small matmuls per batch; codes
     never re-cross the exchange.  At 100 TB this is the writer stage that
     makes the ANN corpus memory-resident (2 bytes/vec here vs 256)."""
+    if _emb_nrows(sf_dir) == 0:
+        cols = {"vec_id": pd.Series([], dtype="int64")}
+        for j in range(m):
+            cols[f"code_{j}"] = pd.Series([], dtype="int64")
+        cols["recon_err_r6"] = pd.Series([], dtype="float64")
+        return pd.DataFrame(cols)
     books = _train_pq_codebooks(_pq_sample(sf_dir), m, k)
     ref = ray.put(books)
 
@@ -967,6 +1008,13 @@ def pq_knn_topk(
     scan is a streaming actor-pool pass whose exact-rerank arithmetic is
     bounded by shortlist size, merged result-scale on the driver
     (n_batches * nq * k rows), identical to knn_topk's merge."""
+    if _emb_nrows(sf_dir) == 0:
+        return pd.DataFrame(
+            {"query_id": pd.Series([], dtype="int64"),
+             "rank": pd.Series([], dtype="int64"),
+             "vec_id": pd.Series([], dtype="int64"),
+             "sim_r": pd.Series([], dtype="float64")}
+        )
     sample = _pq_sample(sf_dir)
     sn = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-30)
     books = _train_pq_codebooks(sn, m, n_codes)
@@ -1016,6 +1064,13 @@ def semdedup_prune(sf_dir: str, tau: float = _SEMDEDUP_TAU,
     prunes independently (O(|cluster|^2) bounded by the knob).  Rows-only
     entry; pytest re-derives every verdict exactly and asserts the greedy
     invariants (kept set pairwise < tau; every drop has a kept witness)."""
+    if _emb_nrows(sf_dir) == 0:
+        return pd.DataFrame(
+            {"vec_id": pd.Series([], dtype="int64"),
+             "cluster": pd.Series([], dtype="int64"),
+             "csim_r6": pd.Series([], dtype="float64"),
+             "keep": pd.Series([], dtype="int64")}
+        )
     cent = _sample_and_train(sf_dir, n_cells)
     ref = ray.put(cent)
 

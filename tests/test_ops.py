@@ -1062,3 +1062,56 @@ def test_new_ops_empty_and_tiny_corpora(tmp_path):
     buckets = _to_pandas(textops.docs_surprisal_buckets(dirs["tiny"]))
     assert set(buckets["bucket"]) <= {"head", "middle", "tail"}
     assert len(buckets) == 3
+
+
+def test_ann_ops_empty_and_tiny_embeddings(tmp_path):
+    """The embedding family must survive a 0-row embeddings table (empty
+    result, no crash) and a 4-row table (fewer rows than k / n_cells /
+    codebook sizes — every internal cap must clamp)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.ops import ann
+
+    rng = np.random.default_rng(3)
+    empty = pa.table(
+        {
+            "vec_id": pa.array([], pa.int64()),
+            "embedding": pa.array([], pa.list_(pa.float32())),
+            "label": pa.array([], pa.int32()),
+        }
+    )
+    tiny = pa.table(
+        {
+            "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, rng.standard_normal(64))) for _ in range(4)],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([0, 1, 0, 1], pa.int32()),
+        }
+    )
+    dirs = {}
+    for name, t in (("empty", empty), ("tiny", tiny)):
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(t, str(d / "embeddings.parquet"))
+        dirs[name] = str(d)
+
+    ops = [
+        ann.knn_topk,
+        ann.ivf_knn_topk,
+        ann.lsh_knn_topk,
+        ann.pq_knn_topk,
+        ann.embeddings_pq_codes,
+        ann.semdedup_prune,
+        ann.embedding_clusters,
+        ann.cosine_dup_pairs,
+    ]
+    for fn in ops:
+        assert len(_to_pandas(fn(dirs["empty"]))) == 0, fn.__name__
+        out = _to_pandas(fn(dirs["tiny"]))
+        assert len(out) >= 0, fn.__name__
+    # tiny: every search returns all 4 vectors per query (k clamps)
+    knn = _to_pandas(ann.knn_topk(dirs["tiny"]))
+    assert set(knn.groupby("query_id").size()) == {4}
