@@ -26,8 +26,8 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """Ordered so the driver's 50-entry correctness window is ENTIRELY
-    SQL-hash-gated: 68 operators carry an oracle_sql() twin, so 18 of them
-    rotate into the overflow each round (docs_merged_topk is new in round 5
+    SQL-hash-gated: 90 operators carry an oracle_sql() twin, so 40 of them
+    live in the overflow this round (docs_merged_topk is new in round 5
     and takes the window slot of events_keyset_page8, driver-green
     r02-r04).  Round 5 rotates the round-4
     overflow seventeen (customers_per_region, events_hopping_daily,
@@ -197,6 +197,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_ttr": textops.docs_ttr,
         # deterministic per-source doc caps (crawl domain-cap rule)
         "docs_source_caps": curate.docs_source_caps,
+        # TPC-H Q4 analog: EXISTS semi-join at order grain (union-marker)
+        "q4_priority_counts": relational.q4_priority_counts,
+        # TPC-H Q13 analog: LEFT JOIN + order-count distribution
+        "q13_custdist": relational.q13_custdist,
+        # TPC-H Q18 analog: HAVING over an order-grain sum + top-k join
+        "q18_large_orders": relational.q18_large_orders,
+        # TPC-H Q19 analog: OR-of-brackets broadcast probe, 1-float partials
+        "q19_bracket_revenue": relational.q19_bracket_revenue,
+        # TPC-H Q22 analog: scalar-subquery average + anti-join by nation
+        "q22_idle_balance": relational.q22_idle_balance,
+        # per-user rolling window mean (moving-average feature kernel)
+        "events_user_rolling_mean": relational.events_user_rolling_mean,
+        # corpus length histogram (curation observability)
+        "docs_length_histogram": textops.docs_length_histogram,
+        # fuzzy search: Levenshtein<=1 SymSpell expansion -> BM25 OR
+        "docs_fuzzy_topk": docsearch.bm25_docs_fuzzy,
+        # deep paging: (score, doc_id) search-after cursor, 3 pages
+        "docs_search_after": docsearch.docs_search_after,
         # ---- rows-only / sketch entries (no SQL oracle by nature) ----
         "events_value_quantiles_sketch": relational.events_value_quantiles_sketch,
         # DDSketch-style log-histogram quantiles (provable relative error)
@@ -335,4 +353,13 @@ def oracle_sql() -> dict[str, str]:
         "q10_returned_items": relational.Q10_SQL,
         "q15_top_suppliers": relational.Q15_SQL,
         "docs_source_caps": curate.SOURCE_CAPS_SQL,
+        "q4_priority_counts": relational.Q4_SQL,
+        "q13_custdist": relational.Q13_SQL,
+        "q18_large_orders": relational.Q18_SQL,
+        "q19_bracket_revenue": relational.Q19_SQL,
+        "q22_idle_balance": relational.Q22_SQL,
+        "events_user_rolling_mean": relational.EVENTS_ROLLING_SQL,
+        "docs_length_histogram": textops.LENGTH_HISTOGRAM_SQL,
+        "docs_fuzzy_topk": docsearch.FUZZY_DOCS_SQL,
+        "docs_search_after": docsearch.SEARCH_AFTER_SQL,
     }

@@ -352,6 +352,10 @@ def run_bench() -> dict:
         ("docs_dsir_weights", curate.docs_dsir_weights),
         ("docs_chunk_sliding", curate.docs_chunk_sliding),
         ("docs_bpe_pair_counts", textops.docs_bpe_pair_counts),
+        ("q13_custdist", relational.q13_custdist),
+        ("q18_large_orders", relational.q18_large_orders),
+        ("events_user_rolling_mean", relational.events_user_rolling_mean),
+        ("docs_fuzzy_topk", docsearch.bm25_docs_fuzzy),
     ]:
         best = None
         for _ in range(2):  # best-of-2: single shots swing with neighbor load

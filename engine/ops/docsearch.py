@@ -750,6 +750,153 @@ def bm25_docs_after_delete(sf_dir: str, k: int = K) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r6"])
 
 
+# ---------------------------------------------------------------------------
+# Fuzzy search: each (possibly misspelled) query term expands to EVERY vocab
+# term within plain Levenshtein distance 1 (Lucene FuzzyQuery~1 rewrite);
+# the expanded union scores as a plain multi-term BM25 OR query.
+FUZZY_DOC_QUERIES = [
+    "windo agg",          # deletion: windo -> window/windows/...
+    "hashh joinn",        # insertions on both terms
+    "querry scann",       # doubled letters
+    "xolumn batc",        # substitution + deletion
+    "zzzzzzz table",      # one unexpandable term: the other still matches
+]
+
+
+def bm25_docs_fuzzy(sf_dir: str, k: int = K) -> pd.DataFrame:
+    """Fuzzy top-k -> (query_id, rank, doc_id, score_r6): per query, the
+    DEDUPED union of every term's distance-<=1 expansions (so a vocab term
+    reachable from two query terms contributes once) scored as a BM25 OR
+    query.  Engine path: IndexReader.fuzzy_expand (SymSpell delete-index
+    candidates + exact verify, never a vocabulary scan) feeding the
+    ordinary BMW/MaxScore top-k; the oracle mirrors the expansion with a
+    DISTINCT levenshtein()<=1 join against the same df table."""
+    reader = _index_for(sf_dir)
+    rows = []
+    for qid, qtext in enumerate(FUZZY_DOC_QUERIES):
+        expanded: set[str] = set()
+        for term in tokenize(qtext):
+            expanded.update(reader.fuzzy_expand(term))
+        if not expanded:
+            continue
+        res = reader.search(" ".join(sorted(expanded)), k=2 * k)
+        res = [(int(np.int64(np.uint64(d))), round(s, 6)) for d, s in res]
+        res.sort(key=lambda t: (-t[1], t[0]))
+        for rank, (did, s) in enumerate(res[:k], 1):
+            rows.append((qid, rank, did, s))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r6"])
+
+
+def _fuzzy_docs_sql(k: int = K) -> str:
+    vals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, q in enumerate(FUZZY_DOC_QUERIES)
+        for t in q.split()
+    )
+    return f"""
+WITH qterms(query_id, qterm) AS (VALUES {vals}),
+tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS tk
+  FROM documents
+),
+tf AS (SELECT doc_id, tk, count(*) AS tf FROM tok GROUP BY doc_id, tk),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+df AS (SELECT tk, count(*) AS df FROM tf GROUP BY tk),
+expanded AS (
+  SELECT DISTINCT q.query_id, d.tk AS term
+  FROM qterms q JOIN df d ON levenshtein(q.qterm, d.tk) <= 1
+),
+contrib AS (
+  SELECT e.query_id, tf.doc_id,
+         ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1)
+           * tf.tf * ({K1} + 1.0)
+           / (tf.tf + {K1} * ((1.0 - {B}) + ({B} * dl.dl) / s.avgdl)) AS c
+  FROM expanded e
+  JOIN tf ON tf.tk = e.term
+  JOIN df ON df.tk = e.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+scores AS (SELECT query_id, doc_id, sum(c) AS score
+           FROM contrib GROUP BY query_id, doc_id),
+ranked AS (
+  SELECT query_id, doc_id, round(score, 6) AS score_r6,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM scores
+)
+SELECT query_id, rank, doc_id, score_r6 FROM ranked WHERE rank <= {k}
+"""
+
+
+FUZZY_DOCS_SQL = _fuzzy_docs_sql()
+
+
+# ---------------------------------------------------------------------------
+# Search-after pagination: the deep-paging pattern for search results — a
+# (score_r6, doc_id) keyset cursor instead of OFFSET, so page N costs the
+# same index walk as page 1 and is stable under concurrent inserts.
+SEARCH_AFTER_PAGE = 10
+SEARCH_AFTER_PAGES = 3
+
+
+def docs_search_after(sf_dir: str, page_size: int = SEARCH_AFTER_PAGE,
+                      pages: int = SEARCH_AFTER_PAGES) -> pd.DataFrame:
+    """Pages 1..`pages` of each fixed query's BM25 ranking, fetched page by
+    page through a (score_r6 DESC, doc_id ASC) search-after cursor ->
+    (query_id, page, rank, doc_id, score_r6).  Each page re-runs the top-k
+    search with a deepened k and KEEPS ONLY rows strictly after the cursor
+    — the Elasticsearch search_after contract — so the gate proves cursor
+    filtering reconstructs the exact global ranking with no overlaps or
+    gaps; queries with fewer matches exhaust early and emit short pages."""
+    reader = _index_for(sf_dir)
+    rows = []
+    for qid, qtext in enumerate(DOC_QUERIES):
+        cursor: tuple[float, int] | None = None
+        rank = 0
+        for page in range(1, pages + 1):
+            res = reader.search(qtext, k=2 * page_size * (page + 1))
+            res = [(int(np.int64(np.uint64(d))), round(s, 6)) for d, s in res]
+            res.sort(key=lambda t: (-t[1], t[0]))
+            if cursor is not None:
+                res = [
+                    (d, s) for d, s in res
+                    if (-s, d) > (-cursor[0], cursor[1])
+                ]
+            got = res[:page_size]
+            if not got:
+                break
+            for did, s in got:
+                rank += 1
+                rows.append((qid, page, rank, did, s))
+            cursor = (got[-1][1], got[-1][0])
+    return pd.DataFrame(
+        rows, columns=["query_id", "page", "rank", "doc_id", "score_r6"]
+    )
+
+
+def _search_after_sql() -> str:
+    n = SEARCH_AFTER_PAGE * SEARCH_AFTER_PAGES
+    ranked = _bm25_docs_sql(k=n)
+    return f"""
+WITH r AS ({ranked})
+SELECT query_id,
+       CAST((rank - 1) // {SEARCH_AFTER_PAGE} + 1 AS BIGINT) AS page,
+       rank, doc_id, score_r6
+FROM r
+"""
+
+
+SEARCH_AFTER_SQL = _search_after_sql()
+
+
 BM25_DOCS_SQL = _bm25_docs_sql()
 # merged-index entry scores the WHOLE corpus, so the oracle is identical
 MERGED_DOCS_SQL = _bm25_docs_sql()

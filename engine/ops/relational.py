@@ -2204,3 +2204,549 @@ FROM agg a JOIN supplier s USING (s_suppkey)
 ORDER BY a.revenue DESC, a.s_suppkey
 LIMIT 10
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4 analog: order-priority checking — EXISTS semi-join at ORDER grain
+# (both sides lineitem-/orders-scale, so neither broadcasts at 100 TB).
+
+
+def q4_priority_counts(sf_dir: str):
+    """Orders placed in 1996-Q1 with at least one returned ('R') line item,
+    counted by priority.  Scale shape: the union-marker semi-join — lineitem
+    reads only (l_orderkey) with the flag pushed into the parquet scan and
+    collapses to per-batch-UNIQUE keys; date-pruned orders ride the same
+    coarse order-key-hash partitions; ONE shuffle co-locates each order with
+    any matching line-item marker, the partition kernel semi-filters all its
+    orders in one np.isin, and only per-priority counts (5 rows/partition)
+    leave the workers."""
+    li = _read(
+        sf_dir, "lineitem", columns=["l_orderkey"],
+        filter=(pc.field("l_returnflag") == "R"),
+    )
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"],
+        filter=(
+            (pc.field("o_orderdate") >= pc.scalar(np.datetime64("1996-01-01", "us")))
+            & (pc.field("o_orderdate") < pc.scalar(np.datetime64("1996-04-01", "us")))
+        ),
+    )
+
+    def li_marker(t: pa.Table) -> pa.Table:
+        keys = np.unique(t["l_orderkey"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "okey": pa.array(keys, pa.int64()),
+                "o_orderpriority": pa.array([""] * len(keys), pa.string()),
+                "is_order": pa.array(np.zeros(len(keys), bool)),
+                "part": pa.array(_keypart(keys)),
+            }
+        )
+
+    def order_row(t: pa.Table) -> pa.Table:
+        keys = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "okey": t["o_orderkey"],
+                "o_orderpriority": t["o_orderpriority"],
+                "is_order": pa.array(np.ones(len(keys), bool)),
+                "part": pa.array(_keypart(keys)),
+            }
+        )
+
+    both = li.map_batches(
+        li_marker, batch_format="pyarrow", zero_copy_batch=True
+    ).union(orders.map_batches(order_row, batch_format="pyarrow",
+                               zero_copy_batch=True))
+
+    def semi_of_partition(g: pd.DataFrame) -> pd.DataFrame:
+        is_o = g["is_order"].to_numpy()
+        marked = np.unique(g["okey"].to_numpy()[~is_o])
+        o = g[is_o]
+        hit = o[np.isin(o["okey"].to_numpy(), marked)]
+        out = hit.groupby("o_orderpriority", as_index=False).size()
+        out.columns = ["o_orderpriority", "n_part"]
+        return out
+
+    return (
+        both.groupby("part")
+        .map_groups(semi_of_partition, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n_part", alias_name="n"))
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS n FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13 analog: customer order-count distribution — the LEFT JOIN +
+# double-grouping shape (customers with zero orders must appear in bin 0).
+
+
+def q13_custdist(sf_dir: str):
+    """Distribution of per-customer order counts (including 0-order
+    customers).  Scale shape: orders pre-count per customer INSIDE each
+    batch; customer rows ride the same coarse custkey-hash partitions as
+    0-count markers (flagged, so a customer seen only through its orders —
+    impossible here, but cheap to guard — is not invented); the partition
+    kernel finishes every customer's count in one pandas groupby and emits
+    (c_count, n) partials, so the final reduce is distribution-sized (tens
+    of rows), never customer-sized."""
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+
+    def order_partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"ckey": t["o_custkey"]})
+            .group_by("ckey").aggregate([("ckey", "count")])
+        )
+        keys = g["ckey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "ckey": g["ckey"],
+                "n_orders": g["ckey_count"].cast(pa.int64()),
+                "is_cust": pa.array(np.zeros(len(keys), bool)),
+                "part": pa.array(_keypart(keys)),
+            }
+        )
+
+    def cust_marker(t: pa.Table) -> pa.Table:
+        keys = t["c_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "ckey": t["c_custkey"],
+                "n_orders": pa.array(np.zeros(len(keys), np.int64)),
+                "is_cust": pa.array(np.ones(len(keys), bool)),
+                "part": pa.array(_keypart(keys)),
+            }
+        )
+
+    both = orders.map_batches(
+        order_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).union(cust.map_batches(cust_marker, batch_format="pyarrow",
+                             zero_copy_batch=True))
+
+    def dist_of_partition(g: pd.DataFrame) -> pd.DataFrame:
+        have = g.loc[g["is_cust"], "ckey"].to_numpy()
+        counts = g.groupby("ckey")["n_orders"].sum()
+        counts = counts.loc[counts.index.isin(have)]
+        out = counts.value_counts().rename_axis("c_count").reset_index(name="n_part")
+        out["c_count"] = out["c_count"].astype(np.int64)
+        out["n_part"] = out["n_part"].astype(np.int64)
+        return out
+
+    return (
+        both.groupby("part")
+        .map_groups(dist_of_partition, batch_format="pandas")
+        .groupby("c_count")
+        .aggregate(Sum("n_part", alias_name="custdist"))
+    )
+
+
+Q13_SQL = """
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 analog: large-volume orders — HAVING over an order-grain sum,
+# then a result-side enrichment join.
+_Q18_QTY = 300.0
+
+
+def q18_large_orders(sf_dir: str, k: int = 20,
+                     join_budget: int = 2_000_000):
+    """Top-k orders whose total line-item quantity exceeds 300, with the
+    ordering customer.  Scale shape: lineitem pre-sums quantity per order
+    INSIDE each batch, one coarse order-hash shuffle finishes the sums, and
+    the HAVING filter runs in the partition kernel — survivors are the rare
+    tail (~0.3% of orders by construction).  The enrichment join is
+    adaptive (the minhash-pushdown idiom): when the survivor count (a
+    Dataset scalar) fits `join_budget`, the survivor keys broadcast once
+    and prune the orders scan (predicate pushdown, no shuffle); above
+    budget it is a hash-partitioned Dataset.join (nothing survivor-scale
+    ever lands on the driver).  Per-batch partial top-k bounds what the
+    driver merges either way, and c_name is resolved by an isin-pruned
+    point read on the FINAL k rows only."""
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"okey": t["l_orderkey"], "qty": t["l_quantity"]})
+            .group_by("okey").aggregate([("qty", "sum")])
+        )
+        return g.append_column(
+            "part", pa.array(_keypart(g["okey"].to_numpy(zero_copy_only=False)))
+        )
+
+    def survivors(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("okey", as_index=False)["qty_sum"].sum()
+        agg = agg[agg["qty_sum"] > _Q18_QTY]
+        out = pd.DataFrame(
+            {"okey": agg["okey"].astype(np.int64),
+             "total_qty": np.round(agg["qty_sum"].to_numpy(), 2)}
+        )
+        if out.empty:
+            # typed sentinel: a survivor-free partition would otherwise emit
+            # a SCHEMA-LESS empty block (map_groups default), which poisons
+            # the downstream hash join's schema inference; okey=-1 matches
+            # no order, so the inner join drops it (the broadcast path
+            # filters it explicitly)
+            out = pd.DataFrame({"okey": np.array([-1], np.int64),
+                                "total_qty": np.array([0.0])})
+        return out
+
+    big = (
+        li.map_batches(qty_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(survivors, batch_format="pandas")
+    )
+    order_cols = ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        idx = pc.select_k_unstable(
+            t, k=k,
+            sort_keys=[("o_totalprice", "descending"), ("okey", "ascending")],
+        )
+        return t.take(idx)
+
+    if big.count() <= join_budget:
+        # survivor keys broadcast once; the orders read is pruned by the
+        # pushed-down isin filter, total_qty rides back via a searchsorted
+        # probe against the broadcast — no all-to-all anywhere
+        sdf = big.to_pandas()  # <= join_budget rows by the guard above
+        sdf = sdf[sdf["okey"] >= 0]  # drop partition sentinels
+        skeys = np.sort(sdf["okey"].to_numpy())
+        sqty = sdf.set_index("okey")["total_qty"].reindex(skeys).to_numpy()
+        bcast = ray.put((skeys, sqty))
+        orders = _read(
+            sf_dir, "orders", columns=order_cols,
+            filter=pc.field("o_orderkey").isin(skeys.tolist()),
+        )
+
+        def attach_qty(t: pa.Table) -> pa.Table:
+            keys, qty = ray.get(bcast)
+            ok = t["o_orderkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(keys, ok)
+            t = pa.table(
+                {
+                    "okey": t["o_orderkey"],
+                    "o_custkey": t["o_custkey"],
+                    "o_orderdate": t["o_orderdate"],
+                    "o_totalprice": t["o_totalprice"],
+                    "total_qty": pa.array(qty[pos], pa.float64()),
+                }
+            )
+            return local_topk(t)
+
+        cand = orders.map_batches(
+            attach_qty, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+        # num_partitions tracks the session's task slots (at fleet scale the
+        # cpu count makes this the 64+-way exchange the survivor volume
+        # needs; in a small test session it stays modest so the shuffle
+        # aggregators don't starve the 4-cpu pool)
+        nparts = max(4, int(ray.cluster_resources().get("CPU", 8)))
+        joined = big.join(
+            _read(sf_dir, "orders", columns=order_cols), "inner",
+            num_partitions=nparts, on=("okey",), right_on=("o_orderkey",),
+        )
+        cand = joined.map_batches(
+            local_topk, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    cand = (
+        cand.to_pandas()  # <= n_blocks * k rows
+        .sort_values(["o_totalprice", "okey"], ascending=[False, True],
+                     kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    names = _pa(
+        sf_dir, "customer", columns=["c_custkey", "c_name"],
+        filter=pc.field("c_custkey").isin(cand["o_custkey"].tolist()),
+    )
+    nmap = dict(zip(names["c_custkey"].to_pylist(), names["c_name"].to_pylist()))
+    cand.insert(0, "rank", np.arange(1, len(cand) + 1, dtype=np.int64))
+    cand["c_name"] = [nmap[int(c)] for c in cand["o_custkey"]]
+    cand = cand.rename(columns={"okey": "o_orderkey"})
+    return cand[["rank", "c_name", "o_custkey", "o_orderkey", "o_orderdate",
+                 "o_totalprice", "total_qty"]]
+
+
+Q18_SQL = f"""
+WITH big AS (
+  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > {_Q18_QTY}
+)
+SELECT row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rank,
+       c_name, o_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM big
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 analog: discounted revenue under an OR of three
+# (brand, size-range, quantity-range) brackets — the multi-predicate
+# broadcast-probe shape.
+_Q19_BRACKETS = (
+    ("Brand#12", 1, 5, 1.0, 11.0),
+    ("Brand#23", 1, 10, 10.0, 20.0),
+    ("Brand#34", 1, 15, 20.0, 30.0),
+)
+
+
+def q19_bracket_revenue(sf_dir: str):
+    """Revenue from line items matching any of three (brand, p_size range,
+    l_quantity range) brackets.  Scale shape: the part side ships ONCE as a
+    broadcast (sorted p_partkey + int8 bracket id, searchsorted probe — the
+    q14 idiom); lineitem is read column-pruned and each batch collapses to
+    ONE float partial, so the reduce moves one number per block."""
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand", "p_size"],
+    )
+    pk = part["p_partkey"].to_numpy(zero_copy_only=False)
+    brand = part["p_brand"].to_numpy(zero_copy_only=False)
+    size = part["p_size"].to_numpy(zero_copy_only=False)
+    bracket = np.full(len(pk), -1, np.int8)
+    for bid, (b, s_lo, s_hi, _, _) in enumerate(_Q19_BRACKETS):
+        bracket[(brand == b) & (size >= s_lo) & (size <= s_hi)] = bid
+    order = np.argsort(pk)
+    bcast = ray.put((pk[order], bracket[order]))
+    qlo = np.array([b[3] for b in _Q19_BRACKETS])
+    qhi = np.array([b[4] for b in _Q19_BRACKETS])
+
+    ds = _read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys, brk = ray.get(bcast)
+        lp = t["l_partkey"].to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(keys, lp), len(keys) - 1)
+        bid = np.where(keys[pos] == lp, brk[pos], -1)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        ok = bid >= 0
+        b = np.maximum(bid, 0)
+        ok &= (qty >= qlo[b]) & (qty <= qhi[b])
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        ).to_numpy(zero_copy_only=False)
+        return pa.table({"rev": pa.array([float(rev[ok].sum())], pa.float64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True).sum("rev")
+    return pd.DataFrame({"revenue_r2": [round(agg, 2)]})
+
+
+def _q19_sql() -> str:
+    ors = " OR ".join(
+        f"(p_brand = '{b}' AND p_size BETWEEN {slo} AND {shi}"
+        f" AND l_quantity BETWEEN {qlo} AND {qhi})"
+        for b, slo, shi, qlo, qhi in _Q19_BRACKETS
+    )
+    return f"""
+SELECT round(coalesce(sum(l_extendedprice * (1 - l_discount)), 0.0), 2)
+         AS revenue_r2
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE {ors}
+"""
+
+
+Q19_SQL = _q19_sql()
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 analog: global-customer-opportunity — scalar subquery (average
+# positive balance) feeding an anti-join, grouped by nation.
+_Q22_CUTOFF = "2000-01-01"
+
+
+def q22_idle_balance(sf_dir: str):
+    """Per-nation count + balance of above-average-balance customers with no
+    order since 2000-01-01.  Scale shape: the positive-balance average is a
+    two-float map-side reduce over a column-pruned customer scan; the
+    anti-join is the union-marker pattern (date-pruned orders collapse to
+    per-batch-unique custkeys, ONE coarse custkey-hash shuffle, partition
+    kernel anti-filters with np.isin); only per-nation partials leave the
+    workers."""
+    cust_bal = _read(sf_dir, "customer", columns=["c_acctbal"])
+
+    def bal_partial(t: pa.Table) -> pa.Table:
+        v = t["c_acctbal"].to_numpy(zero_copy_only=False)
+        pos = v[v > 0]
+        return pa.table(
+            {"s": pa.array([float(pos.sum())]),
+             "n": pa.array([np.int64(len(pos))])}
+        )
+
+    tot = cust_bal.map_batches(
+        bal_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).sum(["s", "n"])
+    avg_bal = tot["sum(s)"] / tot["sum(n)"]
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_custkey"],
+        filter=(pc.field("o_orderdate")
+                >= pc.scalar(np.datetime64(_Q22_CUTOFF, "us"))),
+    )
+    cust = _read(
+        sf_dir, "customer",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+        filter=(pc.field("c_acctbal") > pc.scalar(float(avg_bal))),
+    )
+
+    def order_marker(t: pa.Table) -> pa.Table:
+        keys = np.unique(t["o_custkey"].to_numpy(zero_copy_only=False))
+        z = np.zeros(len(keys))
+        return pa.table(
+            {
+                "ckey": pa.array(keys, pa.int64()),
+                "c_nationkey": pa.array(z.astype(np.int64)),
+                "c_acctbal": pa.array(z),
+                "is_cust": pa.array(z.astype(bool)),
+                "part": pa.array(_keypart(keys)),
+            }
+        )
+
+    def cust_row(t: pa.Table) -> pa.Table:
+        keys = t["c_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "ckey": t["c_custkey"],
+                "c_nationkey": t["c_nationkey"].cast(pa.int64()),
+                "c_acctbal": t["c_acctbal"],
+                "is_cust": pa.array(np.ones(len(keys), bool)),
+                "part": pa.array(_keypart(keys)),
+            }
+        )
+
+    both = orders.map_batches(
+        order_marker, batch_format="pyarrow", zero_copy_batch=True
+    ).union(cust.map_batches(cust_row, batch_format="pyarrow",
+                             zero_copy_batch=True))
+
+    def anti_of_partition(g: pd.DataFrame) -> pd.DataFrame:
+        is_c = g["is_cust"].to_numpy()
+        active = np.unique(g["ckey"].to_numpy()[~is_c])
+        c = g[is_c]
+        keep = c[~np.isin(c["ckey"].to_numpy(), active)]
+        out = keep.groupby("c_nationkey", as_index=False).agg(
+            n_part=("ckey", "size"), bal_part=("c_acctbal", "sum")
+        )
+        out["n_part"] = out["n_part"].astype(np.int64)
+        return out
+
+    parts = (
+        both.groupby("part")
+        .map_groups(anti_of_partition, batch_format="pandas")
+        .to_pandas()  # nation-grain partials: <= 25 * n_partitions rows
+    )
+    out = parts.groupby("c_nationkey", as_index=False).agg(
+        numcust=("n_part", "sum"), totacctbal=("bal_part", "sum")
+    )
+    out["numcust"] = out["numcust"].astype(np.int64)
+    out["totacctbal"] = out["totacctbal"].round(2)
+    return out.sort_values("c_nationkey").reset_index(drop=True)
+
+
+Q22_SQL = f"""
+SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '{_Q22_CUTOFF}')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-user rolling window mean — the moving-average feature kernel (frame =
+# current + 3 preceding events in (ts, event_id) order).
+_ROLL_W = 4
+
+
+def events_user_rolling_mean(sf_dir: str):
+    """(user_id, event_id, rmean4): mean of the last `_ROLL_W` values per
+    user in event order, round-6.  Scale shape: one coarse user-hash
+    shuffle; the partition kernel handles ALL its users in one vectorized
+    pass (group-start positions -> masked shifts, no per-user loop);
+    floats sum oldest-first exactly like the oracle's window AVG frame, so
+    round-6 equality holds bitwise."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "part", pa.array(_keypart(t["user_id"].to_numpy(zero_copy_only=False)))
+        )
+
+    def roll_of_partition(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "event_id": pd.Series([], dtype="int64"),
+                    "rmean4": pd.Series([], dtype="float64"),
+                }
+            )
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        u = g["user_id"].to_numpy()
+        v = g["value"].to_numpy()
+        new = np.r_[True, u[1:] != u[:-1]]
+        starts = np.flatnonzero(new)
+        pos = np.arange(len(g)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(g)])
+        )
+        acc = np.zeros(len(g))
+        for lag in range(_ROLL_W - 1, 0, -1):  # oldest-first summation order
+            s = np.r_[np.zeros(lag), v[:-lag]] if lag < len(v) else np.zeros(len(v))
+            s[pos < lag] = 0.0
+            acc = acc + s if lag < _ROLL_W - 1 else s
+        tot = acc + v
+        cnt = np.minimum(pos + 1, _ROLL_W)
+        return pd.DataFrame(
+            {
+                "user_id": u,
+                "event_id": g["event_id"].to_numpy(),
+                "rmean4": np.round(tot / cnt, 6),
+            }
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(roll_of_partition, batch_format="pandas")
+    )
+
+
+EVENTS_ROLLING_SQL = f"""
+SELECT user_id, event_id,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN {_ROLL_W - 1} PRECEDING
+                              AND CURRENT ROW), 6) AS rmean4
+FROM events
+"""

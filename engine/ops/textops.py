@@ -1834,3 +1834,55 @@ def bpe_encode_docs(sf_dir: str, n_merges: int = _BPE_MERGES):
     return _read_docs(sf_dir, columns=["doc_id", "text"]).map_batches(
         fn, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus length histogram — the curation observability staple (choose length
+# gates / spot truncation cliffs before committing a filter threshold).
+_LEN_BIN = 256
+
+
+def docs_length_histogram(sf_dir: str):
+    """(bin_lo, n_docs, share_r6): corpus histogram of document character
+    length in `_LEN_BIN`-wide bins.  Scale shape: per-batch bincount
+    partials (bin-grain, bounded by max doc length / bin width, never
+    doc-grain), one tiny bin-keyed reduce; shares are computed on the
+    result-scale histogram rows.  Column-pruned to the precomputed
+    n_chars metadata column — the text never leaves storage."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        n = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bins = n // _LEN_BIN
+        cnt = np.bincount(bins)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "bin_lo": pa.array(nz * _LEN_BIN, pa.int64()),
+                "n_part": pa.array(cnt[nz], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    hist = (
+        _read_docs(sf_dir, columns=["n_chars"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bin_lo")
+        .aggregate(Sum("n_part", alias_name="n_docs"))
+        .to_pandas()  # histogram-scale: max_len / _LEN_BIN rows
+    )
+    total = int(hist["n_docs"].sum())
+    hist["share_r6"] = np.round(hist["n_docs"] / max(total, 1), 6)
+    return hist.sort_values("bin_lo").reset_index(drop=True)
+
+
+LENGTH_HISTOGRAM_SQL = f"""
+WITH h AS (
+  SELECT (n_chars // {_LEN_BIN}) * {_LEN_BIN} AS bin_lo,
+         count(*) AS n_docs
+  FROM documents GROUP BY 1
+)
+SELECT bin_lo, n_docs,
+       round(n_docs * 1.0 / (SELECT sum(n_docs) FROM h), 6) AS share_r6
+FROM h ORDER BY bin_lo
+"""

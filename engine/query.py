@@ -477,6 +477,25 @@ class IndexReader:
             return None
         return best[1], best[2], int(self._df[best[1]])
 
+    def fuzzy_expand(self, term: str) -> list[str]:
+        """Fuzzy-query expansion: ALL vocabulary terms within plain
+        Levenshtein distance 1 of `term` (including `term` itself when
+        indexed), term-sorted.  Same SymSpell candidate generation as
+        suggest() — delete-index lookups, never a vocabulary scan — but
+        keeps every verified candidate instead of the single best (the
+        Lucene FuzzyQuery~1 rewrite set)."""
+        didx = self._delete_index()
+        cands: set[str] = set()
+        if term in self._df:
+            cands.add(term)
+        dels = [term[:i] + term[i + 1 :] for i in range(len(term))]
+        for d in dels:
+            if d in self._df:
+                cands.add(d)
+            cands.update(didx.get(d, ()))
+        cands.update(didx.get(term, ()))
+        return sorted(c for c in cands if self._lev_le1(term, c) is not None)
+
     def _bucket_rows(self, bucket: int) -> dict[str, list[int]]:
         """term -> row indices of the (cached) bucket segment table.
 

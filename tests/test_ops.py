@@ -108,6 +108,15 @@ SQL_CHECKED = [
     "q10_returned_items",
     "q15_top_suppliers",
     "docs_source_caps",
+    "q4_priority_counts",
+    "q13_custdist",
+    "q18_large_orders",
+    "q19_bracket_revenue",
+    "q22_idle_balance",
+    "events_user_rolling_mean",
+    "docs_length_histogram",
+    "docs_fuzzy_topk",
+    "docs_search_after",
 ]
 
 
@@ -417,6 +426,19 @@ def test_q3_distributed_join_path_matches_broadcast_path(monkeypatch):
     fast = relational.q3_top_orders(SF)
     monkeypatch.setattr(relational, "_Q3_BCAST_KEY_BUDGET", 0)
     slow = relational.q3_top_orders(SF)
+    pd.testing.assert_frame_equal(
+        fast.reset_index(drop=True), slow.reset_index(drop=True)
+    )
+
+
+def test_q18_distributed_join_path_matches_broadcast_path():
+    """Force the above-budget branch (hash-partitioned Dataset.join over
+    the sentinel-typed survivor blocks): identical top-k to the
+    broadcast-probe fast path, even with survivor-free join partitions."""
+    from engine.ops import relational
+
+    fast = relational.q18_large_orders(SF)
+    slow = relational.q18_large_orders(SF, join_budget=0)
     pd.testing.assert_frame_equal(
         fast.reset_index(drop=True), slow.reset_index(drop=True)
     )
