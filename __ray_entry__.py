@@ -211,6 +211,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_rolling_mean": relational.events_user_rolling_mean,
         # corpus length histogram (curation observability)
         "docs_length_histogram": textops.docs_length_histogram,
+        # TPC-H Q17 analog: correlated per-part avg subquery, two passes
+        "q17_small_order_revenue": relational.q17_small_order_revenue,
+        # TPC-H Q7 analog: nation-pair trade flow, double broadcast + join
+        "q7_nation_trade": relational.q7_nation_trade,
         # fuzzy search: Levenshtein<=1 SymSpell expansion -> BM25 OR
         "docs_fuzzy_topk": docsearch.bm25_docs_fuzzy,
         # deep paging: (score, doc_id) search-after cursor, 3 pages
@@ -362,4 +366,6 @@ def oracle_sql() -> dict[str, str]:
         "docs_length_histogram": textops.LENGTH_HISTOGRAM_SQL,
         "docs_fuzzy_topk": docsearch.FUZZY_DOCS_SQL,
         "docs_search_after": docsearch.SEARCH_AFTER_SQL,
+        "q17_small_order_revenue": relational.Q17_SQL,
+        "q7_nation_trade": relational.Q7_SQL,
     }

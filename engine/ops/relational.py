@@ -2750,3 +2750,219 @@ SELECT user_id, event_id,
                               AND CURRENT ROW), 6) AS rmean4
 FROM events
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17 analog: small-quantity-order revenue — the correlated scalar
+# subquery shape (per-part average feeding a filter over the same table).
+
+
+def q17_small_order_revenue(sf_dir: str):
+    """Weekly revenue that would be lost if orders below 20% of a part's
+    average quantity stopped shipping: sum(l_extendedprice)/7 over line
+    items with l_quantity < 0.2 * avg(l_quantity per part).  Scale shape:
+    TWO streaming passes over a column-pruned lineitem scan — pass 1
+    reduces per-batch (part, qty_sum, n) partials through one coarse
+    part-hash shuffle into per-part thresholds (part-grain, 1/30th of
+    lineitem by TPC-H construction, broadcast like q14/q19's part side);
+    pass 2 probes the sorted broadcast with searchsorted and collapses
+    each batch to ONE float.  Quantities are integral doubles, so the
+    distributed sum is exact and the 0.2*avg threshold is bitwise equal
+    to the oracle's."""
+    li1 = _read(sf_dir, "lineitem", columns=["l_partkey", "l_quantity"])
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"pkey": t["l_partkey"], "qty": t["l_quantity"]})
+            .group_by("pkey")
+            .aggregate([("qty", "sum"), ("qty", "count")])
+        )
+        return g.append_column(
+            "part", pa.array(_keypart(g["pkey"].to_numpy(zero_copy_only=False)))
+        )
+
+    def thresholds(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("pkey", as_index=False).agg(
+            s=("qty_sum", "sum"), n=("qty_count", "sum")
+        )
+        return pd.DataFrame(
+            {"pkey": agg["pkey"].astype(np.int64),
+             "lim": 0.2 * (agg["s"].to_numpy() / agg["n"].to_numpy())}
+        )
+
+    lim_df = (
+        li1.map_batches(qty_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(thresholds, batch_format="pandas")
+        .to_pandas()  # part-grain (the broadcast-small side, q14 idiom)
+        .sort_values("pkey")
+    )
+    bcast = ray.put((lim_df["pkey"].to_numpy(), lim_df["lim"].to_numpy()))
+
+    li2 = _read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        keys, lim = ray.get(bcast)
+        lp = t["l_partkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, lp)  # every part occurs in pass 1
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        ok = qty < lim[pos]
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        return pa.table({"rev": pa.array([float(price[ok].sum())], pa.float64())})
+
+    agg = li2.map_batches(
+        rev_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).sum("rev")
+    return pd.DataFrame({"avg_yearly_r2": [round(agg / 7.0, 2)]})
+
+
+Q17_SQL = """
+WITH pa AS (
+  SELECT l_partkey, 0.2 * avg(l_quantity) AS lim
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT round(coalesce(sum(l_extendedprice), 0.0) / 7.0, 2) AS avg_yearly_r2
+FROM lineitem JOIN pa USING (l_partkey)
+WHERE l_quantity < lim
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 analog: nation-pair trade flow — the two-dimension broadcast
+# enrichment over an order-keyed hash join.
+_Q7_NATIONS = ("NATION_3", "NATION_7")
+
+
+def q7_nation_trade(sf_dir: str):
+    """Revenue shipped between the two fixture nations (both directions) by
+    ship year, 1996-1997.  Scale shape: customer and supplier resolve to
+    nation names driver-side, FILTERED to the two nations before the
+    broadcast (the q5/q10 idiom — each ships once as sorted key arrays);
+    orders prunes to the two customer nations via the broadcast semi
+    filter inside map_batches, then ONE order-keyed hash join against the
+    date-pruned lineitem scan; each joined batch collapses to
+    (supp_nation, cust_nation, yr) partials, so the final reduce moves
+    pairs x years rows."""
+    nation = _pa(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    nmap = dict(
+        zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist())
+    )
+    keep_nk = [nk for nk, nm in nmap.items() if nm in _Q7_NATIONS]
+
+    cust = _pa(
+        sf_dir, "customer", columns=["c_custkey", "c_nationkey"],
+        filter=pc.field("c_nationkey").isin(keep_nk),
+    )
+    ck = cust["c_custkey"].to_numpy(zero_copy_only=False)
+    corder = np.argsort(ck)
+    cnames = np.array(
+        [nmap[nk] for nk in cust["c_nationkey"].to_pylist()], dtype=object
+    )
+    sup = _pa(
+        sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"],
+        filter=pc.field("s_nationkey").isin(keep_nk),
+    )
+    sk = sup["s_suppkey"].to_numpy(zero_copy_only=False)
+    sorder = np.argsort(sk)
+    snames = np.array(
+        [nmap[nk] for nk in sup["s_nationkey"].to_pylist()], dtype=object
+    )
+    bcast = ray.put((ck[corder], cnames[corder], sk[sorder], snames[sorder]))
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def orders_of_nations(t: pa.Table) -> pa.Table:
+        keys, names, _, _ = ray.get(bcast)
+        ok = t["o_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(keys, ok), len(keys) - 1)
+        hit = keys[pos] == ok
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"].filter(pa.array(hit)),
+                "cust_nation": pa.array(names[pos[hit]], pa.string()),
+            }
+        )
+
+    osmall = orders.map_batches(
+        orders_of_nations, batch_format="pyarrow", zero_copy_batch=True
+    )
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+        filter=(
+            (pc.field("l_shipdate") >= pc.scalar(np.datetime64("1996-01-01", "us")))
+            & (pc.field("l_shipdate") <= pc.scalar(np.datetime64("1997-12-31", "us")))
+        ),
+    )
+    joined = li.join(
+        osmall, "inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        _, _, keys, names = ray.get(bcast)
+        ls = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(keys, ls), len(keys) - 1)
+        hit = keys[pos] == ls
+        cn = t["cust_nation"].to_numpy(zero_copy_only=False)
+        sn = np.where(hit, names[pos], "")
+        keep = hit & (sn != cn)
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        ).to_numpy(zero_copy_only=False)
+        yr = pc.year(t["l_shipdate"]).to_numpy(zero_copy_only=False)
+        tt = pa.table(
+            {
+                "supp_nation": pa.array(sn[keep], pa.string()),
+                "cust_nation": pa.array(cn[keep], pa.string()),
+                "yr": pa.array(yr[keep].astype(np.int64), pa.int64()),
+                "rev": pa.array(rev[keep], pa.float64()),
+                "n": pa.array(np.ones(int(keep.sum()), np.int64), pa.int64()),
+            }
+        )
+        return (
+            tt.group_by(["supp_nation", "cust_nation", "yr"])
+            .aggregate([("rev", "sum"), ("n", "sum")])
+            .rename_columns(["supp_nation", "cust_nation", "yr", "rev", "n"])
+        )
+
+    out = (
+        joined.map_batches(pair_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .groupby(["supp_nation", "cust_nation", "yr"])
+        .aggregate(Sum("rev", alias_name="revenue"), Sum("n", alias_name="n"))
+        .to_pandas()  # pairs x years rows
+    )
+    out["revenue"] = out["revenue"].round(2)
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values(["supp_nation", "cust_nation", "yr"]).reset_index(
+        drop=True
+    )[["supp_nation", "cust_nation", "yr", "n", "revenue"]]
+
+
+def _q7_sql() -> str:
+    a, b = _Q7_NATIONS
+    return f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS yr,
+       count(*) AS n,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE n1.n_name IN ('{a}', '{b}') AND n2.n_name IN ('{a}', '{b}')
+  AND n1.n_name <> n2.n_name
+  AND l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+Q7_SQL = _q7_sql()

@@ -117,6 +117,8 @@ SQL_CHECKED = [
     "docs_length_histogram",
     "docs_fuzzy_topk",
     "docs_search_after",
+    "q17_small_order_revenue",
+    "q7_nation_trade",
 ]
 
 
