@@ -213,6 +213,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_length_histogram": textops.docs_length_histogram,
         # TPC-H Q17 analog: correlated per-part avg subquery, two passes
         "q17_small_order_revenue": relational.q17_small_order_revenue,
+        # TPC-H Q8 analog: per-year national market share in a region
+        "q8_market_share": relational.q8_market_share,
+        # per-language embedding centroids (vector aggregate via hash join)
+        "lang_embedding_centroids": ann.lang_embedding_centroids,
         # TPC-H Q7 analog: nation-pair trade flow, double broadcast + join
         "q7_nation_trade": relational.q7_nation_trade,
         # fuzzy search: Levenshtein<=1 SymSpell expansion -> BM25 OR
@@ -368,4 +372,6 @@ def oracle_sql() -> dict[str, str]:
         "docs_search_after": docsearch.SEARCH_AFTER_SQL,
         "q17_small_order_revenue": relational.Q17_SQL,
         "q7_nation_trade": relational.Q7_SQL,
+        "q8_market_share": relational.Q8_SQL,
+        "lang_embedding_centroids": ann.LANG_CENTROIDS_SQL,
     }

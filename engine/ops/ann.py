@@ -1127,3 +1127,120 @@ def semdedup_prune(sf_dir: str, tau: float = _SEMDEDUP_TAU,
         .groupby("cluster")
         .map_groups(prune_cluster, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-group embedding centroids — the corpus-drift / per-source-profile
+# vector aggregate (mean embedding per language).
+
+
+def lang_embedding_centroids(sf_dir: str):
+    """(lang, dim, n, centroid_r6): mean embedding per document language,
+    long-form with 1-based dims to match the SQL oracle's embedding[i].
+    Scale shape: the union-marker co-location idiom (Ray's hash join
+    rejects list-typed payload columns, and exploding d columns would
+    copy every vector) — embeddings and (doc_id, lang) rows ride the SAME
+    coarse id-hash partitions through ONE shuffle, the partition kernel
+    resolves lang by searchsorted and collapses ALL its vectors to
+    langs x d partial sums, so the final reduce is group-grain."""
+    from ray.data.aggregate import Sum
+
+    _N_PARTS = 64
+
+    def _part(ids: np.ndarray) -> np.ndarray:
+        return (ids.astype(np.int64) * 0x9E3779B1 % (1 << 31)) % _N_PARTS
+
+    def emb_row(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "id": t["vec_id"],
+                "embedding": t["embedding"],
+                "lang": pa.array([""] * len(ids), pa.string()),
+                "part": pa.array(_part(ids)),
+            }
+        )
+
+    def doc_row(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        empty = pa.array([[]] * len(ids), pa.list_(pa.float32()))
+        return pa.table(
+            {
+                "id": t["doc_id"],
+                "embedding": empty,
+                "lang": t["lang"],
+                "part": pa.array(_part(ids)),
+            }
+        )
+
+    emb = _read_emb(sf_dir).map_batches(
+        emb_row, batch_format="pyarrow", zero_copy_batch=True
+    )
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    ).map_batches(doc_row, batch_format="pyarrow", zero_copy_batch=True)
+
+    def centroid_partial(t: pa.Table) -> pa.Table:
+        langs_all = np.asarray(t["lang"].to_numpy(zero_copy_only=False))
+        is_doc = langs_all != ""
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        # lang lookup table from this partition's doc rows
+        dk = ids[is_doc]
+        order = np.argsort(dk)
+        dk, dl = dk[order], langs_all[is_doc][order]
+        et = t.filter(pa.array(~is_doc)).select(["id", "embedding"])
+        et = et.rename_columns(["vec_id", "embedding"])
+        vids, m = _emb_matrix(et)
+        if m.size == 0:
+            return pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "dim": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.float64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        pos = np.minimum(np.searchsorted(dk, vids), len(dk) - 1)
+        hit = dk[pos] == vids  # inner-join semantics: drop unmatched vectors
+        m, vl = m[hit], dl[pos[hit]]
+        d = m.shape[1]
+        out_lang, out_dim, out_s, out_n = [], [], [], []
+        for lg in np.unique(vl):
+            sub = m[vl == lg]
+            out_lang.extend([str(lg)] * d)
+            out_dim.extend(range(1, d + 1))
+            out_s.extend(sub.sum(axis=0))
+            out_n.extend([sub.shape[0]] * d)
+        return pa.table(
+            {
+                "lang": pa.array(out_lang, pa.string()),
+                "dim": pa.array(out_dim, pa.int64()),
+                "s": pa.array(out_s, pa.float64()),
+                "n": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    out = (
+        emb.union(docs)
+        .groupby("part")
+        .map_groups(centroid_partial, batch_format="pyarrow")
+        .groupby(["lang", "dim"])
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+        .to_pandas()  # langs x d rows
+    )
+    out["centroid_r6"] = np.round(out["s"] / out["n"], 6)
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values(["lang", "dim"]).reset_index(drop=True)[
+        ["lang", "dim", "n", "centroid_r6"]
+    ]
+
+
+LANG_CENTROIDS_SQL = """
+SELECT d.lang, CAST(i AS BIGINT) AS dim, count(*) AS n,
+       round(avg(e.embedding[i]), 6) AS centroid_r6
+FROM embeddings e
+JOIN documents d ON d.doc_id = e.vec_id
+CROSS JOIN generate_series(1, 64) AS g(i)
+GROUP BY d.lang, i
+ORDER BY d.lang, i
+"""

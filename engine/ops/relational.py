@@ -2966,3 +2966,131 @@ ORDER BY 1, 2, 3
 
 
 Q7_SQL = _q7_sql()
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 analog: national market share inside a region's market by year.
+_Q8_REGION = "EUROPE"
+_Q8_NATION = "NATION_3"
+
+
+def q8_market_share(sf_dir: str):
+    """Share of EUROPE-customer revenue supplied by NATION_3, by ship year
+    (1996-1997).  Scale shape: the q7 idiom — nation x region resolve
+    driver-side; customers prune to the region INSIDE the broadcast build
+    (sorted custkey array only), suppliers ship as (sorted suppkey,
+    is-target-nation mask); orders semi-prune per batch, ONE order-keyed
+    hash join against the date-pruned lineitem scan; each joined batch
+    collapses to (yr, target_rev, total_rev) partials — the reduce moves
+    two floats per year per block."""
+    nation = _pa(sf_dir, "nation",
+                 columns=["n_nationkey", "n_name", "n_regionkey"])
+    region = _pa(sf_dir, "region", columns=["r_regionkey", "r_name"])
+    rk = {
+        k: n for k, n in zip(region["r_regionkey"].to_pylist(),
+                             region["r_name"].to_pylist())
+    }
+    region_nk = [
+        nk for nk, rgk in zip(nation["n_nationkey"].to_pylist(),
+                              nation["n_regionkey"].to_pylist())
+        if rk[rgk] == _Q8_REGION
+    ]
+    target_nk = {
+        nk for nk, nm in zip(nation["n_nationkey"].to_pylist(),
+                             nation["n_name"].to_pylist())
+        if nm == _Q8_NATION
+    }
+
+    cust = _pa(
+        sf_dir, "customer", columns=["c_custkey", "c_nationkey"],
+        filter=pc.field("c_nationkey").isin(region_nk),
+    )
+    ckeys = np.sort(cust["c_custkey"].to_numpy(zero_copy_only=False))
+    sup = _pa(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    sk = sup["s_suppkey"].to_numpy(zero_copy_only=False)
+    sorder = np.argsort(sk)
+    stgt = np.array(
+        [nk in target_nk for nk in sup["s_nationkey"].to_pylist()], bool
+    )
+    bcast = ray.put((ckeys, sk[sorder], stgt[sorder]))
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def region_orders(t: pa.Table) -> pa.Table:
+        keys, _, _ = ray.get(bcast)
+        ok = t["o_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(keys, ok), len(keys) - 1)
+        hit = keys[pos] == ok
+        return pa.table({"o_orderkey": t["o_orderkey"].filter(pa.array(hit))})
+
+    osmall = orders.map_batches(
+        region_orders, batch_format="pyarrow", zero_copy_batch=True
+    )
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+        filter=(
+            (pc.field("l_shipdate") >= pc.scalar(np.datetime64("1996-01-01", "us")))
+            & (pc.field("l_shipdate") <= pc.scalar(np.datetime64("1997-12-31", "us")))
+        ),
+    )
+    joined = li.join(
+        osmall, "inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def share_partial(t: pa.Table) -> pa.Table:
+        _, keys, tgt = ray.get(bcast)
+        ls = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(keys, ls), len(keys) - 1)
+        is_t = tgt[pos] & (keys[pos] == ls)
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        ).to_numpy(zero_copy_only=False)
+        yr = pc.year(t["l_shipdate"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        tt = pa.table(
+            {
+                "yr": pa.array(yr, pa.int64()),
+                "target_rev": pa.array(np.where(is_t, rev, 0.0), pa.float64()),
+                "total_rev": pa.array(rev, pa.float64()),
+            }
+        )
+        return (
+            tt.group_by("yr")
+            .aggregate([("target_rev", "sum"), ("total_rev", "sum")])
+            .rename_columns(["yr", "target_rev", "total_rev"])
+        )
+
+    out = (
+        joined.map_batches(share_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .groupby("yr")
+        .aggregate(Sum("target_rev", alias_name="t"),
+                   Sum("total_rev", alias_name="tot"))
+        .to_pandas()  # year-grain
+    )
+    out["mkt_share_r6"] = np.round(out["t"] / out["tot"], 6)
+    return out.sort_values("yr").reset_index(drop=True)[["yr", "mkt_share_r6"]]
+
+
+Q8_SQL = f"""
+WITH flows AS (
+  SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS yr,
+         l_extendedprice * (1 - l_discount) AS rev,
+         n1.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+  JOIN region r  ON r.r_regionkey = n2.n_regionkey
+  JOIN supplier  ON s_suppkey = l_suppkey
+  JOIN nation n1 ON n1.n_nationkey = s_nationkey
+  WHERE r.r_name = '{_Q8_REGION}'
+    AND l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+)
+SELECT yr,
+       round(sum(CASE WHEN supp_nation = '{_Q8_NATION}' THEN rev ELSE 0 END)
+             / sum(rev), 6) AS mkt_share_r6
+FROM flows GROUP BY yr ORDER BY yr
+"""

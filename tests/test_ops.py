@@ -119,6 +119,8 @@ SQL_CHECKED = [
     "docs_search_after",
     "q17_small_order_revenue",
     "q7_nation_trade",
+    "q8_market_share",
+    "lang_embedding_centroids",
 ]
 
 
