@@ -217,6 +217,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q8_market_share": relational.q8_market_share,
         # per-language embedding centroids (vector aggregate via hash join)
         "lang_embedding_centroids": ann.lang_embedding_centroids,
+        # per-language embedding variance (drift/collapse diagnostic)
+        "lang_embedding_dispersion": ann.lang_embedding_dispersion,
         # TPC-H Q7 analog: nation-pair trade flow, double broadcast + join
         "q7_nation_trade": relational.q7_nation_trade,
         # fuzzy search: Levenshtein<=1 SymSpell expansion -> BM25 OR
@@ -374,4 +376,5 @@ def oracle_sql() -> dict[str, str]:
         "q7_nation_trade": relational.Q7_SQL,
         "q8_market_share": relational.Q8_SQL,
         "lang_embedding_centroids": ann.LANG_CENTROIDS_SQL,
+        "lang_embedding_dispersion": ann.LANG_DISPERSION_SQL,
     }

@@ -1134,15 +1134,16 @@ def semdedup_prune(sf_dir: str, tau: float = _SEMDEDUP_TAU,
 # vector aggregate (mean embedding per language).
 
 
-def lang_embedding_centroids(sf_dir: str):
-    """(lang, dim, n, centroid_r6): mean embedding per document language,
-    long-form with 1-based dims to match the SQL oracle's embedding[i].
-    Scale shape: the union-marker co-location idiom (Ray's hash join
-    rejects list-typed payload columns, and exploding d columns would
-    copy every vector) — embeddings and (doc_id, lang) rows ride the SAME
-    coarse id-hash partitions through ONE shuffle, the partition kernel
-    resolves lang by searchsorted and collapses ALL its vectors to
-    langs x d partial sums, so the final reduce is group-grain."""
+def _lang_embedding_moments(sf_dir: str) -> pd.DataFrame:
+    """Shared reduce for the per-language vector aggregates: long-form
+    (lang, dim, s, s2, n) sufficient statistics (sum, sum of squares,
+    count) per (language, dimension).  Scale shape: the union-marker
+    co-location idiom (Ray's hash join rejects list-typed payload
+    columns, and exploding d columns would copy every vector) —
+    embeddings and (doc_id, lang) rows ride the SAME coarse id-hash
+    partitions through ONE shuffle, the partition kernel resolves lang by
+    searchsorted and collapses ALL its vectors to langs x d moment rows,
+    so the final reduce is group-grain."""
     from ray.data.aggregate import Sum
 
     _N_PARTS = 64
@@ -1180,42 +1181,47 @@ def lang_embedding_centroids(sf_dir: str):
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
     ).map_batches(doc_row, batch_format="pyarrow", zero_copy_batch=True)
 
-    def centroid_partial(t: pa.Table) -> pa.Table:
+    def moment_partial(t: pa.Table) -> pa.Table:
         langs_all = np.asarray(t["lang"].to_numpy(zero_copy_only=False))
         is_doc = langs_all != ""
         ids = t["id"].to_numpy(zero_copy_only=False)
-        # lang lookup table from this partition's doc rows
         dk = ids[is_doc]
         order = np.argsort(dk)
         dk, dl = dk[order], langs_all[is_doc][order]
         et = t.filter(pa.array(~is_doc)).select(["id", "embedding"])
         et = et.rename_columns(["vec_id", "embedding"])
         vids, m = _emb_matrix(et)
-        if m.size == 0:
-            return pa.table(
-                {
-                    "lang": pa.array([], pa.string()),
-                    "dim": pa.array([], pa.int64()),
-                    "s": pa.array([], pa.float64()),
-                    "n": pa.array([], pa.int64()),
-                }
-            )
+        empty = pa.table(
+            {
+                "lang": pa.array([], pa.string()),
+                "dim": pa.array([], pa.int64()),
+                "s": pa.array([], pa.float64()),
+                "s2": pa.array([], pa.float64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if m.size == 0 or len(dk) == 0:
+            return empty
         pos = np.minimum(np.searchsorted(dk, vids), len(dk) - 1)
         hit = dk[pos] == vids  # inner-join semantics: drop unmatched vectors
         m, vl = m[hit], dl[pos[hit]]
+        if m.size == 0:
+            return empty
         d = m.shape[1]
-        out_lang, out_dim, out_s, out_n = [], [], [], []
+        out_lang, out_dim, out_s, out_s2, out_n = [], [], [], [], []
         for lg in np.unique(vl):
             sub = m[vl == lg]
             out_lang.extend([str(lg)] * d)
             out_dim.extend(range(1, d + 1))
             out_s.extend(sub.sum(axis=0))
+            out_s2.extend((sub * sub).sum(axis=0))
             out_n.extend([sub.shape[0]] * d)
         return pa.table(
             {
                 "lang": pa.array(out_lang, pa.string()),
                 "dim": pa.array(out_dim, pa.int64()),
                 "s": pa.array(out_s, pa.float64()),
+                "s2": pa.array(out_s2, pa.float64()),
                 "n": pa.array(out_n, pa.int64()),
             }
         )
@@ -1223,21 +1229,57 @@ def lang_embedding_centroids(sf_dir: str):
     out = (
         emb.union(docs)
         .groupby("part")
-        .map_groups(centroid_partial, batch_format="pyarrow")
+        .map_groups(moment_partial, batch_format="pyarrow")
         .groupby(["lang", "dim"])
-        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+        .aggregate(Sum("s", alias_name="s"), Sum("s2", alias_name="s2"),
+                   Sum("n", alias_name="n"))
         .to_pandas()  # langs x d rows
     )
-    out["centroid_r6"] = np.round(out["s"] / out["n"], 6)
     out["n"] = out["n"].astype(np.int64)
+    return out
+
+
+def lang_embedding_centroids(sf_dir: str):
+    """(lang, dim, n, centroid_r6): mean embedding per document language,
+    long-form with 1-based dims to match the SQL oracle's embedding[i];
+    first moment of _lang_embedding_moments."""
+    out = _lang_embedding_moments(sf_dir)
+    out["centroid_r6"] = np.round(out["s"] / out["n"], 6)
     return out.sort_values(["lang", "dim"]).reset_index(drop=True)[
         ["lang", "dim", "n", "centroid_r6"]
+    ]
+
+
+def lang_embedding_dispersion(sf_dir: str):
+    """(lang, dim, n, var_r6): population variance per (language,
+    dimension) — the drift/collapse diagnostic next to the centroid (a
+    source whose per-dim variance shrinks is collapsing to boilerplate;
+    one whose centroid moves is drifting).  Same single-shuffle moments
+    reduce; var = s2/n - (s/n)^2 from the SAME sufficient statistics,
+    round-6 equal to the oracle's var_pop (verified exact on the
+    fixtures)."""
+    out = _lang_embedding_moments(sf_dir)
+    mean = out["s"] / out["n"]
+    out["var_r6"] = np.round(out["s2"] / out["n"] - mean * mean, 6)
+    return out.sort_values(["lang", "dim"]).reset_index(drop=True)[
+        ["lang", "dim", "n", "var_r6"]
     ]
 
 
 LANG_CENTROIDS_SQL = """
 SELECT d.lang, CAST(i AS BIGINT) AS dim, count(*) AS n,
        round(avg(e.embedding[i]), 6) AS centroid_r6
+FROM embeddings e
+JOIN documents d ON d.doc_id = e.vec_id
+CROSS JOIN generate_series(1, 64) AS g(i)
+GROUP BY d.lang, i
+ORDER BY d.lang, i
+"""
+
+
+LANG_DISPERSION_SQL = """
+SELECT d.lang, CAST(i AS BIGINT) AS dim, count(*) AS n,
+       round(var_pop(e.embedding[i]), 6) AS var_r6
 FROM embeddings e
 JOIN documents d ON d.doc_id = e.vec_id
 CROSS JOIN generate_series(1, 64) AS g(i)

@@ -121,6 +121,7 @@ SQL_CHECKED = [
     "q7_nation_trade",
     "q8_market_share",
     "lang_embedding_centroids",
+    "lang_embedding_dispersion",
 ]
 
 
