@@ -219,6 +219,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_embedding_centroids": ann.lang_embedding_centroids,
         # per-language embedding variance (drift/collapse diagnostic)
         "lang_embedding_dispersion": ann.lang_embedding_dispersion,
+        # OLAP ROLLUP: (type, day) -> (type) -> () from one finest reduce
+        "events_rollup": relational.events_rollup,
         # TPC-H Q7 analog: nation-pair trade flow, double broadcast + join
         "q7_nation_trade": relational.q7_nation_trade,
         # fuzzy search: Levenshtein<=1 SymSpell expansion -> BM25 OR
@@ -269,6 +271,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # parquet with atomic promote (rows-only manifest; composition
         # pytest proves it equals composing the gated pieces)
         "export_training_shards": curate.export_training_shards,
+        # PageRank over the author collaboration graph (rows-only:
+        # iterative; pytest re-derives edges + iteration bitwise)
+        "authors_pagerank": listops.authors_pagerank,
         # enrichment + multimodal stages (stubbed externals: rows-only)
         "enrich_documents": enrich.enrich_documents,
         "media_features": multimodal.media_features,
@@ -377,4 +382,5 @@ def oracle_sql() -> dict[str, str]:
         "q8_market_share": relational.Q8_SQL,
         "lang_embedding_centroids": ann.LANG_CENTROIDS_SQL,
         "lang_embedding_dispersion": ann.LANG_DISPERSION_SQL,
+        "events_rollup": relational.EVENTS_ROLLUP_SQL,
     }

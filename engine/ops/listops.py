@@ -15,6 +15,7 @@ CASE expression in the DuckDB oracle, so both ops are hash-checked end to end.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
@@ -137,3 +138,73 @@ FROM authored
 WHERE list_has_any(authors, {probe_sql})
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the author collaboration graph — the graph-analytics member
+# next to dup_clusters' connected components: distributed edge extraction,
+# then power iteration on the author-grain matrix (authors are vocab-like —
+# sublinear in corpus size — so the iteration is the documented-small
+# driver step, the same size class as the BPE merge table).
+_PR_DAMPING = 0.85
+_PR_ITERS = 30
+
+
+def authors_pagerank(sf_dir: str) -> pd.DataFrame:
+    """(author, rank_r9): weighted PageRank over the co-authorship graph
+    (authors linked once per co-authored doc, edge weight = number of
+    shared docs).  Scale shape: per-batch author-pair partials (each doc
+    emits <= 3 pairs, vectorized by list length) reduce through ONE
+    coarse pair-keyed shuffle to <= C(n_authors, 2) weighted edges; the
+    damping-0.85 power iteration then runs 30 rounds on the author-grain
+    matrix.  Deterministic; pytest re-derives the whole chain (edges +
+    iteration) independently from the author formula and checks bitwise
+    equality plus the rank-sum invariant."""
+    from ray.data.aggregate import Sum
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n_auth = (1 + ids % 3).astype(np.int64)
+        a = [(ids * 7 + i * 13) % NUM_AUTHORS for i in range(3)]
+        pairs = []
+        for i, j in ((0, 1), (0, 2), (1, 2)):
+            need = n_auth > max(i, j)
+            x, y = a[i][need], a[j][need]
+            lo, hi = np.minimum(x, y), np.maximum(x, y)
+            pairs.append(np.stack([lo, hi], axis=1))
+        p = np.concatenate(pairs)
+        key = p[:, 0] * NUM_AUTHORS + p[:, 1]
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "a1": pa.array(uniq // NUM_AUTHORS, pa.int64()),
+                "a2": pa.array(uniq % NUM_AUTHORS, pa.int64()),
+                "w": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    edges = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        .map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["a1", "a2"])
+        .aggregate(Sum("w", alias_name="w"))
+        .to_pandas()  # <= C(n_authors, 2) rows
+    )
+    n = NUM_AUTHORS
+    W = np.zeros((n, n))
+    if len(edges):
+        W[edges["a1"], edges["a2"]] = edges["w"]
+        W = W + W.T  # undirected
+    deg = W.sum(axis=1)
+    # column-stochastic transition; dangling authors redistribute uniformly
+    with np.errstate(divide="ignore", invalid="ignore"):
+        T = np.where(deg[None, :] > 0, W.T / deg[None, :], 1.0 / n)
+    r = np.full(n, 1.0 / n)
+    for _ in range(_PR_ITERS):
+        r = (1 - _PR_DAMPING) / n + _PR_DAMPING * (T @ r)
+    return pd.DataFrame(
+        {
+            "author": [f"author_{k}" for k in range(n)],
+            "rank_r9": np.round(r, 9),
+        }
+    )

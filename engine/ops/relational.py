@@ -3094,3 +3094,68 @@ SELECT yr,
              / sum(rev), 6) AS mkt_share_r6
 FROM flows GROUP BY yr ORDER BY yr
 """
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP aggregation — multi-level (type, day) -> (type) -> () totals from
+# ONE finest-grain reduce (the OLAP GROUPING SETS shape).
+
+
+def events_rollup(sf_dir: str):
+    """(event_type, dday, n, sum_value_r2) at three rollup levels — per
+    (type, day), per type, and the grand total — with 'ALL' as the
+    rolled-dimension sentinel (the oracle coalesces its ROLLUP NULLs to
+    the same).  Scale shape: ONE shuffle at the finest grain (per-batch
+    (type, day, n, v) partials, type-day-keyed reduce); the coarser
+    levels re-aggregate the RESULT-scale finest rows (types x days) on
+    the driver — counts and sums are summable, so no second pass over
+    the input is ever paid."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.strftime(t["ts"].cast(pa.date32()).cast(pa.timestamp("us")),
+                          format="%Y-%m-%d")
+        tt = pa.table(
+            {
+                "event_type": t["event_type"],
+                "dday": day,
+                "n": pa.array(np.ones(len(t), np.int64)),
+                "v": t["value"],
+            }
+        )
+        return (
+            tt.group_by(["event_type", "dday"])
+            .aggregate([("n", "sum"), ("v", "sum")])
+            .rename_columns(["event_type", "dday", "n", "v"])
+        )
+
+    finest = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "dday"])
+        .aggregate(Sum("n", alias_name="n"), Sum("v", alias_name="v"))
+        .to_pandas()  # types x days rows
+    )
+    by_type = finest.groupby("event_type", as_index=False).agg(
+        n=("n", "sum"), v=("v", "sum")
+    )
+    by_type["dday"] = "ALL"
+    total = pd.DataFrame(
+        {"event_type": ["ALL"], "dday": ["ALL"],
+         "n": [finest["n"].sum()], "v": [finest["v"].sum()]}
+    )
+    out = pd.concat([finest, by_type, total], ignore_index=True)
+    out["n"] = out["n"].astype(np.int64)
+    out["sum_value_r2"] = out["v"].round(2)
+    return out.sort_values(["event_type", "dday"]).reset_index(drop=True)[
+        ["event_type", "dday", "n", "sum_value_r2"]
+    ]
+
+
+EVENTS_ROLLUP_SQL = """
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(CAST(CAST(ts AS DATE) AS VARCHAR), 'ALL') AS dday,
+       count(*) AS n, round(sum(value), 2) AS sum_value_r2
+FROM events
+GROUP BY ROLLUP(event_type, CAST(ts AS DATE))
+ORDER BY 1, 2
+"""

@@ -122,6 +122,7 @@ SQL_CHECKED = [
     "q8_market_share",
     "lang_embedding_centroids",
     "lang_embedding_dispersion",
+    "events_rollup",
 ]
 
 
@@ -1142,3 +1143,35 @@ def test_ann_ops_empty_and_tiny_embeddings(tmp_path):
     # tiny: every search returns all 4 vectors per query (k clamps)
     knn = _to_pandas(ann.knn_topk(dirs["tiny"]))
     assert set(knn.groupby("query_id").size()) == {4}
+
+
+def test_authors_pagerank_exact_rederivation():
+    """Independent numpy re-derivation of the whole chain — edge weights
+    from the author formula, column-stochastic transition, 30 damped
+    iterations — must match bitwise; ranks sum to 1."""
+    import pyarrow.parquet as pq
+
+    from engine.ops import listops
+
+    got = listops.authors_pagerank(SF)
+    ids = pq.read_table(SF + "/documents.parquet", columns=["doc_id"])[
+        "doc_id"
+    ].to_numpy()
+    n = listops.NUM_AUTHORS
+    W = np.zeros((n, n))
+    for d in ids:
+        auths = [(int(d) * 7 + i * 13) % n for i in range(1 + int(d) % 3)]
+        for i in range(len(auths)):
+            for j in range(i + 1, len(auths)):
+                lo, hi = sorted((auths[i], auths[j]))
+                W[lo, hi] += 1
+    W = W + W.T
+    deg = W.sum(axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        T = np.where(deg[None, :] > 0, W.T / deg[None, :], 1.0 / n)
+    r = np.full(n, 1.0 / n)
+    for _ in range(listops._PR_ITERS):
+        r = (1 - listops._PR_DAMPING) / n + listops._PR_DAMPING * (T @ r)
+    assert np.array_equal(got["rank_r9"].to_numpy(), np.round(r, 9))
+    assert abs(got["rank_r9"].sum() - 1.0) < 1e-6
+    assert got["rank_r9"].min() > 0
