@@ -221,6 +221,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_embedding_dispersion": ann.lang_embedding_dispersion,
         # OLAP ROLLUP: (type, day) -> (type) -> () from one finest reduce
         "events_rollup": relational.events_rollup,
+        # correlation from mergeable sufficient statistics (6 floats/block)
+        "lineitem_price_qty_corr": relational.lineitem_price_qty_corr,
+        # global percent_rank with NO global sort (value-grain CDF bcast)
+        "docs_length_percentiles": textops.docs_length_percentiles,
         # TPC-H Q7 analog: nation-pair trade flow, double broadcast + join
         "q7_nation_trade": relational.q7_nation_trade,
         # fuzzy search: Levenshtein<=1 SymSpell expansion -> BM25 OR
@@ -383,4 +387,6 @@ def oracle_sql() -> dict[str, str]:
         "lang_embedding_centroids": ann.LANG_CENTROIDS_SQL,
         "lang_embedding_dispersion": ann.LANG_DISPERSION_SQL,
         "events_rollup": relational.EVENTS_ROLLUP_SQL,
+        "lineitem_price_qty_corr": relational.PRICE_QTY_CORR_SQL,
+        "docs_length_percentiles": textops.LENGTH_PERCENTILES_SQL,
     }

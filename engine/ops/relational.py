@@ -3159,3 +3159,58 @@ FROM events
 GROUP BY ROLLUP(event_type, CAST(ts AS DATE))
 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Correlation aggregate — covariance/correlation from mergeable sufficient
+# statistics (the distributed-statistics member next to the z-score op's
+# integer moments).
+
+
+def lineitem_price_qty_corr(sf_dir: str):
+    """(n, covar_r4, corr_r6) between l_extendedprice and l_quantity.
+    Scale shape: each batch collapses to SIX floats (n, sx, sy, sxy,
+    sxx, syy) — the classic mergeable sufficient statistics — so the
+    reduce moves one tiny row per block; covariance/correlation finish
+    on the driver from the merged six.  Magnitudes here lose ~3 of 16
+    digits to cancellation, orders below the round-4/round-6 gates."""
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        y = t["l_quantity"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n": pa.array([np.int64(len(x))]),
+                "sx": pa.array([float(x.sum())]),
+                "sy": pa.array([float(y.sum())]),
+                "sxy": pa.array([float((x * y).sum())]),
+                "sxx": pa.array([float((x * x).sum())]),
+                "syy": pa.array([float((y * y).sum())]),
+            }
+        )
+
+    a = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).sum(
+        ["n", "sx", "sy", "sxy", "sxx", "syy"]
+    )
+    n = a["sum(n)"]
+    mx, my = a["sum(sx)"] / n, a["sum(sy)"] / n
+    cov = a["sum(sxy)"] / n - mx * my
+    vx = a["sum(sxx)"] / n - mx * mx
+    vy = a["sum(syy)"] / n - my * my
+    corr = cov / np.sqrt(vx * vy)
+    return pd.DataFrame(
+        {
+            "n": np.array([n], np.int64),
+            "covar_r4": [round(cov, 4)],
+            "corr_r6": [round(corr, 6)],
+        }
+    )
+
+
+PRICE_QTY_CORR_SQL = """
+SELECT count(*) AS n,
+       round(covar_pop(l_extendedprice, l_quantity), 4) AS covar_r4,
+       round(corr(l_extendedprice, l_quantity), 6) AS corr_r6
+FROM lineitem
+"""

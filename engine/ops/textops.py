@@ -1886,3 +1886,69 @@ SELECT bin_lo, n_docs,
        round(n_docs * 1.0 / (SELECT sum(n_docs) FROM h), 6) AS share_r6
 FROM h ORDER BY bin_lo
 """
+
+
+# ---------------------------------------------------------------------------
+# Global percent_rank WITHOUT a global sort — the value-grain-CDF trick for
+# bounded-cardinality keys (document length percentile of every doc).
+
+
+def docs_length_percentiles(sf_dir: str):
+    """(doc_id, n_chars, pct_rank_r6): each document's exact global length
+    percentile (percent_rank = strictly-shorter count / (n-1)).  Scale
+    shape: a global window function computed with NO global sort — pass 1
+    reduces per-batch value-grain counts (n_chars cardinality is bounded
+    by the length gate, hundreds of values at any corpus size) into an
+    exact CDF; pass 2 broadcasts the (sorted values, below-counts, n)
+    arrays and labels every doc with one searchsorted — both passes
+    stream, nothing doc-scale touches the driver."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds1 = _read_docs(sf_dir, columns=["n_chars"])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        v, c = np.unique(
+            t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64),
+            return_counts=True,
+        )
+        return pa.table(
+            {"val": pa.array(v, pa.int64()), "c": pa.array(c, pa.int64())}
+        )
+
+    cdf = (
+        ds1.map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("val")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()  # value-grain: bounded distinct lengths
+        .sort_values("val")
+    )
+    vals = cdf["val"].to_numpy()
+    counts = cdf["c"].to_numpy()
+    below = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    n = int(counts.sum())
+    bcast = ray.put((vals, below, n))
+
+    def label(t: pa.Table) -> pa.Table:
+        v, b, total = ray.get(bcast)
+        x = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(v, x)  # every value occurs in pass 1
+        pr = b[pos] / max(total - 1, 1)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars": t["n_chars"],
+                "pct_rank_r6": pa.array(np.round(pr, 6), pa.float64()),
+            }
+        )
+
+    return _read_docs(sf_dir, columns=["doc_id", "n_chars"]).map_batches(
+        label, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+LENGTH_PERCENTILES_SQL = """
+SELECT doc_id, n_chars,
+       round(percent_rank() OVER (ORDER BY n_chars), 6) AS pct_rank_r6
+FROM documents
+"""

@@ -123,6 +123,8 @@ SQL_CHECKED = [
     "lang_embedding_centroids",
     "lang_embedding_dispersion",
     "events_rollup",
+    "lineitem_price_qty_corr",
+    "docs_length_percentiles",
 ]
 
 
