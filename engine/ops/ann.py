@@ -1235,6 +1235,16 @@ def _lang_embedding_moments(sf_dir: str) -> pd.DataFrame:
                    Sum("n", alias_name="n"))
         .to_pandas()  # langs x d rows
     )
+    if out.empty:  # 0-row corpus: Ray's empty groupby drops the schema
+        out = pd.DataFrame(
+            {
+                "lang": pd.Series([], dtype="object"),
+                "dim": pd.Series([], dtype="int64"),
+                "s": pd.Series([], dtype="float64"),
+                "s2": pd.Series([], dtype="float64"),
+                "n": pd.Series([], dtype="int64"),
+            }
+        )
     out["n"] = out["n"].astype(np.int64)
     return out
 

@@ -3135,6 +3135,15 @@ def events_rollup(sf_dir: str):
         .aggregate(Sum("n", alias_name="n"), Sum("v", alias_name="v"))
         .to_pandas()  # types x days rows
     )
+    if finest.empty:  # 0-row input: keep the schema so the levels compose
+        finest = pd.DataFrame(
+            {
+                "event_type": pd.Series([], dtype="object"),
+                "dday": pd.Series([], dtype="object"),
+                "n": pd.Series([], dtype="int64"),
+                "v": pd.Series([], dtype="float64"),
+            }
+        )
     by_type = finest.groupby("event_type", as_index=False).agg(
         n=("n", "sum"), v=("v", "sum")
     )

@@ -1871,6 +1871,14 @@ def docs_length_histogram(sf_dir: str):
         .aggregate(Sum("n_part", alias_name="n_docs"))
         .to_pandas()  # histogram-scale: max_len / _LEN_BIN rows
     )
+    if hist.empty:  # 0-row corpus: Ray's empty groupby drops the schema
+        return pd.DataFrame(
+            {
+                "bin_lo": pd.Series([], dtype="int64"),
+                "n_docs": pd.Series([], dtype="int64"),
+                "share_r6": pd.Series([], dtype="float64"),
+            }
+        )
     total = int(hist["n_docs"].sum())
     hist["share_r6"] = np.round(hist["n_docs"] / max(total, 1), 6)
     return hist.sort_values("bin_lo").reset_index(drop=True)
@@ -1921,8 +1929,11 @@ def docs_length_percentiles(sf_dir: str):
         .groupby("val")
         .aggregate(Sum("c", alias_name="c"))
         .to_pandas()  # value-grain: bounded distinct lengths
-        .sort_values("val")
     )
+    if cdf.empty:  # 0-row corpus: keep the schema, emit no rows
+        cdf = pd.DataFrame({"val": pd.Series([], dtype="int64"),
+                            "c": pd.Series([], dtype="int64")})
+    cdf = cdf.sort_values("val")
     vals = cdf["val"].to_numpy()
     counts = cdf["c"].to_numpy()
     below = np.concatenate(([0], np.cumsum(counts)[:-1]))
