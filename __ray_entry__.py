@@ -225,6 +225,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_price_qty_corr": relational.lineitem_price_qty_corr,
         # global percent_rank with NO global sort (value-grain CDF bcast)
         "docs_length_percentiles": textops.docs_length_percentiles,
+        # semi-structured extraction: vectorized regex over JSON props
+        "events_props_stats": relational.events_props_stats,
         # TPC-H Q7 analog: nation-pair trade flow, double broadcast + join
         "q7_nation_trade": relational.q7_nation_trade,
         # fuzzy search: Levenshtein<=1 SymSpell expansion -> BM25 OR
@@ -389,4 +391,5 @@ def oracle_sql() -> dict[str, str]:
         "events_rollup": relational.EVENTS_ROLLUP_SQL,
         "lineitem_price_qty_corr": relational.PRICE_QTY_CORR_SQL,
         "docs_length_percentiles": textops.LENGTH_PERCENTILES_SQL,
+        "events_props_stats": relational.EVENTS_PROPS_SQL,
     }

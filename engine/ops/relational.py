@@ -3223,3 +3223,63 @@ SELECT count(*) AS n,
        round(corr(l_extendedprice, l_quantity), 6) AS corr_r6
 FROM lineitem
 """
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured extraction — parse a field out of the JSON `props` column
+# with a VECTORIZED Arrow regex (no per-row json.loads) and aggregate it.
+
+
+def events_props_stats(sf_dir: str):
+    """(event_type, n, k_sum, k_mean_r6): per-type stats of the integer
+    `k` field parsed from the props JSON strings.  Scale shape: the parse
+    is one `pc.extract_regex` kernel per batch (C speed, no Python row
+    loop); each batch collapses to type-grain (n, k_sum) partials over
+    exact int64 sums, so the mean is bitwise reproducible regardless of
+    partial order."""
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["props"], pattern=r'"k":\s*(?P<k>\d+)')
+        k = pc.struct_field(m, "k").cast(pa.int64())
+        tt = pa.table(
+            {
+                "event_type": t["event_type"],
+                "n": pa.array(np.ones(len(t), np.int64)),
+                "k_sum": k,
+            }
+        )
+        return (
+            tt.group_by("event_type")
+            .aggregate([("n", "sum"), ("k_sum", "sum")])
+            .rename_columns(["event_type", "n", "k_sum"])
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n"), Sum("k_sum", alias_name="k_sum"))
+        .to_pandas()  # type-grain
+    )
+    if out.empty:
+        out = pd.DataFrame(
+            {"event_type": pd.Series([], dtype="object"),
+             "n": pd.Series([], dtype="int64"),
+             "k_sum": pd.Series([], dtype="int64")}
+        )
+    out["n"] = out["n"].astype(np.int64)
+    out["k_sum"] = out["k_sum"].astype(np.int64)
+    out["k_mean_r6"] = np.round(out["k_sum"] / out["n"], 6)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+EVENTS_PROPS_SQL = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT))
+            AS BIGINT) AS k_sum,
+       round(sum(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT))
+             * 1.0 / count(*), 6) AS k_mean_r6
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""

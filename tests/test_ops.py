@@ -125,6 +125,7 @@ SQL_CHECKED = [
     "events_rollup",
     "lineitem_price_qty_corr",
     "docs_length_percentiles",
+    "events_props_stats",
 ]
 
 
