@@ -227,6 +227,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_length_percentiles": textops.docs_length_percentiles,
         # semi-structured extraction: vectorized regex over JSON props
         "events_props_stats": relational.events_props_stats,
+        # CDC snapshot diff: added/changed/deleted/unchanged by content hash
+        "docs_snapshot_delta": dedup.docs_snapshot_delta,
         # TPC-H Q7 analog: nation-pair trade flow, double broadcast + join
         "q7_nation_trade": relational.q7_nation_trade,
         # fuzzy search: Levenshtein<=1 SymSpell expansion -> BM25 OR
@@ -392,4 +394,5 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_price_qty_corr": relational.PRICE_QTY_CORR_SQL,
         "docs_length_percentiles": textops.LENGTH_PERCENTILES_SQL,
         "events_props_stats": relational.EVENTS_PROPS_SQL,
+        "docs_snapshot_delta": dedup.SNAPSHOT_DELTA_SQL,
     }

@@ -1202,3 +1202,119 @@ SELECT t.doc_id,
          AS dup_frac_r6
 FROM tot t LEFT JOIN dup d USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# Snapshot delta — the CDC / recrawl-diff report between two corpus
+# snapshots (added / changed / deleted / unchanged), compared by content
+# hash so only 16-byte digests ride the shuffle, never the texts.
+
+
+def docs_snapshot_delta(sf_dir: str):
+    """(status, n) between snapshot A (the documents table) and a
+    deterministically derived snapshot B (doc_id%31 deleted, doc_id%17
+    edited, a doc_id%13 slice re-ingested under new ids) — the fixture
+    stands in for yesterday's vs today's crawl; the oracle derives the
+    SAME B in SQL, so the hash match proves the diff kernel.  Scale
+    shape: both snapshots stream once, md5 digests computed per batch
+    (the per-value digest exception, as exact_dedup), union-marker rows
+    ride ONE coarse doc-hash shuffle, each partition resolves its docs'
+    statuses with two searchsorted probes and emits <=4 (status, n)
+    partials."""
+    from ray.data.aggregate import Sum
+
+    from .relational import _keypart
+
+    def a_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        hs = [hashlib.md5(x.encode()).hexdigest() for x in t["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "h": pa.array(hs, pa.string()),
+                "src": pa.array(np.zeros(len(ids), np.int8)),
+                "part": pa.array(_keypart(ids)),
+            }
+        )
+
+    def b_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        out_ids, out_h = [], []
+        for i, d in enumerate(ids):
+            d = int(d)
+            if d % 31 != 0:  # survives; %17 rows carry an edit
+                txt = texts[i] + " v2" if d % 17 == 0 else texts[i]
+                out_ids.append(d)
+                out_h.append(hashlib.md5(txt.encode()).hexdigest())
+            if d % 13 == 0:  # re-ingested under a fresh id range
+                out_ids.append(d + 1_000_000)
+                out_h.append(hashlib.md5(texts[i].encode()).hexdigest())
+        arr = np.array(out_ids, np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(arr),
+                "h": pa.array(out_h, pa.string()),
+                "src": pa.array(np.ones(len(arr), np.int8)),
+                "part": pa.array(_keypart(arr)),
+            }
+        )
+
+    docs = _read_docs(sf_dir, columns=["doc_id", "text"])
+    both = docs.map_batches(
+        a_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        docs.map_batches(b_rows, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def delta_of_partition(g: pd.DataFrame) -> pd.DataFrame:
+        a = g[g["src"] == 0].sort_values("doc_id")
+        b = g[g["src"] == 1].sort_values("doc_id")
+        ai, bi = a["doc_id"].to_numpy(), b["doc_id"].to_numpy()
+        ah, bh = a["h"].to_numpy(), b["h"].to_numpy()
+        in_b = np.isin(ai, bi)
+        in_a = np.isin(bi, ai)
+        n_del = int((~in_b).sum())
+        n_add = int((~in_a).sum())
+        # rows present in both: compare hashes (ids are unique per side,
+        # so the sorted arrays align after the isin masks)
+        same_ids_a, same_ids_b = ah[in_b], bh[in_a]
+        n_chg = int((same_ids_a != same_ids_b).sum())
+        n_unc = int(len(same_ids_a) - n_chg)
+        out = pd.DataFrame(
+            {
+                "status": ["added", "changed", "deleted", "unchanged"],
+                "n_part": np.array([n_add, n_chg, n_del, n_unc], np.int64),
+            }
+        )
+        return out[out["n_part"] > 0]
+
+    out = (
+        both.groupby("part")
+        .map_groups(delta_of_partition, batch_format="pandas")
+        .groupby("status")
+        .aggregate(Sum("n_part", alias_name="n"))
+        .to_pandas()  # <= 4 rows
+    )
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values("status").reset_index(drop=True)
+
+
+SNAPSHOT_DELTA_SQL = """
+WITH b AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 17 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 31 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 13 = 0
+),
+j AS (
+  SELECT CASE WHEN a.doc_id IS NULL THEN 'added'
+              WHEN b.doc_id IS NULL THEN 'deleted'
+              WHEN md5(a.text) <> md5(b.text) THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM documents a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+)
+SELECT status, CAST(count(*) AS BIGINT) AS n FROM j
+GROUP BY status ORDER BY status
+"""

@@ -126,6 +126,7 @@ SQL_CHECKED = [
     "lineitem_price_qty_corr",
     "docs_length_percentiles",
     "events_props_stats",
+    "docs_snapshot_delta",
 ]
 
 
