@@ -229,6 +229,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_stats": relational.events_props_stats,
         # CDC snapshot diff: added/changed/deleted/unchanged by content hash
         "docs_snapshot_delta": dedup.docs_snapshot_delta,
+        # §2.10 extension surface through the SQL gate: BM25 under a
+        # custom stopword/min-length analyzer that travels with the index
+        "docs_stopword_topk": docsearch.bm25_docs_stopword,
         # TPC-H Q7 analog: nation-pair trade flow, double broadcast + join
         "q7_nation_trade": relational.q7_nation_trade,
         # fuzzy search: Levenshtein<=1 SymSpell expansion -> BM25 OR
@@ -395,4 +398,5 @@ def oracle_sql() -> dict[str, str]:
         "docs_length_percentiles": textops.LENGTH_PERCENTILES_SQL,
         "events_props_stats": relational.EVENTS_PROPS_SQL,
         "docs_snapshot_delta": dedup.SNAPSHOT_DELTA_SQL,
+        "docs_stopword_topk": docsearch.STOPWORD_DOCS_SQL,
     }

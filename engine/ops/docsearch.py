@@ -1008,3 +1008,68 @@ SELECT probe_doc, rank, doc_id, rrf_r6 FROM frank WHERE rank <= {K}
 
 
 HYBRID_RRF_SQL = _hybrid_rrf_sql()
+
+
+# ---------------------------------------------------------------------------
+# Analyzer-extension gate: the same BM25 top-k under a CUSTOM analyzer
+# (stopword list + min token length) — the §2.10 extension surface proved
+# through the SQL hash, not just pytest.
+STOP_WORDS = ("the", "a", "and", "of", "to", "in", "is", "for")
+STOP_MIN_LEN = 2
+
+
+def _stopword_index_for(sf_dir: str) -> IndexReader:
+    from ..analyze import AnalyzerConfig
+
+    key = os.path.abspath(sf_dir) + ":stop"
+    if key in _reader_cache:
+        return _reader_cache[key]
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = hashlib.blake2b(
+        f"{key}:{os.path.getsize(src)}:s1".encode(), digest_size=8
+    ).hexdigest()
+    index_dir = os.path.join(tempfile.gettempdir(), f"rayft_docstop_{tag}")
+    build_index(
+        src, index_dir, num_partitions=2, input_kind="documents",
+        tokenize_batch_size=256,
+        analyzer=AnalyzerConfig(
+            stopwords=frozenset(STOP_WORDS), min_len=STOP_MIN_LEN
+        ),
+    )
+    reader = IndexReader(index_dir)
+    _reader_cache[key] = reader
+    return reader
+
+
+def bm25_docs_stopword(sf_dir: str, k: int = K) -> pd.DataFrame:
+    """bm25_docs_topk under the stopword/min-length analyzer (the analyzer
+    travels WITH the index: build_index persists the config and the reader
+    tokenizes queries with it) — stopworded/short query terms contribute
+    nothing, doclens and df shrink, so every score differs from the
+    default-analyzer index; the oracle applies the same filter in its
+    token CTE."""
+    reader = _stopword_index_for(sf_dir)
+    rows = []
+    for qid, qtext in enumerate(DOC_QUERIES):
+        res = reader.search(qtext, k=2 * k)
+        res = [(int(np.int64(np.uint64(d))), round(s, 6)) for d, s in res]
+        res.sort(key=lambda t: (-t[1], t[0]))
+        for rank, (did, s) in enumerate(res[:k], 1):
+            rows.append((qid, rank, did, s))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r6"])
+
+
+def _stopword_docs_sql(k: int = K) -> str:
+    stop = ", ".join(f"'{w}'" for w in STOP_WORDS)
+    base = _bm25_docs_sql(k=k)
+    # inject the analyzer filter into the token CTE: same split, then the
+    # stoplist + min-length gates the engine's AnalyzerConfig applies
+    old = "x -> x <> ''"
+    assert old in base
+    return base.replace(
+        old,
+        f"x -> x <> '' AND length(x) >= {STOP_MIN_LEN} AND x NOT IN ({stop})",
+    )
+
+
+STOPWORD_DOCS_SQL = _stopword_docs_sql()

@@ -127,6 +127,7 @@ SQL_CHECKED = [
     "docs_length_percentiles",
     "events_props_stats",
     "docs_snapshot_delta",
+    "docs_stopword_topk",
 ]
 
 
