@@ -356,6 +356,9 @@ def run_bench() -> dict:
         ("q18_large_orders", relational.q18_large_orders),
         ("events_user_rolling_mean", relational.events_user_rolling_mean),
         ("docs_fuzzy_topk", docsearch.bm25_docs_fuzzy),
+        ("docs_snapshot_delta", dedup.docs_snapshot_delta),
+        ("events_props_stats", relational.events_props_stats),
+        ("lang_embedding_centroids", ann.lang_embedding_centroids),
     ]:
         best = None
         for _ in range(2):  # best-of-2: single shots swing with neighbor load
