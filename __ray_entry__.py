@@ -232,6 +232,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # §2.10 extension surface through the SQL gate: BM25 under a
         # custom stopword/min-length analyzer that travels with the index
         "docs_stopword_topk": docsearch.bm25_docs_stopword,
+        # exact-k deterministic uniform sample (distributed reservoir)
+        "docs_reservoir_sample": curate.docs_reservoir_sample,
         # TPC-H Q7 analog: nation-pair trade flow, double broadcast + join
         "q7_nation_trade": relational.q7_nation_trade,
         # fuzzy search: Levenshtein<=1 SymSpell expansion -> BM25 OR
@@ -399,4 +401,5 @@ def oracle_sql() -> dict[str, str]:
         "events_props_stats": relational.EVENTS_PROPS_SQL,
         "docs_snapshot_delta": dedup.SNAPSHOT_DELTA_SQL,
         "docs_stopword_topk": docsearch.STOPWORD_DOCS_SQL,
+        "docs_reservoir_sample": curate.RESERVOIR_SAMPLE_SQL,
     }

@@ -990,3 +990,54 @@ def export_training_shards(sf_dir: str, out_dir: str | None = None,
             "n_shards": pd.array([len(manifest)], dtype="int64"),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-k uniform sample — the fixed-budget companion to the rate-based
+# docs_stratified_sample: EXACTLY k docs, chosen by deterministic md5 rank
+# (a seeded hash is a uniform permutation), so any two runs and any
+# partitioning agree on the sample.
+_RESERVOIR_K = 64
+_RESERVOIR_SEED = "resv1"
+
+
+def docs_reservoir_sample(sf_dir: str, k: int = _RESERVOIR_K):
+    """(doc_id, source, rk): the k docs with the smallest
+    md5(doc_id:seed) rank — a deterministic exact-size uniform sample
+    (the distributed reservoir).  Scale shape: each batch keeps only its
+    local k smallest ranks (partial top-k combiner), so the driver
+    merges <= n_blocks x k rows regardless of corpus size; md5 runs on
+    the short id string, not the text."""
+    import hashlib as _hl
+
+    ds = _read_docs(sf_dir, columns=["doc_id", "source"])
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        rk = [
+            _hl.md5(f"{int(d)}:{_RESERVOIR_SEED}".encode()).hexdigest()
+            for d in ids
+        ]
+        tt = t.append_column("rk", pa.array(rk, pa.string()))
+        idx = pc.select_k_unstable(
+            tt, k=min(k, len(rk)),
+            sort_keys=[("rk", "ascending"), ("doc_id", "ascending")],
+        )
+        return tt.take(idx)
+
+    out = (
+        ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()  # <= n_blocks * k rows
+        .sort_values(["rk", "doc_id"])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return out[["doc_id", "source", "rk"]]
+
+
+RESERVOIR_SAMPLE_SQL = f"""
+SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR) || ':{_RESERVOIR_SEED}') AS rk
+FROM documents
+ORDER BY rk, doc_id
+LIMIT {_RESERVOIR_K}
+"""

@@ -128,6 +128,7 @@ SQL_CHECKED = [
     "events_props_stats",
     "docs_snapshot_delta",
     "docs_stopword_topk",
+    "docs_reservoir_sample",
 ]
 
 
