@@ -234,6 +234,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_stopword_topk": docsearch.bm25_docs_stopword,
         # exact-k deterministic uniform sample (distributed reservoir)
         "docs_reservoir_sample": curate.docs_reservoir_sample,
+        # total-hits counts per query ("About N results")
+        "docs_match_counts": docsearch.docs_match_counts,
         # TPC-H Q7 analog: nation-pair trade flow, double broadcast + join
         "q7_nation_trade": relational.q7_nation_trade,
         # fuzzy search: Levenshtein<=1 SymSpell expansion -> BM25 OR
@@ -402,4 +404,5 @@ def oracle_sql() -> dict[str, str]:
         "docs_snapshot_delta": dedup.SNAPSHOT_DELTA_SQL,
         "docs_stopword_topk": docsearch.STOPWORD_DOCS_SQL,
         "docs_reservoir_sample": curate.RESERVOIR_SAMPLE_SQL,
+        "docs_match_counts": docsearch.MATCH_COUNTS_SQL,
     }

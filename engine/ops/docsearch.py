@@ -1073,3 +1073,46 @@ def _stopword_docs_sql(k: int = K) -> str:
 
 
 STOPWORD_DOCS_SQL = _stopword_docs_sql()
+
+
+# ---------------------------------------------------------------------------
+# Total-hits counts — the "About N results" number a search UI shows.
+
+
+def docs_match_counts(sf_dir: str) -> pd.DataFrame:
+    """(query_id, n_matches): |union of the query terms' postings| per
+    fixed query — same cached postings decode the scorer pays, no
+    scoring pass; the oracle counts DISTINCT matching docs over the
+    token CTE."""
+    reader = _index_for(sf_dir)
+    return pd.DataFrame(
+        {
+            "query_id": np.arange(len(DOC_QUERIES), dtype=np.int64),
+            "n_matches": np.array(
+                [reader.match_count(q) for q in DOC_QUERIES], np.int64
+            ),
+        }
+    )
+
+
+def _match_counts_sql() -> str:
+    vals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, q in enumerate(DOC_QUERIES)
+        for t in q.split()
+    )
+    return f"""
+WITH queries(query_id, term) AS (VALUES {vals}),
+tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS tk
+  FROM documents
+)
+SELECT q.query_id, CAST(count(DISTINCT t.doc_id) AS BIGINT) AS n_matches
+FROM queries q JOIN tok t ON t.tk = q.term
+GROUP BY q.query_id ORDER BY q.query_id
+"""
+
+
+MATCH_COUNTS_SQL = _match_counts_sql()

@@ -496,6 +496,18 @@ class IndexReader:
         cands.update(didx.get(term, ()))
         return sorted(c for c in cands if self._lev_le1(term, c) is not None)
 
+    def match_count(self, query_text: str) -> int:
+        """Total-hits count: |union of the query terms' postings| — the
+        result-count a search UI shows next to page 1.  Costs the same
+        postings decode the scorer pays (cached chunks), no scoring."""
+        ids: list[np.ndarray] = []
+        for term in set(tokenize(query_text, self.analyzer)):
+            for chunk in self._load_chunks(term):
+                ids.append(chunk[0])
+        if not ids:
+            return 0
+        return int(np.unique(np.concatenate(ids)).size)
+
     def _bucket_rows(self, bucket: int) -> dict[str, list[int]]:
         """term -> row indices of the (cached) bucket segment table.
 

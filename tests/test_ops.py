@@ -129,6 +129,7 @@ SQL_CHECKED = [
     "docs_snapshot_delta",
     "docs_stopword_topk",
     "docs_reservoir_sample",
+    "docs_match_counts",
 ]
 
 
