@@ -26,7 +26,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """Ordered so the driver's 50-entry correctness window is ENTIRELY
-    SQL-hash-gated: 101 operators carry an oracle_sql() twin, so 51 of them
+    SQL-hash-gated: 103 operators carry an oracle_sql() twin, so 53 of them
     live in the overflow this round (docs_merged_topk is new in round 5
     and takes the window slot of events_keyset_page8, driver-green
     r02-r04).  Round 5 rotates the round-4
