@@ -242,6 +242,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fuzzy_topk": docsearch.bm25_docs_fuzzy,
         # deep paging: (score, doc_id) search-after cursor, 3 pages
         "docs_search_after": docsearch.docs_search_after,
+        # unbounded-preceding running total per user (BIGINT-cents exact)
+        "events_user_cumsum": relational.events_user_cumsum,
+        # daily revenue + exact global running total (day-grain prefix sum)
+        "orders_cumulative_revenue": relational.orders_cumulative_revenue,
+        # ordered list aggregation: string_agg(... ORDER BY) per region
+        "region_nation_csv": relational.region_nation_csv,
+        # grouped top-N: per-language vocabulary heads by df
+        "lang_top_terms": textops.lang_top_terms,
+        # add-one conditional bigram-LM surprisal (KenLM-style gate)
+        "docs_bigram_surprisal": textops.docs_bigram_surprisal,
         # ---- rows-only / sketch entries (no SQL oracle by nature) ----
         "events_value_quantiles_sketch": relational.events_value_quantiles_sketch,
         # DDSketch-style log-histogram quantiles (provable relative error)
@@ -405,4 +415,9 @@ def oracle_sql() -> dict[str, str]:
         "docs_stopword_topk": docsearch.STOPWORD_DOCS_SQL,
         "docs_reservoir_sample": curate.RESERVOIR_SAMPLE_SQL,
         "docs_match_counts": docsearch.MATCH_COUNTS_SQL,
+        "events_user_cumsum": relational.EVENTS_USER_CUMSUM_SQL,
+        "orders_cumulative_revenue": relational.ORDERS_CUM_REVENUE_SQL,
+        "region_nation_csv": relational.REGION_NATION_CSV_SQL,
+        "lang_top_terms": textops.LANG_TOP_TERMS_SQL,
+        "docs_bigram_surprisal": textops.BIGRAM_SURPRISAL_SQL,
     }

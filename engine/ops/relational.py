@@ -3283,3 +3283,193 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Unbounded-preceding running total per key — the cumulative-window member
+# next to events_user_rolling_mean's bounded frame.  Integer cents make the
+# running sum order-free (exact), unlike a float window sum.
+
+
+def events_user_cumsum(sf_dir: str):
+    """(user_id, event_id, cum_cents): running total of value (in integer
+    cents, BIGINT-exact) per user in (ts, event_id) order — the classic
+    SUM ... OVER (PARTITION BY user ORDER BY ts ROWS UNBOUNDED PRECEDING)
+    balance/ledger window.  Scale shape: one coarse user-hash shuffle
+    (same key as the rolling-mean op); the partition kernel sorts once and
+    runs ONE vectorized cumsum over ALL its users (global cumsum minus a
+    per-group offset gathered at group starts — no per-user loop).  Cents
+    are exact integers, so distributed order never perturbs the result.
+    Reference analog: the per-model cumulative usage counters its RDS
+    schema tracks (rds_schema.sql usage tables)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "part", pa.array(_keypart(t["user_id"].to_numpy(zero_copy_only=False)))
+        )
+
+    def cum_of_partition(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "event_id": pd.Series([], dtype="int64"),
+                    "cum_cents": pd.Series([], dtype="int64"),
+                }
+            )
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        u = g["user_id"].to_numpy()
+        cents = np.rint(g["value"].to_numpy() * 100.0).astype(np.int64)
+        run = np.cumsum(cents)
+        new = np.r_[True, u[1:] != u[:-1]]
+        starts = np.flatnonzero(new)
+        # offset[i] = running total just before row i's group started
+        before = np.r_[0, run[:-1]][starts]
+        offset = np.repeat(before, np.diff(np.r_[starts, len(g)]))
+        return pd.DataFrame(
+            {
+                "user_id": u,
+                "event_id": g["event_id"].to_numpy(),
+                "cum_cents": run - offset,
+            }
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(cum_of_partition, batch_format="pandas")
+    )
+
+
+EVENTS_USER_CUMSUM_SQL = """
+SELECT user_id, event_id,
+       CAST(sum(CAST(round(value * 100) AS BIGINT))
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# Global ordered running total at a coarse grain — daily revenue plus its
+# cumulative series (the report every revenue dashboard draws).
+
+
+def orders_cumulative_revenue(sf_dir: str):
+    """(oday, day_cents, cum_cents): total order value per calendar day in
+    integer cents plus the exact running total over days.  Scale shape:
+    per-batch (day, cents) partials collapse each block to day-grain
+    before ONE day-keyed reduce; the running total is computed over the
+    RESULT-scale day series (years x 365 rows) on the driver — a global
+    ordered cumsum never touches row-grain data.  Cents are BIGINT so the
+    prefix sum is exact regardless of reduce order."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.strftime(
+            t["o_orderdate"].cast(pa.date32()).cast(pa.timestamp("us")),
+            format="%Y-%m-%d",
+        )
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], pa.scalar(100.0))),
+                        pa.int64())
+        tt = pa.table({"oday": day, "cents": cents})
+        return (
+            tt.group_by("oday").aggregate([("cents", "sum")])
+            .rename_columns(["oday", "cents"])
+        )
+
+    days = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("oday")
+        .aggregate(Sum("cents", alias_name="day_cents"))
+        .to_pandas()  # day-grain
+    )
+    if days.empty:
+        days = pd.DataFrame(
+            {"oday": pd.Series([], dtype="object"),
+             "day_cents": pd.Series([], dtype="int64")}
+        )
+    days = days.sort_values("oday").reset_index(drop=True)
+    days["day_cents"] = days["day_cents"].astype(np.int64)
+    days["cum_cents"] = days["day_cents"].cumsum().astype(np.int64)
+    return days[["oday", "day_cents", "cum_cents"]]
+
+
+ORDERS_CUM_REVENUE_SQL = """
+WITH d AS (
+  SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS oday,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS day_cents
+  FROM orders GROUP BY 1
+)
+SELECT oday, day_cents,
+       CAST(sum(day_cents) OVER (ORDER BY oday ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cum_cents
+FROM d ORDER BY oday
+"""
+
+
+# ---------------------------------------------------------------------------
+# Ordered list aggregation — string_agg with an explicit ORDER BY inside the
+# aggregate (the one list-shaped aggregate the suite didn't cover).
+
+
+def region_nation_csv(sf_dir: str):
+    """(r_name, n_nations, nations_csv): per region, the count and the
+    comma-joined alphabetical list of its nation names — ordered list
+    aggregation (SQL string_agg ... ORDER BY).  Scale shape: the grouped
+    side collapses per batch to (regionkey, sorted partial list); the
+    reduce merges sorted lists per region key; region names attach from a
+    broadcast dict (region is tiny).  List aggregates only make sense when
+    the per-group list is result-scale — documented assumption, same as
+    docs_lang_sets."""
+    nations = _read(sf_dir, "nation", columns=["n_nationkey", "n_name", "n_regionkey"])
+    rnames = {
+        int(k): v
+        for k, v in zip(
+            *(
+                _pa(sf_dir, "region", columns=["r_regionkey", "r_name"])
+                .to_pydict()
+                .values()
+            )
+        )
+    }
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "rk": t["n_regionkey"].to_numpy(zero_copy_only=False),
+                "name": t["n_name"].to_pandas(),
+            }
+        )
+        return df.groupby("rk", as_index=False).agg(
+            names=("name", lambda s: sorted(s))
+        )
+
+    def merge_of_group(g: pd.DataFrame) -> pd.DataFrame:
+        allnames = sorted(n for lst in g["names"] for n in lst)
+        rk = int(g["rk"].iloc[0])
+        return pd.DataFrame(
+            {
+                "r_name": [rnames[rk]],
+                "n_nations": np.array([len(allnames)], np.int64),
+                "nations_csv": [",".join(allnames)],
+            }
+        )
+
+    out = (
+        nations.map_batches(partial, batch_format="pyarrow")
+        .groupby("rk")
+        .map_groups(merge_of_group, batch_format="pandas")
+        .to_pandas()  # region-grain
+    )
+    return out.sort_values("r_name").reset_index(drop=True)
+
+
+REGION_NATION_CSV_SQL = """
+SELECT r_name, CAST(count(*) AS BIGINT) AS n_nations,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations_csv
+FROM nation JOIN region ON r_regionkey = n_regionkey
+GROUP BY r_name ORDER BY r_name
+"""

@@ -1963,3 +1963,428 @@ SELECT doc_id, n_chars,
        round(percent_rank() OVER (ORDER BY n_chars), 6) AS pct_rank_r6
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# Grouped top-N terms — per-language vocabulary heads (the per-corpus-slice
+# twin of the global top_terms pass; what a multilingual curation run reads
+# to eyeball each language slice's vocabulary).
+
+_LANG_TOP_N = 10
+
+
+def lang_top_terms(sf_dir: str, n_out: int = _LANG_TOP_N):
+    """(lang, rank, term, df, tf_total): exact per-language top-N terms by
+    document frequency (tie: term ASC) — grouped top-N over a
+    vocab-cardinality reduce.  Scale shape: same as top_terms with lang
+    riding along — map-side partial (lang, term) df/tf per batch -> ONE
+    coarse term-hash shuffle (a term's rows, hence every (lang, term)
+    group, land in one partition) -> one vectorized per-partition
+    groupby + LOCAL per-lang top-N -> driver merge of only
+    P * n_langs * N rows (independent of corpus and vocab size).
+    Reference analog: the per-subject vocabulary statistics its search
+    config derives from the theorem corpus."""
+
+    def partials(t: pa.Table) -> pa.Table:
+        doc_idx, terms, tfs, _ = tokenize_counts_arrow(t["text"])
+        langs = t["lang"].take(pa.array(doc_idx))
+        tt = pa.table(
+            {"lang": langs, "term": terms,
+             "tf": pa.array(tfs.astype(np.int64))}
+        )
+        g = tt.group_by(["lang", "term"]).aggregate([("tf", "sum"), ("tf", "count")])
+        return pa.table(
+            {
+                "lang": g["lang"],
+                "term": g["term"],
+                "df_part": g["tf_count"].cast(pa.int64()),
+                "tf_part": g["tf_sum"],
+                "part": _term_parts(g["term"]),
+            }
+        )
+
+    def top_of_partition(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["lang", "term"], sort=False, as_index=False).agg(
+            df=("df_part", "sum"), tf_total=("tf_part", "sum")
+        )
+        agg = agg.sort_values(
+            ["lang", "df", "term"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return agg.groupby("lang", sort=False).head(n_out)[
+            ["lang", "term", "df", "tf_total"]
+        ]
+
+    parts = (
+        _read_docs(sf_dir, columns=["doc_id", "lang", "text"])
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(top_of_partition, batch_format="pandas")
+    )
+    out = parts.to_pandas()  # <= _N_TERM_PARTS * n_langs * n_out rows
+    out = out.sort_values(
+        ["lang", "df", "term"], ascending=[True, False, True], kind="mergesort"
+    )
+    out = out.groupby("lang", sort=False).head(n_out).reset_index(drop=True)
+    out.insert(
+        1,
+        "rank",
+        out.groupby("lang", sort=False).cumcount().to_numpy(np.int64) + 1,
+    )
+    out["df"] = out["df"].astype(np.int64)
+    out["tf_total"] = out["tf_total"].astype(np.int64)
+    return out
+
+
+LANG_TOP_TERMS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS tk
+  FROM documents
+),
+tf AS (SELECT lang, doc_id, tk, count(*) AS tf FROM tok GROUP BY lang, doc_id, tk),
+agg AS (
+  SELECT lang, tk AS term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS tf_total
+  FROM tf GROUP BY lang, tk
+),
+ranked AS (
+  SELECT lang,
+         row_number() OVER (PARTITION BY lang ORDER BY df DESC, term) AS rank,
+         term, df, tf_total
+  FROM agg
+)
+SELECT lang, rank, term, df, tf_total FROM ranked WHERE rank <= {_LANG_TOP_N}
+ORDER BY lang, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM surprisal — the order-2 member next to docs_unigram_surprisal:
+# score each document under an add-one-smoothed conditional bigram model
+# trained on the corpus itself (the KenLM-style perplexity gate of CCNet /
+# Gopher, one order up from the unigram screen).
+
+_BIGRAM_BCAST_BUDGET_ROWS = 20_000_000
+
+
+def docs_bigram_surprisal(
+    sf_dir: str,
+    model_broadcast_budget_rows: int = _BIGRAM_BCAST_BUDGET_ROWS,
+):
+    """Per-doc mean bigram surprisal: mean over adjacent token pairs (a, b)
+    of -ln((c_ab + 1) / (c_a + V)) — conditional P(b|a) with add-one
+    smoothing, V = distinct-unigram count.  Boilerplate text scores low,
+    rare-sequence soup scores high; the order-2 signal catches shuffled /
+    concatenated junk the unigram screen cannot.
+
+    Adaptive like docs_unigram_surprisal: pass (1) reduces the model
+    (unigram + bigram counts) on coarse gram-hash partitions; under the
+    row budget it broadcasts once via ray.put and pass (2) is one
+    streaming corpus pass scoring each batch's DISTINCT bigrams then
+    scattering per-occurrence sums with one np.add.at.  Above budget,
+    per-doc bigram rows and both model tables ride the SAME coarse
+    hash(first-token) partitions (union, one shuffle — a bigram's c_ab
+    AND its c_a land in its partition by construction); per-doc partial
+    sums re-key on a coarse doc-hash shuffle and finish with an exact
+    weighted mean.  Both paths round-6-identical (tests/test_ops.py)."""
+    import ray
+
+    # kind: 0 = unigram count (gram = a), 1 = bigram count (gram = "a b")
+    def model_partials(t: pa.Table) -> pa.Table:
+        flat, parents = token_array_stream(t["text"])
+        parts = []
+        if len(flat):
+            ut = pa.table(
+                {"gram": flat, "one": pa.array(np.ones(len(flat), np.int64))}
+            )
+            ug = ut.group_by("gram").aggregate([("one", "sum")])
+            parts.append(
+                pa.table(
+                    {
+                        "part": _term_parts(ug["gram"]),
+                        "kind": pa.array(np.zeros(len(ug), np.int64)),
+                        "gram": ug["gram"].cast(pa.string()),
+                        "c": ug["one_sum"].cast(pa.int64()),
+                    }
+                )
+            )
+        codes, _, vocab = ngram_from_stream(flat, parents, 2)
+        if len(codes):
+            cnt = np.bincount(codes, minlength=len(vocab)).astype(np.int64)
+            parts.append(
+                pa.table(
+                    {
+                        "part": _term_parts(vocab),
+                        "kind": pa.array(np.ones(len(vocab), np.int64)),
+                        "gram": vocab.cast(pa.string()),
+                        "c": pa.array(cnt, pa.int64()),
+                    }
+                )
+            )
+        if not parts:
+            return pa.table(
+                {
+                    "part": pa.array([], pa.int64()),
+                    "kind": pa.array([], pa.int64()),
+                    "gram": pa.array([], pa.string()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        return pa.concat_tables(parts)
+
+    def model_of_partition(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["kind", "gram"], sort=False, as_index=False).agg(
+            c=("c", "sum")
+        )
+
+    docs = _read_docs(sf_dir, columns=["doc_id", "text"])
+    model = (
+        docs.map_batches(
+            model_partials, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("part")
+        .map_groups(model_of_partition, batch_format="pandas")
+        .materialize()  # vocab-scale by construction; executed exactly once
+    )
+    n_vocab = float(
+        model.map_batches(
+            lambda t: pa.table(
+                {"v": pa.array([int(pc.sum(
+                    pc.cast(pc.equal(t["kind"], 0), pa.int64())
+                ).as_py() or 0)], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ).sum("v")
+        or 0
+    )
+    if model.count() > model_broadcast_budget_rows:
+        return _bigram_surprisal_distributed(docs, model, n_vocab)
+
+    mtables = [
+        t for t in (ray.get(r) for r in model.to_arrow_refs()) if t.num_columns
+    ]
+    if not mtables:
+        mtables = [
+            pa.table(
+                {"kind": pa.array([], pa.int64()),
+                 "gram": pa.array([], pa.string()),
+                 "c": pa.array([], pa.int64())}
+            )
+        ]
+    mt = pa.concat_tables([t.select(["kind", "gram", "c"]) for t in mtables])
+    uni = mt.filter(pc.equal(mt["kind"], 0))
+    bi = mt.filter(pc.equal(mt["kind"], 1))
+    bcast = ray.put(
+        (
+            uni["gram"].combine_chunks(),
+            uni["c"].to_numpy(zero_copy_only=False).astype(np.float64),
+            bi["gram"].combine_chunks(),
+            bi["c"].to_numpy(zero_copy_only=False).astype(np.float64),
+        )
+    )
+
+    def score_batch(t: pa.Table) -> pa.Table:
+        uv, uc_, bv, bc_ = ray.get(bcast)
+        flat, parents = token_array_stream(t["text"])
+        codes, gparents, vocab = ngram_from_stream(flat, parents, 2)
+        m_doc = np.bincount(gparents, minlength=len(t)).astype(np.float64)
+        tot = np.zeros(len(t), np.float64)
+        if len(codes):
+            pos_b = pc.index_in(vocab, value_set=bv).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            halves = pc.split_pattern(vocab, pattern=" ", max_splits=1)
+            pos_a = pc.index_in(
+                pc.list_element(halves, 0), value_set=uv
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+            # model trained on this corpus: every batch gram is present
+            s_g = np.log((uc_[pos_a] + n_vocab) / (bc_[pos_b] + 1.0))
+            np.add.at(tot, gparents, s_g[codes])
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_bigrams": pa.array(m_doc.astype(np.int64), pa.int64()),
+                "surprisal2_r6": pa.array(
+                    np.round(tot / np.maximum(m_doc, 1.0), 6), pa.float64()
+                ),
+            }
+        )
+
+    return docs.map_batches(
+        score_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _bigram_surprisal_distributed(docs, model, n_vocab: float):
+    """Above-budget bigram surprisal: docs_unigram_surprisal's union-shuffle
+    shape with a two-table model.  All three row kinds key on hash(first
+    token) so one partition holds a bigram's tf rows, its c_ab row AND its
+    c_a row; per-doc partials re-key on a coarse doc-hash shuffle with
+    zero-bigram marker rows keeping every doc present."""
+
+    def first_token(grams: pa.Array) -> pa.Array:
+        return pc.list_element(
+            pc.split_pattern(grams, pattern=" ", max_splits=1), 0
+        )
+
+    # kind: 0 = c_a model row, 1 = c_ab model row, 2 = per-doc tf row
+    def tf_rows(t: pa.Table) -> pa.Table:
+        flat, parents = token_array_stream(t["text"])
+        codes, gparents, vocab = ngram_from_stream(flat, parents, 2)
+        if not len(codes):
+            return pa.table(
+                {
+                    "part": pa.array([], pa.int64()),
+                    "kind": pa.array([], pa.int64()),
+                    "gram": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "val": pa.array([], pa.int64()),
+                }
+            )
+        nv = len(vocab)
+        combo = gparents * nv + codes
+        uniq, cnt = np.unique(combo, return_counts=True)
+        di, ci = uniq // nv, uniq % nv
+        grams = vocab.take(pa.array(ci))
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "part": _term_parts(first_token(grams)),
+                "kind": pa.array(np.full(len(uniq), 2, np.int64)),
+                "gram": grams.cast(pa.string()),
+                "doc_id": pa.array(ids[di].astype(np.int64), pa.int64()),
+                "val": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def model_rows(t: pa.Table) -> pa.Table:
+        kind = t["kind"].to_numpy(zero_copy_only=False)
+        grams = t["gram"].combine_chunks() if isinstance(
+            t["gram"], pa.ChunkedArray
+        ) else t["gram"]
+        keys = pa.concat_arrays(
+            [
+                first_token(grams.filter(pa.array(kind == 1))),
+                grams.filter(pa.array(kind == 0)),
+            ]
+        ) if len(t) else pa.array([], pa.string())
+        # re-key bigram rows by their FIRST token; unigram rows by themselves
+        order = np.r_[np.flatnonzero(kind == 1), np.flatnonzero(kind == 0)]
+        tt = t.take(pa.array(order))
+        return pa.table(
+            {
+                "part": _term_parts(keys),
+                "kind": tt["kind"].cast(pa.int64()),
+                "gram": tt["gram"].cast(pa.string()),
+                "doc_id": pa.array(np.full(len(tt), -1, np.int64), pa.int64()),
+                "val": tt["c"].cast(pa.int64()),
+            }
+        )
+
+    union = docs.map_batches(
+        tf_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).union(model.map_batches(model_rows, batch_format="pyarrow"))
+
+    def merge_of_partition(g: pd.DataFrame) -> pd.DataFrame:
+        ca = g[g["kind"] == 0][["gram", "val"]].rename(
+            columns={"gram": "a", "val": "c_a"}
+        )
+        cab = g[g["kind"] == 1][["gram", "val"]].rename(columns={"val": "c_ab"})
+        tfm = g[g["kind"] == 2]
+        m = tfm.merge(cab, on="gram", how="inner")
+        m = m.assign(a=m["gram"].str.split(" ", n=1).str[0]).merge(
+            ca, on="a", how="inner"
+        )
+        cnt = m["val"].to_numpy(np.float64)
+        s = cnt * np.log(
+            (m["c_a"].to_numpy(np.float64) + n_vocab)
+            / (m["c_ab"].to_numpy(np.float64) + 1.0)
+        )
+        out = pd.DataFrame(
+            {
+                "doc_id": m["doc_id"].to_numpy(np.int64),
+                "s_part": s,
+                "m_part": cnt,
+            }
+        ).groupby("doc_id", sort=False, as_index=False).agg(
+            s_part=("s_part", "sum"), m_part=("m_part", "sum")
+        )
+        out.insert(0, "docpart", _doc_parts(out["doc_id"].to_numpy(np.int64)))
+        return out
+
+    def marker_rows(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "docpart": _doc_parts(ids),
+                "doc_id": ids,
+                "s_part": np.zeros(len(ids)),
+                "m_part": np.zeros(len(ids)),
+            }
+        )
+
+    partials = (
+        union.groupby("part")
+        .map_groups(merge_of_partition, batch_format="pandas")
+        .union(
+            docs.select_columns(["doc_id"]).map_batches(
+                marker_rows, batch_format="pandas"
+            )
+        )
+    )
+
+    def mean_of_partition(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("doc_id", sort=False, as_index=False).agg(
+            s=("s_part", "sum"), m=("m_part", "sum")
+        )
+        m = out["m"].to_numpy(np.float64)
+        return pd.DataFrame(
+            {
+                "doc_id": out["doc_id"],
+                "n_bigrams": m.astype(np.int64),
+                "surprisal2_r6": np.round(
+                    out["s"].to_numpy(np.float64) / np.maximum(m, 1.0), 6
+                ),
+            }
+        )
+
+    return partials.groupby("docpart").map_groups(
+        mean_of_partition, batch_format="pandas"
+    )
+
+
+BIGRAM_SURPRISAL_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+uc AS (
+  SELECT tk, count(*) AS c
+  FROM (SELECT unnest(toks) AS tk FROM tok) GROUP BY tk
+),
+v AS (SELECT count(*) AS v FROM uc),
+bgi AS (
+  SELECT doc_id, toks[i] AS a, toks[i + 1] AS b
+  FROM (SELECT doc_id,
+               unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS i,
+               toks
+        FROM tok)
+),
+bc AS (SELECT a, b, count(*) AS c_ab FROM bgi GROUP BY a, b),
+per_doc AS (
+  SELECT bgi.doc_id, count(*) AS m,
+         sum(ln((uc.c + v.v * 1.0) / (bc.c_ab + 1.0))) AS tot
+  FROM bgi
+  JOIN bc ON bc.a = bgi.a AND bc.b = bgi.b
+  JOIN uc ON uc.tk = bgi.a
+  CROSS JOIN v
+  GROUP BY bgi.doc_id
+)
+SELECT t.doc_id, CAST(coalesce(p.m, 0) AS BIGINT) AS n_bigrams,
+       round(coalesce(p.tot, 0) / greatest(coalesce(p.m, 0), 1), 6)
+         AS surprisal2_r6
+FROM tok t LEFT JOIN per_doc p USING (doc_id)
+"""

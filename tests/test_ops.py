@@ -130,6 +130,11 @@ SQL_CHECKED = [
     "docs_stopword_topk",
     "docs_reservoir_sample",
     "docs_match_counts",
+    "events_user_cumsum",
+    "orders_cumulative_revenue",
+    "region_nation_csv",
+    "lang_top_terms",
+    "docs_bigram_surprisal",
 ]
 
 
@@ -582,6 +587,20 @@ def test_surprisal_distributed_path_matches_broadcast_path():
 
     fast = _canon(_to_pandas(docs_unigram_surprisal(SF)))
     dist = _canon(_to_pandas(docs_unigram_surprisal(SF, ctf_broadcast_budget_rows=0)))
+    pd.testing.assert_frame_equal(fast, dist)
+
+
+def test_bigram_surprisal_distributed_path_matches_broadcast_path():
+    """Force the above-budget branch (per-doc bigram tf rows + both model
+    tables unioned on ONE coarse hash(first-token) shuffle, per-doc partials
+    re-keyed on a doc-hash shuffle, zero-bigram marker rows): round-6-
+    identical to the model-broadcast fast path."""
+    from engine.ops.textops import docs_bigram_surprisal
+
+    fast = _canon(_to_pandas(docs_bigram_surprisal(SF)))
+    dist = _canon(
+        _to_pandas(docs_bigram_surprisal(SF, model_broadcast_budget_rows=0))
+    )
     pd.testing.assert_frame_equal(fast, dist)
 
 
