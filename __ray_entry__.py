@@ -252,6 +252,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_top_terms": textops.lang_top_terms,
         # add-one conditional bigram-LM surprisal (KenLM-style gate)
         "docs_bigram_surprisal": textops.docs_bigram_surprisal,
+        # positional-postings parity: per-doc tf + first/last positions
+        "docs_term_occurrences": docsearch.docs_term_occurrences,
+        # RFM quintile segmentation with value-grain CDFs (no global sort)
+        "customers_rfm": relational.customers_rfm,
+        # vocabulary Zipf diagnostics: OLS slope over the frequency head
+        "docs_zipf_slope": textops.docs_zipf_slope,
         # ---- rows-only / sketch entries (no SQL oracle by nature) ----
         "events_value_quantiles_sketch": relational.events_value_quantiles_sketch,
         # DDSketch-style log-histogram quantiles (provable relative error)
@@ -420,4 +426,7 @@ def oracle_sql() -> dict[str, str]:
         "region_nation_csv": relational.REGION_NATION_CSV_SQL,
         "lang_top_terms": textops.LANG_TOP_TERMS_SQL,
         "docs_bigram_surprisal": textops.BIGRAM_SURPRISAL_SQL,
+        "docs_term_occurrences": docsearch.TERM_OCCURRENCES_SQL,
+        "customers_rfm": relational.CUSTOMERS_RFM_SQL,
+        "docs_zipf_slope": textops.ZIPF_SLOPE_SQL,
     }

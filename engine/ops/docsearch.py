@@ -1116,3 +1116,65 @@ GROUP BY q.query_id ORDER BY q.query_id
 
 
 MATCH_COUNTS_SQL = _match_counts_sql()
+
+# ---------------------------------------------------------------------------
+# Term occurrences off the positional postings — the KWIC / concordance
+# primitive: per matching doc, how often and where a term occurs.
+
+OCCURRENCE_TERMS = ["window", "batch", "partition", "zzznosuchterm"]
+
+
+def docs_term_occurrences(sf_dir: str) -> pd.DataFrame:
+    """(term, doc_id, tf, first_pos, last_pos) for each probe term over the
+    positional documents index: counts and 0-based analyzed-stream first /
+    last occurrence positions, straight off ONE positions-column decode per
+    term (`IndexReader.term_occurrences`) — no doc-store fetch, no scoring
+    pass, and the absent-term probe emits no rows.  This gates the
+    positional posting layout itself (delta + varint position lists, salt-
+    chunk merge) through the SQL hash: the oracle recomputes positions from
+    the token stream with generate_series.  Reference analog: the
+    occurrence/offset data its Postgres full-text columns carry
+    (rds_schema.sql tsvector positions)."""
+    reader = _index_for(sf_dir)
+    frames = []
+    for term in OCCURRENCE_TERMS:
+        ids, tfs, first, last = reader.term_occurrences(term)
+        frames.append(
+            pd.DataFrame(
+                {
+                    "term": np.repeat(term, ids.size),
+                    "doc_id": ids,
+                    "tf": tfs,
+                    "first_pos": first,
+                    "last_pos": last,
+                }
+            )
+        )
+    out = pd.concat(frames, ignore_index=True)
+    return out.sort_values(["term", "doc_id"]).reset_index(drop=True)
+
+
+def _term_occurrences_sql() -> str:
+    vals = ", ".join(f"('{t}')" for t in OCCURRENCE_TERMS)
+    return f"""
+WITH probe(term) AS (VALUES {vals}),
+tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(generate_series(1, len(toks))) AS i, toks
+  FROM tok
+)
+SELECT p.term, pos.doc_id, CAST(count(*) AS BIGINT) AS tf,
+       CAST(min(pos.i) - 1 AS BIGINT) AS first_pos,
+       CAST(max(pos.i) - 1 AS BIGINT) AS last_pos
+FROM pos JOIN probe p ON pos.toks[pos.i] = p.term
+GROUP BY p.term, pos.doc_id
+ORDER BY p.term, pos.doc_id
+"""
+
+
+TERM_OCCURRENCES_SQL = _term_occurrences_sql()

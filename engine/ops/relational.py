@@ -3473,3 +3473,160 @@ SELECT r_name, CAST(count(*) AS BIGINT) AS n_nations,
 FROM nation JOIN region ON r_regionkey = n_regionkey
 GROUP BY r_name ORDER BY r_name
 """
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation — recency/frequency/monetary quintiles with NO
+# global sort (the marketing-analytics classic, done the
+# docs_length_percentiles way: value-grain CDFs, not rank shuffles).
+
+
+def customers_rfm(sf_dir: str):
+    """(o_custkey, r_days, n_orders, m_k, r_q, f_q, m_q, rfm): per ordering
+    customer, days since last order (vs the corpus max date), order count,
+    spend in k$ buckets, and the three ascending percent_rank quintiles
+    combined into the classic RFM code.  Scale shape: ONE orders pass
+    reduces per-batch customer partials through a coarse custkey-hash
+    shuffle into a customer-grain Dataset (materialized once, never on the
+    driver); all three quintile boundaries come from VALUE-grain count
+    reduces (days span, order counts, k$ buckets — all bounded by data
+    range, not customer count), whose exact CDFs broadcast as a few
+    searchsorted arrays into one streaming label pass.  percent_rank
+    arithmetic ((rank_min-1)/(n-1) then *5, same IEEE op order as the
+    oracle) makes the quintile cuts bitwise."""
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.cast(t["o_orderdate"], pa.date32()), pa.int32())
+        cents = pc.cast(
+            pc.round(pc.multiply(t["o_totalprice"], pa.scalar(100.0))), pa.int64()
+        )
+        tt = pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "n": pa.array(np.ones(len(t), np.int64)),
+                "cents": cents,
+                "day": day.cast(pa.int64()),
+            }
+        )
+        g = tt.group_by("o_custkey").aggregate(
+            [("n", "sum"), ("cents", "sum"), ("day", "max")]
+        )
+        return g.rename_columns(["o_custkey", "n", "cents", "last_day"])
+
+    cust = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_custkey")
+        .aggregate(
+            Sum("n", alias_name="n_orders"),
+            Sum("cents", alias_name="cents"),
+            ray.data.aggregate.Max("last_day", alias_name="last_day"),
+        )
+        .materialize()  # customer-grain, distributed; consumed twice
+    )
+    n_cust = cust.count()
+    if n_cust == 0:
+        return pd.DataFrame(
+            {
+                c: pd.Series([], dtype="int64")
+                for c in ["o_custkey", "r_days", "n_orders", "m_k",
+                          "r_q", "f_q", "m_q", "rfm"]
+            }
+        )
+    anchor = int(cust.max("last_day"))
+
+    def metric_rows(t: pa.Table) -> pa.Table:
+        r = anchor - t["last_day"].to_numpy(zero_copy_only=False).astype(np.int64)
+        f = t["n_orders"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mk = t["cents"].to_numpy(zero_copy_only=False).astype(np.int64) // 100000
+        tt = pa.table(
+            {
+                "metric": pa.array(
+                    np.repeat(np.array([0, 1, 2], np.int64), len(t))
+                ),
+                "value": pa.array(np.concatenate([r, f, mk]), pa.int64()),
+                "c": pa.array(np.ones(3 * len(t), np.int64)),
+            }
+        )
+        return (
+            tt.group_by(["metric", "value"]).aggregate([("c", "sum")])
+            .rename_columns(["metric", "value", "c"])
+        )
+
+    cdf = (
+        cust.map_batches(metric_rows, batch_format="pyarrow")
+        .groupby(["metric", "value"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()  # value-grain x 3 metrics: bounded by data RANGE
+    )
+    tables = {}
+    denom = float(max(n_cust - 1, 1))
+    for m in (0, 1, 2):
+        g = cdf[cdf["metric"] == m].sort_values("value")
+        vals = g["value"].to_numpy(np.int64)
+        cnts = g["c"].to_numpy(np.int64)
+        rank_min = np.r_[0, np.cumsum(cnts)[:-1]].astype(np.float64) + 1.0
+        quint = np.minimum(
+            1 + np.floor((rank_min - 1.0) / denom * 5.0).astype(np.int64), 5
+        )
+        tables[m] = (vals, quint)
+    bcast = ray.put(tables)
+
+    def label(t: pa.Table) -> pa.Table:
+        tab = ray.get(bcast)
+        r = (anchor - t["last_day"].to_numpy(zero_copy_only=False)).astype(
+            np.int64
+        )
+        f = t["n_orders"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mk = t["cents"].to_numpy(zero_copy_only=False).astype(np.int64) // 100000
+        qs = []
+        for m, x in ((0, r), (1, f), (2, mk)):
+            vals, quint = tab[m]
+            qs.append(quint[np.searchsorted(vals, x)])
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "r_days": pa.array(r, pa.int64()),
+                "n_orders": pa.array(f, pa.int64()),
+                "m_k": pa.array(mk, pa.int64()),
+                "r_q": pa.array(qs[0], pa.int64()),
+                "f_q": pa.array(qs[1], pa.int64()),
+                "m_q": pa.array(qs[2], pa.int64()),
+                "rfm": pa.array(
+                    qs[0] * 100 + qs[1] * 10 + qs[2], pa.int64()
+                ),
+            }
+        )
+
+    return cust.map_batches(label, batch_format="pyarrow")
+
+
+CUSTOMERS_RFM_SQL = """
+WITH cust AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents,
+         max(CAST(o_orderdate AS DATE)) AS last_day
+  FROM orders GROUP BY o_custkey
+),
+anchor AS (SELECT max(last_day) AS a FROM cust),
+m AS (
+  SELECT o_custkey, n_orders,
+         CAST(date_diff('day', last_day, a.a) AS BIGINT) AS r_days,
+         CAST(cents // 100000 AS BIGINT) AS m_k
+  FROM cust CROSS JOIN anchor a
+),
+q AS (
+  SELECT o_custkey, r_days, n_orders, m_k,
+         least(1 + CAST(floor(percent_rank() OVER (ORDER BY r_days) * 5)
+                        AS BIGINT), 5) AS r_q,
+         least(1 + CAST(floor(percent_rank() OVER (ORDER BY n_orders) * 5)
+                        AS BIGINT), 5) AS f_q,
+         least(1 + CAST(floor(percent_rank() OVER (ORDER BY m_k) * 5)
+                        AS BIGINT), 5) AS m_q
+  FROM m
+)
+SELECT o_custkey, r_days, n_orders, m_k, r_q, f_q, m_q,
+       r_q * 100 + f_q * 10 + m_q AS rfm
+FROM q
+"""

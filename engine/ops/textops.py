@@ -2388,3 +2388,91 @@ SELECT t.doc_id, CAST(coalesce(p.m, 0) AS BIGINT) AS n_bigrams,
          AS surprisal2_r6
 FROM tok t LEFT JOIN per_doc p USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# Zipf diagnostics — the OLS slope of log-frequency vs log-rank over the
+# vocabulary head (natural text tracks slope ~ -1; far-off corpora are
+# boilerplate- or spam-shaped).  The regression-aggregate member next to
+# lineitem_price_qty_corr's sufficient-statistics reduce.
+
+_ZIPF_TOP = 1000
+
+
+def docs_zipf_slope(sf_dir: str, n_top: int = _ZIPF_TOP):
+    """One row (n_terms, slope_r6, intercept_r6): OLS of ln(tf_total) on
+    ln(rank) over the top-`n_top` terms by collection frequency (tie: term
+    ASC).  Scale shape: top_terms' map-side partial counts -> ONE coarse
+    term-hash shuffle -> per-partition LOCAL top-N by the (tf, term) key
+    (globally safe: a term's rows co-locate) -> the regression runs on the
+    driver over the RESULT-scale <= n_top rows with the oracle's exact
+    covar_pop/var_pop formula."""
+
+    def partials(t: pa.Table) -> pa.Table:
+        _, terms, tfs, _ = tokenize_counts_arrow(t["text"])
+        tt = pa.table({"term": terms, "tf": pa.array(tfs.astype(np.int64))})
+        g = tt.group_by("term").aggregate([("tf", "sum")])
+        return pa.table(
+            {
+                "term": g["term"],
+                "tf_part": g["tf_sum"],
+                "part": _term_parts(g["term"]),
+            }
+        )
+
+    def top_of_partition(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("term", sort=False, as_index=False).agg(
+            tf=("tf_part", "sum")
+        )
+        return agg.sort_values(
+            ["tf", "term"], ascending=[False, True], kind="mergesort"
+        ).head(n_top)
+
+    out = (
+        _read_docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(top_of_partition, batch_format="pandas")
+        .to_pandas()  # <= _N_TERM_PARTS * n_top rows
+    )
+    out = out.sort_values(
+        ["tf", "term"], ascending=[False, True], kind="mergesort"
+    ).head(n_top)
+    n = len(out)
+    if n < 2:
+        return pd.DataFrame(
+            {"n_terms": pd.Series([n], dtype="int64"),
+             "slope_r6": [np.nan], "intercept_r6": [np.nan]}
+        )
+    x = np.log(np.arange(1, n + 1, dtype=np.float64))
+    y = np.log(out["tf"].to_numpy(np.float64))
+    mx, my = x.mean(), y.mean()
+    cov = (x * y).mean() - mx * my
+    var = (x * x).mean() - mx * mx
+    slope = cov / var
+    return pd.DataFrame(
+        {
+            "n_terms": pd.Series([n], dtype="int64"),
+            "slope_r6": [round(float(slope), 6)],
+            "intercept_r6": [round(float(my - slope * mx), 6)],
+        }
+    )
+
+
+ZIPF_SLOPE_SQL = f"""
+WITH tok AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS tk
+  FROM documents
+),
+agg AS (SELECT tk, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY tk),
+ranked AS (
+  SELECT row_number() OVER (ORDER BY tf DESC, tk) AS rank, tf FROM agg
+),
+head AS (SELECT ln(rank) AS x, ln(tf) AS y FROM ranked
+         WHERE rank <= {_ZIPF_TOP})
+SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       round(regr_slope(y, x), 6) AS slope_r6,
+       round(regr_intercept(y, x), 6) AS intercept_r6
+FROM head
+"""

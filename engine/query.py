@@ -508,6 +508,38 @@ class IndexReader:
             return 0
         return int(np.unique(np.concatenate(ids)).size)
 
+    def term_occurrences(
+        self, term: str
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """Per-doc occurrence summary of one analyzed term straight off the
+        positional postings: (doc_ids, tfs, first_pos, last_pos), all int64,
+        positions 0-based analyzed-stream occurrence indices.  The KWIC /
+        concordance primitive — one positions-column decode (LRU-cached),
+        no doc-store fetch, no scoring pass.  Requires a
+        ``store_positions=True`` index."""
+        if not self.has_positions:
+            raise ValueError("term_occurrences needs a positional index")
+        self._load_docmeta()
+        meta_ids = self._docmeta[0]
+        empty = np.empty(0, np.int64)
+        out = [empty, empty, empty, empty]
+        rows = []
+        for ids, offs, flat in self._token_positions(term):
+            if ids.size == 0:
+                continue
+            lens = np.diff(offs)
+            rows.append(
+                (
+                    meta_ids[ids.astype(np.int64)].astype(np.int64),
+                    lens.astype(np.int64),
+                    flat[offs[:-1]].astype(np.int64),
+                    flat[offs[1:] - 1].astype(np.int64),
+                )
+            )
+        if not rows:
+            return tuple(out)
+        return tuple(np.concatenate(parts) for parts in zip(*rows))
+
     def _bucket_rows(self, bucket: int) -> dict[str, list[int]]:
         """term -> row indices of the (cached) bucket segment table.
 

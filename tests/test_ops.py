@@ -135,6 +135,9 @@ SQL_CHECKED = [
     "region_nation_csv",
     "lang_top_terms",
     "docs_bigram_surprisal",
+    "docs_term_occurrences",
+    "customers_rfm",
+    "docs_zipf_slope",
 ]
 
 
