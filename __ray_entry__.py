@@ -258,6 +258,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_rfm": relational.customers_rfm,
         # vocabulary Zipf diagnostics: OLS slope over the frequency head
         "docs_zipf_slope": textops.docs_zipf_slope,
+        # vocabulary-tail health: hapax legomena share
+        "docs_hapax_ratio": textops.docs_hapax_ratio,
+        # per-user event-type Shannon entropy (diversity / bot screen)
+        "events_user_entropy": relational.events_user_entropy,
+        # month-over-month revenue growth (lag pct on aggregate series)
+        "orders_monthly_growth": relational.orders_monthly_growth,
+        # embedding-norm z-score outliers (vector-space QA screen)
+        "embeddings_norm_outliers": ann.embeddings_norm_outliers,
         # ---- rows-only / sketch entries (no SQL oracle by nature) ----
         "events_value_quantiles_sketch": relational.events_value_quantiles_sketch,
         # DDSketch-style log-histogram quantiles (provable relative error)
@@ -429,4 +437,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_term_occurrences": docsearch.TERM_OCCURRENCES_SQL,
         "customers_rfm": relational.CUSTOMERS_RFM_SQL,
         "docs_zipf_slope": textops.ZIPF_SLOPE_SQL,
+        "docs_hapax_ratio": textops.HAPAX_RATIO_SQL,
+        "events_user_entropy": relational.EVENTS_USER_ENTROPY_SQL,
+        "orders_monthly_growth": relational.ORDERS_MONTHLY_GROWTH_SQL,
+        "embeddings_norm_outliers": ann.NORM_OUTLIERS_SQL,
     }

@@ -1296,3 +1296,86 @@ CROSS JOIN generate_series(1, 64) AS g(i)
 GROUP BY d.lang, i
 ORDER BY d.lang, i
 """
+
+
+# ---------------------------------------------------------------------------
+# Embedding-norm outliers — the vector-space QA screen: collapsed (near-zero
+# norm) or exploded vectors are encoder failures a 100-TB embedding corpus
+# must drop before ANN indexing and SemDeDup.
+
+
+def embeddings_norm_outliers(sf_dir: str):
+    """(vec_id, norm_r6, z_r4, is_outlier): each vector's L2 norm, its
+    z-score against the corpus norm distribution, and the |z_r4| > 2 flag.
+    Scale shape: pass 1 streams norms (vec-grain Dataset, materialized
+    once) with a 2-float mean reduce; pass 2 reduces CENTERED squares
+    (sum((x-mu)^2) — the fixtures are unit-normalized, so the naive
+    E[x^2]-mu^2 moment cancels catastrophically while the centered sum
+    stays exact to ~1e-12 relative, matching the oracle's Welford
+    stddev_pop); pass 3 labels in one broadcast-constant map — nothing
+    vector-scale leaves the workers.  z rounds to 4 decimals: on
+    unit-normalized corpora x-mu is mu-noise-scale (~1e-8), so round-6
+    would sit inside the cross-engine summation-order band."""
+    emb = _read_emb(sf_dir)
+
+    def norm_batch(t: pa.Table) -> pa.Table:
+        ids, m = _emb_matrix(t)
+        n = np.sqrt((m * m).sum(axis=1)) if m.size else np.zeros(len(t))
+        return pa.table(
+            {
+                "vec_id": pa.array(ids.astype(np.int64), pa.int64()),
+                "norm": pa.array(n, pa.float64()),
+            }
+        )
+
+    norms = emb.map_batches(
+        norm_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # vec-grain, distributed; consumed three times
+
+    n_vec = norms.count()
+    if n_vec == 0:
+        return pd.DataFrame(
+            {"vec_id": pd.Series([], dtype="int64"),
+             "norm_r6": pd.Series([], dtype="float64"),
+             "z_r4": pd.Series([], dtype="float64"),
+             "is_outlier": pd.Series([], dtype="bool")}
+        )
+    mu = float(norms.sum("norm")) / n_vec
+
+    def centered(t: pa.Table) -> pa.Table:
+        x = t["norm"].to_numpy(zero_copy_only=False) - mu
+        return pa.table({"ss": pa.array([float((x * x).sum())])})
+
+    ss = float(
+        norms.map_batches(centered, batch_format="pyarrow").sum("ss") or 0.0
+    )
+    sigma = float(np.sqrt(ss / n_vec))
+
+    def label(t: pa.Table) -> pa.Table:
+        x = t["norm"].to_numpy(zero_copy_only=False)
+        z = np.round((x - mu) / sigma, 4) if sigma > 0 else np.zeros(x.size)
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "norm_r6": pa.array(np.round(x, 6), pa.float64()),
+                "z_r4": pa.array(z, pa.float64()),
+                "is_outlier": pa.array(np.abs(z) > 2.0),
+            }
+        )
+
+    return norms.map_batches(label, batch_format="pyarrow", zero_copy_batch=True)
+
+
+NORM_OUTLIERS_SQL = """
+WITH n AS (
+  SELECT vec_id,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+  FROM embeddings
+),
+s AS (SELECT avg(norm) AS mu, stddev_pop(norm) AS sigma FROM n)
+SELECT vec_id, round(norm, 6) AS norm_r6,
+       round((norm - s.mu) / s.sigma, 4) AS z_r4,
+       abs(round((norm - s.mu) / s.sigma, 4)) > 2 AS is_outlier
+FROM n CROSS JOIN s
+"""

@@ -3630,3 +3630,140 @@ SELECT o_custkey, r_days, n_orders, m_k, r_q, f_q, m_q,
        r_q * 100 + f_q * 10 + m_q AS rfm
 FROM q
 """
+
+
+# ---------------------------------------------------------------------------
+# Behavioral entropy — Shannon entropy of each user's event-type mix (the
+# diversity/bot-detection feature: near-0 = single-action bots, high =
+# organic mixed behavior).
+
+
+def events_user_entropy(sf_dir: str):
+    """(user_id, n_events, entropy_r6): Shannon entropy (nats) of the
+    user's event-type distribution.  Scale shape: per-batch (user, type)
+    count partials -> ONE coarse user-hash shuffle -> a single vectorized
+    partition kernel finishes counts and reduces -sum(p ln p) per user
+    with one np.add.at — no per-user loop.  The float sum follows the
+    oracle's per-(user, type) term order only up to reordering, so the
+    gate is round-6 (terms are O(1) magnitude, error ~1e-15)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_type": t["event_type"],
+                "n": pa.array(np.ones(len(t), np.int64)),
+            }
+        )
+        g = tt.group_by(["user_id", "event_type"]).aggregate([("n", "sum")])
+        g = g.rename_columns(["user_id", "event_type", "n"])
+        return g.append_column(
+            "part", pa.array(_keypart(g["user_id"].to_numpy(zero_copy_only=False)))
+        )
+
+    def entropy_of_partition(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "n_events": pd.Series([], dtype="int64"),
+                    "entropy_r6": pd.Series([], dtype="float64"),
+                }
+            )
+        c = g.groupby(["user_id", "event_type"], sort=False, as_index=False).agg(
+            n=("n", "sum")
+        )
+        u, uidx = np.unique(c["user_id"].to_numpy(np.int64), return_inverse=True)
+        tot = np.zeros(u.size, np.int64)
+        np.add.at(tot, uidx, c["n"].to_numpy(np.int64))
+        p = c["n"].to_numpy(np.float64) / tot[uidx]
+        h = np.zeros(u.size, np.float64)
+        np.add.at(h, uidx, -p * np.log(p))
+        return pd.DataFrame(
+            {
+                "user_id": u,
+                "n_events": tot,
+                "entropy_r6": np.round(h, 6),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(entropy_of_partition, batch_format="pandas")
+    )
+
+
+EVENTS_USER_ENTROPY_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events GROUP BY user_id, event_type
+),
+t AS (SELECT user_id, CAST(sum(n) AS BIGINT) AS n_events FROM c GROUP BY user_id)
+SELECT t.user_id, t.n_events,
+       round(sum(-(c.n * 1.0 / t.n_events) * ln(c.n * 1.0 / t.n_events)), 6)
+         AS entropy_r6
+FROM c JOIN t USING (user_id)
+GROUP BY t.user_id, t.n_events
+"""
+
+
+# ---------------------------------------------------------------------------
+# Month-over-month revenue growth — lag percent change on an aggregate
+# series (the dashboard twin of orders_cumulative_revenue's running total).
+
+
+def orders_monthly_growth(sf_dir: str):
+    """(omonth, rev_cents, mom_pct_r6): monthly order value in integer
+    cents plus percent change vs the previous calendar month (NULL for the
+    first).  Scale shape: per-batch month-grain cent partials, one
+    month-keyed reduce, lag/percent math over the RESULT-scale month
+    series on the driver."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        mon = pc.strftime(t["o_orderdate"], format="%Y-%m")
+        cents = pc.cast(
+            pc.round(pc.multiply(t["o_totalprice"], pa.scalar(100.0))), pa.int64()
+        )
+        tt = pa.table({"omonth": mon, "cents": cents})
+        return (
+            tt.group_by("omonth").aggregate([("cents", "sum")])
+            .rename_columns(["omonth", "cents"])
+        )
+
+    mons = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("omonth")
+        .aggregate(Sum("cents", alias_name="rev_cents"))
+        .to_pandas()  # month-grain
+    )
+    if mons.empty:
+        return pd.DataFrame(
+            {"omonth": pd.Series([], dtype="object"),
+             "rev_cents": pd.Series([], dtype="int64"),
+             "mom_pct_r6": pd.Series([], dtype="float64")}
+        )
+    mons = mons.sort_values("omonth").reset_index(drop=True)
+    rev = mons["rev_cents"].to_numpy(np.int64)
+    prev = np.r_[0, rev[:-1]].astype(np.float64)
+    pct = np.round((rev - prev) * 100.0 / prev, 6)
+    mons["rev_cents"] = rev
+    mons["mom_pct_r6"] = pct
+    mons.loc[0, "mom_pct_r6"] = np.nan
+    return mons[["omonth", "rev_cents", "mom_pct_r6"]]
+
+
+ORDERS_MONTHLY_GROWTH_SQL = """
+WITH m AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS omonth,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM orders GROUP BY 1
+)
+SELECT omonth, rev_cents,
+       round((rev_cents - lag(rev_cents) OVER (ORDER BY omonth)) * 100.0
+             / lag(rev_cents) OVER (ORDER BY omonth), 6) AS mom_pct_r6
+FROM m ORDER BY omonth
+"""

@@ -2476,3 +2476,77 @@ SELECT CAST(count(*) AS BIGINT) AS n_terms,
        round(regr_intercept(y, x), 6) AS intercept_r6
 FROM head
 """
+
+
+# ---------------------------------------------------------------------------
+# Hapax legomena ratio — the vocabulary-TAIL health metric pairing with
+# docs_zipf_slope's head fit: natural corpora run ~40-60% hapax; scraped
+# boilerplate collapses the tail, OCR/spam noise inflates it.
+
+
+def docs_hapax_ratio(sf_dir: str):
+    """One row (n_terms, n_hapax, hapax_ratio_r6): distinct vocabulary
+    size, number of terms occurring exactly once corpus-wide, and their
+    ratio.  Scale shape: top_terms' map-side partial counts -> ONE coarse
+    term-hash shuffle -> each partition reduces its vocabulary slice to
+    TWO ints — the driver sums P pairs."""
+
+    def partials(t: pa.Table) -> pa.Table:
+        _, terms, tfs, _ = tokenize_counts_arrow(t["text"])
+        tt = pa.table({"term": terms, "tf": pa.array(tfs.astype(np.int64))})
+        g = tt.group_by("term").aggregate([("tf", "sum")])
+        return pa.table(
+            {
+                "term": g["term"],
+                "tf_part": g["tf_sum"],
+                "part": _term_parts(g["term"]),
+            }
+        )
+
+    def counts_of_partition(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("term", sort=False, as_index=False).agg(
+            tf=("tf_part", "sum")
+        )
+        return pd.DataFrame(
+            {
+                "n_terms": np.array([len(agg)], np.int64),
+                "n_hapax": np.array(
+                    [int((agg["tf"].to_numpy(np.int64) == 1).sum())], np.int64
+                ),
+            }
+        )
+
+    out = (
+        _read_docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(counts_of_partition, batch_format="pandas")
+        .to_pandas()  # <= _N_TERM_PARTS rows of two ints
+    )
+    n_terms = int(out["n_terms"].sum())
+    n_hapax = int(out["n_hapax"].sum())
+    return pd.DataFrame(
+        {
+            "n_terms": pd.Series([n_terms], dtype="int64"),
+            "n_hapax": pd.Series([n_hapax], dtype="int64"),
+            "hapax_ratio_r6": [
+                round(n_hapax / n_terms, 6) if n_terms else 0.0
+            ],
+        }
+    )
+
+
+HAPAX_RATIO_SQL = """
+WITH agg AS (
+  SELECT tk, count(*) AS tf
+  FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+                                                        '[^a-z0-9]+'),
+                                  x -> x <> '')) AS tk
+        FROM documents)
+  GROUP BY tk
+)
+SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(count(*) FILTER (tf = 1) AS BIGINT) AS n_hapax,
+       round(count(*) FILTER (tf = 1) * 1.0 / count(*), 6) AS hapax_ratio_r6
+FROM agg
+"""

@@ -138,6 +138,10 @@ SQL_CHECKED = [
     "docs_term_occurrences",
     "customers_rfm",
     "docs_zipf_slope",
+    "docs_hapax_ratio",
+    "events_user_entropy",
+    "orders_monthly_growth",
+    "embeddings_norm_outliers",
 ]
 
 
