@@ -3464,6 +3464,12 @@ def region_nation_csv(sf_dir: str):
         .map_groups(merge_of_group, batch_format="pandas")
         .to_pandas()  # region-grain
     )
+    if out.empty:  # 0-row nation table: keep the schema
+        out = pd.DataFrame(
+            {"r_name": pd.Series([], dtype="object"),
+             "n_nations": pd.Series([], dtype="int64"),
+             "nations_csv": pd.Series([], dtype="object")}
+        )
     return out.sort_values("r_name").reset_index(drop=True)
 
 
@@ -3747,11 +3753,10 @@ def orders_monthly_growth(sf_dir: str):
         )
     mons = mons.sort_values("omonth").reset_index(drop=True)
     rev = mons["rev_cents"].to_numpy(np.int64)
-    prev = np.r_[0, rev[:-1]].astype(np.float64)
+    prev = np.r_[np.nan, rev[:-1].astype(np.float64)]  # NaN lag for month 1
     pct = np.round((rev - prev) * 100.0 / prev, 6)
     mons["rev_cents"] = rev
     mons["mom_pct_r6"] = pct
-    mons.loc[0, "mom_pct_r6"] = np.nan
     return mons[["omonth", "rev_cents", "mom_pct_r6"]]
 
 

@@ -2022,6 +2022,13 @@ def lang_top_terms(sf_dir: str, n_out: int = _LANG_TOP_N):
         .map_groups(top_of_partition, batch_format="pandas")
     )
     out = parts.to_pandas()  # <= _N_TERM_PARTS * n_langs * n_out rows
+    if out.empty:  # 0-row corpus: keep the schema
+        out = pd.DataFrame(
+            {"lang": pd.Series([], dtype="object"),
+             "term": pd.Series([], dtype="object"),
+             "df": pd.Series([], dtype="int64"),
+             "tf_total": pd.Series([], dtype="int64")}
+        )
     out = out.sort_values(
         ["lang", "df", "term"], ascending=[True, False, True], kind="mergesort"
     )
@@ -2435,6 +2442,11 @@ def docs_zipf_slope(sf_dir: str, n_top: int = _ZIPF_TOP):
         .map_groups(top_of_partition, batch_format="pandas")
         .to_pandas()  # <= _N_TERM_PARTS * n_top rows
     )
+    if out.empty:  # 0-row corpus: keep the schema
+        out = pd.DataFrame(
+            {"term": pd.Series([], dtype="object"),
+             "tf": pd.Series([], dtype="int64")}
+        )
     out = out.sort_values(
         ["tf", "term"], ascending=[False, True], kind="mergesort"
     ).head(n_top)
@@ -2523,8 +2535,8 @@ def docs_hapax_ratio(sf_dir: str):
         .map_groups(counts_of_partition, batch_format="pandas")
         .to_pandas()  # <= _N_TERM_PARTS rows of two ints
     )
-    n_terms = int(out["n_terms"].sum())
-    n_hapax = int(out["n_hapax"].sum())
+    n_terms = int(out["n_terms"].sum()) if "n_terms" in out.columns else 0
+    n_hapax = int(out["n_hapax"].sum()) if "n_hapax" in out.columns else 0
     return pd.DataFrame(
         {
             "n_terms": pd.Series([n_terms], dtype="int64"),

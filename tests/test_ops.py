@@ -1299,3 +1299,165 @@ def test_session4_ops_empty_and_tiny(tmp_path):
     assert set(cen["lang"]) == {"en"} and len(cen) == 8
     roll = relational.events_rollup(dirs["tiny"])
     assert int(roll.loc[(roll["event_type"] == "ALL"), "n"].iloc[0]) == 3
+
+
+def test_session5_ops_empty_and_tiny_tables(tmp_path):
+    """The session-5 operator wave must survive 0-row inputs (empty result
+    or schema-ful summary row, no crash) and tiny inputs with edge rows
+    (empty text, single-event users, one-nation regions)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.ops import ann, relational, textops
+
+    def write(d, **tables):
+        d.mkdir()
+        for name, t in tables.items():
+            pq.write_table(t, str(d / f"{name}.parquet"))
+        return str(d)
+
+    docs_e = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "text": pa.array([], pa.string()),
+            "lang": pa.array([], pa.string()),
+            "source": pa.array([], pa.string()),
+            "n_chars": pa.array([], pa.int64()),
+        }
+    )
+    docs_t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                ["alpha beta gamma", "", "alpha alpha beta"], pa.string()
+            ),
+            "lang": pa.array(["en", "zh", "en"], pa.string()),
+            "source": pa.array(["s0", "s1", "s0"], pa.string()),
+            "n_chars": pa.array([16, 0, 16], pa.int64()),
+        }
+    )
+    ev_e = pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            "ts": pa.array([], pa.timestamp("us")),
+            "user_id": pa.array([], pa.int64()),
+            "event_type": pa.array([], pa.string()),
+            "value": pa.array([], pa.float64()),
+            "props": pa.array([], pa.string()),
+        }
+    )
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    ev_t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array([t0, t0, t0 + dt.timedelta(hours=1)],
+                           pa.timestamp("us")),
+            "user_id": pa.array([7, 8, 7], pa.int64()),
+            "event_type": pa.array(["view", "view", "buy"], pa.string()),
+            "value": pa.array([1.25, -2.5, 0.0], pa.float64()),
+            "props": pa.array(['{"k": 1}'] * 3, pa.string()),
+        }
+    )
+    ord_e = pa.table(
+        {
+            "o_orderkey": pa.array([], pa.int64()),
+            "o_custkey": pa.array([], pa.int64()),
+            "o_orderstatus": pa.array([], pa.string()),
+            "o_totalprice": pa.array([], pa.float64()),
+            "o_orderdate": pa.array([], pa.timestamp("us")),
+            "o_orderpriority": pa.array([], pa.string()),
+        }
+    )
+    ord_t = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2], pa.int64()),
+            "o_custkey": pa.array([5, 5], pa.int64()),
+            "o_orderstatus": pa.array(["O", "F"], pa.string()),
+            "o_totalprice": pa.array([10.01, 20.02], pa.float64()),
+            "o_orderdate": pa.array([t0, t0 + dt.timedelta(days=40)],
+                                    pa.timestamp("us")),
+            "o_orderpriority": pa.array(["1-URGENT"] * 2, pa.string()),
+        }
+    )
+    nat_e = pa.table(
+        {
+            "n_nationkey": pa.array([], pa.int32()),
+            "n_name": pa.array([], pa.string()),
+            "n_regionkey": pa.array([], pa.int32()),
+        }
+    )
+    nat_t = pa.table(
+        {
+            "n_nationkey": pa.array([0], pa.int32()),
+            "n_name": pa.array(["FRANCE"], pa.string()),
+            "n_regionkey": pa.array([0], pa.int32()),
+        }
+    )
+    reg_e = pa.table(
+        {"r_regionkey": pa.array([], pa.int32()),
+         "r_name": pa.array([], pa.string())}
+    )
+    reg_t = pa.table(
+        {"r_regionkey": pa.array([0], pa.int32()),
+         "r_name": pa.array(["EUROPE"], pa.string())}
+    )
+    rng = np.random.default_rng(5)
+    emb_e = pa.table(
+        {
+            "vec_id": pa.array([], pa.int64()),
+            "embedding": pa.array([], pa.list_(pa.float32())),
+            "label": pa.array([], pa.int32()),
+        }
+    )
+    emb_t = pa.table(
+        {
+            "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, rng.standard_normal(8))) for _ in range(4)],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([0, 1, 0, 1], pa.int32()),
+        }
+    )
+
+    d_empty = write(tmp_path / "empty", documents=docs_e, events=ev_e,
+                    orders=ord_e, nation=nat_e, region=reg_e,
+                    embeddings=emb_e)
+    d_tiny = write(tmp_path / "tiny", documents=docs_t, events=ev_t,
+                   orders=ord_t, nation=nat_t, region=reg_t,
+                   embeddings=emb_t)
+
+    # per-row/per-group ops: empty in -> 0 rows out, tiny -> no crash
+    row_ops = [
+        relational.events_user_cumsum,
+        relational.events_user_entropy,
+        relational.orders_monthly_growth,
+        relational.orders_cumulative_revenue,
+        relational.region_nation_csv,
+        relational.customers_rfm,
+        textops.lang_top_terms,
+        textops.docs_bigram_surprisal,
+        ann.embeddings_norm_outliers,
+    ]
+    for fn in row_ops:
+        assert len(_to_pandas(fn(d_empty))) == 0, fn.__name__
+        assert len(_to_pandas(fn(d_tiny))) >= 0, fn.__name__
+    # corpus-summary ops: exactly one schema-ful row either way
+    for fn in (textops.docs_zipf_slope, textops.docs_hapax_ratio):
+        for d in (d_empty, d_tiny):
+            out = _to_pandas(fn(d))
+            assert len(out) == 1 and len(out.columns) == 3, fn.__name__
+
+    # tiny-value spot checks
+    cum = _to_pandas(relational.events_user_cumsum(d_tiny))
+    cum = cum.set_index("event_id")["cum_cents"]
+    assert int(cum.loc[1]) == 125 and int(cum.loc[2]) == -250
+    assert int(cum.loc[3]) == 125  # user 7: 125 + 0
+    ent = _to_pandas(relational.events_user_entropy(d_tiny)).set_index("user_id")
+    assert float(ent.loc[8, "entropy_r6"]) == 0.0  # single-type user
+    hap = _to_pandas(textops.docs_hapax_ratio(d_tiny))
+    assert int(hap["n_terms"][0]) == 3 and int(hap["n_hapax"][0]) == 1
+    csv = _to_pandas(relational.region_nation_csv(d_tiny))
+    assert list(csv["nations_csv"]) == ["FRANCE"]
