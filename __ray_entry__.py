@@ -266,6 +266,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_monthly_growth": relational.orders_monthly_growth,
         # embedding-norm z-score outliers (vector-space QA screen)
         "embeddings_norm_outliers": ann.embeddings_norm_outliers,
+        # market-basket pair mining: top co-occurring part pairs + lift
+        "orders_basket_pairs": relational.orders_basket_pairs,
         # ---- rows-only / sketch entries (no SQL oracle by nature) ----
         "events_value_quantiles_sketch": relational.events_value_quantiles_sketch,
         # DDSketch-style log-histogram quantiles (provable relative error)
@@ -313,6 +315,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # PageRank over the author collaboration graph (rows-only:
         # iterative; pytest re-derives edges + iteration bitwise)
         "authors_pagerank": listops.authors_pagerank,
+        # Gopher-style zlib compression-ratio screen (rows-only: SQL has
+        # no DEFLATE; pytest recompresses with the stdlib)
+        "docs_compression_ratio": textops.docs_compression_ratio,
         # enrichment + multimodal stages (stubbed externals: rows-only)
         "enrich_documents": enrich.enrich_documents,
         "media_features": multimodal.media_features,
@@ -441,4 +446,5 @@ def oracle_sql() -> dict[str, str]:
         "events_user_entropy": relational.EVENTS_USER_ENTROPY_SQL,
         "orders_monthly_growth": relational.ORDERS_MONTHLY_GROWTH_SQL,
         "embeddings_norm_outliers": ann.NORM_OUTLIERS_SQL,
+        "orders_basket_pairs": relational.ORDERS_BASKET_SQL,
     }

@@ -3772,3 +3772,185 @@ SELECT omonth, rev_cents,
              / lag(rev_cents) OVER (ORDER BY omonth), 6) AS mom_pct_r6
 FROM m ORDER BY omonth
 """
+
+
+# ---------------------------------------------------------------------------
+# Market-basket pair mining — pairwise frequent-itemset counts with lift
+# (the A-priori k=2 candidate pass every co-purchase analysis starts with).
+
+_BASKET_TOP = 50
+
+
+def orders_basket_pairs(sf_dir: str, n_out: int = _BASKET_TOP):
+    """(rank, pa, pb, c_ab, lift_r6): top-N part pairs co-occurring in the
+    same order, ranked (count DESC, pa, pb), with lift = c_ab * n_orders /
+    (c_a * c_b).  Scale shape: distinct (order, part) rows collapse per
+    batch, ride ONE coarse order-hash shuffle; each partition generates
+    within-order pairs fully vectorized (repeat/offset index math — no
+    per-order loop) and pre-counts them before the pair-hash reduce, so
+    pair traffic is bounded by distinct-pair counts, not occurrences.
+    Per-part order counts reduce on the same batch partials; only the
+    RESULT-scale top-N pairs' counts are gathered (isin-filtered scan) —
+    the full part catalog never reaches the driver."""
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def op_partial(t: pa.Table) -> pa.Table:
+        tt = pa.table(
+            {"o": t["l_orderkey"], "p": t["l_partkey"]}
+        ).group_by(["o", "p"]).aggregate([])
+        return tt.append_column(
+            "part", pa.array(_keypart(tt["o"].to_numpy(zero_copy_only=False)))
+        )
+
+    grouped = (
+        ds.map_batches(op_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+    )
+
+    def pairs_of_partition(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "kind": pd.Series([], dtype="int64"),
+                "pa_": pd.Series([], dtype="int64"),
+                "pb_": pd.Series([], dtype="int64"),
+                "c": pd.Series([], dtype="int64"),
+            }
+        )
+        if g.empty:
+            return empty
+        # exact distinct (order, part) pairs within the partition
+        d = g.drop_duplicates(["o", "p"]).sort_values(["o", "p"])
+        o = d["o"].to_numpy(np.int64)
+        p = d["p"].to_numpy(np.int64)
+        new = np.r_[True, o[1:] != o[:-1]]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.r_[starts, o.size])
+        pos = np.arange(o.size) - np.repeat(starts, sizes)
+        reps = np.repeat(sizes, sizes) - 1 - pos  # pairs starting at row i
+        rows = [
+            pd.DataFrame(  # kind 2: one n_orders partial per partition
+                {"kind": [2], "pa_": [np.int64(starts.size)], "pb_": [0],
+                 "c": [0]}
+            ),
+            pd.DataFrame(  # kind 0: per-part order counts
+                {"kind": 0, "pa_": np.unique(p, return_counts=True)[0],
+                 "pb_": 0,
+                 "c": np.unique(p, return_counts=True)[1].astype(np.int64)}
+            ),
+        ]
+        total = int(reps.sum())
+        if total:
+            a_idx = np.repeat(np.arange(o.size), reps)
+            run_starts = np.cumsum(reps) - reps
+            b_off = np.arange(total) - np.repeat(run_starts, reps)
+            b_idx = a_idx + 1 + b_off
+            pr = pd.DataFrame(
+                {"pa_": p[a_idx], "pb_": p[b_idx]}
+            ).groupby(["pa_", "pb_"], sort=False, as_index=False).size()
+            rows.append(
+                pd.DataFrame(
+                    {"kind": 1, "pa_": pr["pa_"], "pb_": pr["pb_"],
+                     "c": pr["size"].astype(np.int64)}
+                )
+            )
+        return pd.concat(rows, ignore_index=True)
+
+    partials = grouped.map_groups(
+        pairs_of_partition, batch_format="pandas"
+    ).materialize()  # pair-grain; consumed for totals, pairs and counts
+
+    pdf_marks = partials.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], 2)), batch_format="pyarrow"
+    ).to_pandas()  # one marker row per partition
+    n_orders = int(pdf_marks["pa_"].sum()) if len(pdf_marks) else 0
+    out_cols = ["rank", "pa", "pb", "c_ab", "lift_r6"]
+    if n_orders == 0:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="float64" if c == "lift_r6" else "int64")
+             for c in out_cols}
+        )
+
+    def pair_rekey(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["kind"], 1))
+        key = (
+            t["pa_"].to_numpy(zero_copy_only=False) * np.int64(1_000_003)
+            + t["pb_"].to_numpy(zero_copy_only=False)
+        )
+        return t.append_column("part2", pa.array(_keypart(key)))
+
+    def top_of_partition(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["pa_", "pb_"], sort=False, as_index=False).agg(
+            c_ab=("c", "sum")
+        )
+        return agg.sort_values(
+            ["c_ab", "pa_", "pb_"], ascending=[False, True, True],
+            kind="mergesort",
+        ).head(n_out)
+
+    top = (
+        partials.map_batches(pair_rekey, batch_format="pyarrow")
+        .groupby("part2")
+        .map_groups(top_of_partition, batch_format="pandas")
+        .to_pandas()  # <= _N_KEY_PARTS * n_out rows
+    )
+    if top.empty:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="float64" if c == "lift_r6" else "int64")
+             for c in out_cols}
+        )
+    top = top.sort_values(
+        ["c_ab", "pa_", "pb_"], ascending=[False, True, True], kind="mergesort"
+    ).head(n_out).reset_index(drop=True)
+    need = np.unique(np.r_[top["pa_"].to_numpy(np.int64),
+                           top["pb_"].to_numpy(np.int64)])
+
+    def count_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["kind"], 0))
+        t = t.filter(pc.is_in(t["pa_"], value_set=pa.array(need, pa.int64())))
+        return pa.table({"p": t["pa_"], "c": t["c"]})
+
+    cnt = (
+        partials.map_batches(count_rows, batch_format="pyarrow")
+        .to_pandas()  # result-scale: counts for <= 2 * n_out parts
+        .groupby("p", as_index=False)["c"].sum()
+    )
+    cmap = dict(zip(cnt["p"].astype(np.int64), cnt["c"].astype(np.int64)))
+    ca = top["pa_"].map(cmap).to_numpy(np.float64)
+    cb = top["pb_"].map(cmap).to_numpy(np.float64)
+    lift = np.round(
+        top["c_ab"].to_numpy(np.float64) * 1.0 * n_orders / (ca * cb), 6
+    )
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(top) + 1, dtype=np.int64),
+            "pa": top["pa_"].astype(np.int64),
+            "pb": top["pb_"].astype(np.int64),
+            "c_ab": top["c_ab"].astype(np.int64),
+            "lift_r6": lift,
+        }
+    )
+
+
+ORDERS_BASKET_SQL = f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem),
+pcnt AS (SELECT l_partkey, count(*) AS c FROM op GROUP BY l_partkey),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, CAST(count(*) AS BIGINT) AS c_ab
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT row_number() OVER (ORDER BY c_ab DESC, pa, pb) AS rank, pa, pb, c_ab
+  FROM pairs
+)
+SELECT r.rank, r.pa, r.pb, r.c_ab,
+       round(r.c_ab * 1.0 * n.n_orders / (ca.c * cb.c), 6) AS lift_r6
+FROM ranked r
+JOIN pcnt ca ON ca.l_partkey = r.pa
+JOIN pcnt cb ON cb.l_partkey = r.pb
+CROSS JOIN n
+WHERE r.rank <= {_BASKET_TOP}
+ORDER BY r.rank
+"""

@@ -142,6 +142,7 @@ SQL_CHECKED = [
     "events_user_entropy",
     "orders_monthly_growth",
     "embeddings_norm_outliers",
+    "orders_basket_pairs",
 ]
 
 
@@ -1461,3 +1462,36 @@ def test_session5_ops_empty_and_tiny_tables(tmp_path):
     assert int(hap["n_terms"][0]) == 3 and int(hap["n_hapax"][0]) == 1
     csv = _to_pandas(relational.region_nation_csv(d_tiny))
     assert list(csv["nations_csv"]) == ["FRANCE"]
+
+
+def test_compression_ratio_matches_stdlib_and_separates_tails():
+    """Rows-only oracle: recompress 50 sampled docs with the stdlib and
+    compare bitwise; a highly repetitive doc must compress far below a
+    high-entropy one."""
+    import zlib
+
+    from engine.ops import textops
+
+    got = _to_pandas(textops.docs_compression_ratio(SF)).set_index("doc_id")
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(
+        SF + "/documents.parquet", columns=["doc_id", "text"]
+    ).to_pylist()
+    assert len(got) == len(docs)
+    for r in docs[:50]:
+        raw = r["text"].encode()
+        want = len(zlib.compress(raw, 6))
+        row = got.loc[r["doc_id"]]
+        assert int(row["zlib_bytes"]) == want
+        assert int(row["raw_bytes"]) == len(raw)
+        if raw:
+            assert abs(row["ratio_r6"] - round(want / len(raw), 6)) < 1e-12
+    # tails separate: repeated text compresses much harder
+    rep = len(zlib.compress(("spam " * 400).encode(), 6)) / 2000
+    import numpy as _np
+
+    rng = _np.random.default_rng(0)
+    junk = "".join(chr(33 + int(x)) for x in rng.integers(0, 90, 2000))
+    high = len(zlib.compress(junk.encode(), 6)) / 2000
+    assert rep < 0.05 < 0.5 < high
