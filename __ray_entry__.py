@@ -26,7 +26,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """Ordered so the driver's 50-entry correctness window is ENTIRELY
-    SQL-hash-gated: 103 operators carry an oracle_sql() twin, so 53 of them
+    SQL-hash-gated: 116 operators carry an oracle_sql() twin, so 66 of them
     live in the overflow this round (docs_merged_topk is new in round 5
     and takes the window slot of events_keyset_page8, driver-green
     r02-r04).  Round 5 rotates the round-4
@@ -268,6 +268,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_norm_outliers": ann.embeddings_norm_outliers,
         # market-basket pair mining: top co-occurring part pairs + lift
         "orders_basket_pairs": relational.orders_basket_pairs,
+        # A-ES weighted sampling without replacement (importance mixing)
+        "docs_weighted_sample": curate.docs_weighted_sample,
         # ---- rows-only / sketch entries (no SQL oracle by nature) ----
         "events_value_quantiles_sketch": relational.events_value_quantiles_sketch,
         # DDSketch-style log-histogram quantiles (provable relative error)
@@ -447,4 +449,5 @@ def oracle_sql() -> dict[str, str]:
         "orders_monthly_growth": relational.ORDERS_MONTHLY_GROWTH_SQL,
         "embeddings_norm_outliers": ann.NORM_OUTLIERS_SQL,
         "orders_basket_pairs": relational.ORDERS_BASKET_SQL,
+        "docs_weighted_sample": curate.WEIGHTED_SAMPLE_SQL,
     }

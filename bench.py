@@ -359,6 +359,11 @@ def run_bench() -> dict:
         ("docs_snapshot_delta", dedup.docs_snapshot_delta),
         ("events_props_stats", relational.events_props_stats),
         ("lang_embedding_centroids", ann.lang_embedding_centroids),
+        # session-5 wave representatives
+        ("docs_bigram_surprisal", textops.docs_bigram_surprisal),
+        ("orders_basket_pairs", relational.orders_basket_pairs),
+        ("customers_rfm", relational.customers_rfm),
+        ("docs_compression_ratio", textops.docs_compression_ratio),
     ]:
         best = None
         for _ in range(2):  # best-of-2: single shots swing with neighbor load

@@ -1041,3 +1041,74 @@ FROM documents
 ORDER BY rk, doc_id
 LIMIT {_RESERVOIR_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis-Spirakis A-ES): the
+# importance-sampling member next to the uniform reservoir — data mixing
+# wants "sample docs proportionally to length/quality weight", exactly once.
+
+_WSAMPLE_K = 32
+_WSAMPLE_SEED = 7
+_HEX12 = float(1 << 48)  # md5 12-hex-digit prefix space
+
+
+def docs_weighted_sample(sf_dir: str, k: int = _WSAMPLE_K):
+    """(doc_id, n_chars, key_r6): the k docs with the SMALLEST A-ES key
+    -ln(u)/w, u = (md5-prefix + 1)/(2^48 + 1), w = max(n_chars, 1) — a
+    deterministic exact-k sample where inclusion probability scales with
+    doc length (Efraimidis & Spirakis 2006, the distributed weighted
+    reservoir).  Scale shape: identical to docs_reservoir_sample — each
+    batch keeps its local k smallest keys (partial top-k combiner), the
+    driver merges <= n_blocks x k rows; md5 runs on the short id string.
+    Key floats follow the oracle's exact expression tree, and the
+    (key, doc_id) tie-break makes the cut deterministic."""
+    import hashlib as _hl
+
+    ds = _read_docs(sf_dir, columns=["doc_id", "n_chars"])
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        h = np.fromiter(
+            (
+                int(_hl.md5(f"{int(d)}:{_WSAMPLE_SEED}".encode()).hexdigest()[:12], 16)
+                for d in ids
+            ),
+            np.float64,
+            count=ids.size,
+        )
+        w = np.maximum(
+            t["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64), 1.0
+        )
+        key = -np.log((h + 1.0) / (_HEX12 + 1.0)) / w
+        tt = t.append_column("key", pa.array(key, pa.float64()))
+        idx = pc.select_k_unstable(
+            tt, k=min(k, len(ids)),
+            sort_keys=[("key", "ascending"), ("doc_id", "ascending")],
+        )
+        return tt.take(idx)
+
+    out = (
+        ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()  # <= n_blocks * k rows
+        .sort_values(["key", "doc_id"])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["key_r6"] = np.round(out["key"].to_numpy(np.float64), 6)
+    return out[["doc_id", "n_chars", "key_r6"]]
+
+
+WEIGHTED_SAMPLE_SQL = f"""
+SELECT doc_id, n_chars,
+       round(-ln((CAST(concat('0x',
+                    substr(md5(CAST(doc_id AS VARCHAR) || ':{_WSAMPLE_SEED}'),
+                           1, 12)) AS BIGINT) + 1.0) / ({_HEX12!r} + 1.0))
+             / greatest(n_chars, 1), 6) AS key_r6
+FROM documents
+ORDER BY -ln((CAST(concat('0x',
+            substr(md5(CAST(doc_id AS VARCHAR) || ':{_WSAMPLE_SEED}'), 1, 12))
+            AS BIGINT) + 1.0) / ({_HEX12!r} + 1.0)) / greatest(n_chars, 1),
+         doc_id
+LIMIT {_WSAMPLE_K}
+"""

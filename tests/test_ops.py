@@ -143,6 +143,7 @@ SQL_CHECKED = [
     "orders_monthly_growth",
     "embeddings_norm_outliers",
     "orders_basket_pairs",
+    "docs_weighted_sample",
 ]
 
 
