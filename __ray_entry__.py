@@ -26,7 +26,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """Ordered so the driver's 50-entry correctness window is ENTIRELY
-    SQL-hash-gated: 116 operators carry an oracle_sql() twin, so 66 of them
+    SQL-hash-gated: 123 operators carry an oracle_sql() twin, so 73 of them
     live in the overflow this round (docs_merged_topk is new in round 5
     and takes the window slot of events_keyset_page8, driver-green
     r02-r04).  Round 5 rotates the round-4
@@ -270,6 +270,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_basket_pairs": relational.orders_basket_pairs,
         # A-ES weighted sampling without replacement (importance mixing)
         "docs_weighted_sample": curate.docs_weighted_sample,
+        # TPC-H Q9 analog: 5-table join, revenue by supplier nation x year
+        "q9_profit_by_nation_year": relational.q9_profit_by_nation_year,
+        # TPC-H Q11 analog: global-total scalar subquery + HAVING fraction
+        "q11_important_parts": relational.q11_important_parts,
+        # TPC-H Q16 analog: COUNT(DISTINCT supplier) per part profile
+        "q16_supplier_counts": relational.q16_supplier_counts,
+        # Pareto/ABC supplier classification (cumulative-share window)
+        "suppliers_pareto": relational.suppliers_pareto,
+        # DAU/MAU stickiness per month x event type (exact two-grain distinct)
+        "events_dau_mau": relational.events_dau_mau,
+        # PPJoin-style prefix-filtered EXACT Jaccard join (scale path for
+        # the exact similarity join; same oracle as ngram_jaccard_pairs)
+        "ngram_jaccard_prefix": dedup.ngram_jaccard_prefix,
         # ---- rows-only / sketch entries (no SQL oracle by nature) ----
         "events_value_quantiles_sketch": relational.events_value_quantiles_sketch,
         # DDSketch-style log-histogram quantiles (provable relative error)
@@ -450,4 +463,12 @@ def oracle_sql() -> dict[str, str]:
         "embeddings_norm_outliers": ann.NORM_OUTLIERS_SQL,
         "orders_basket_pairs": relational.ORDERS_BASKET_SQL,
         "docs_weighted_sample": curate.WEIGHTED_SAMPLE_SQL,
+        "q9_profit_by_nation_year": relational.Q9_SQL,
+        "q11_important_parts": relational.Q11_SQL,
+        "q16_supplier_counts": relational.Q16_SQL,
+        "suppliers_pareto": relational.SUPPLIERS_PARETO_SQL,
+        "events_dau_mau": relational.EVENTS_DAU_MAU_SQL,
+        # identical oracle as ngram_jaccard_pairs: the prefix-filtered scale
+        # path must produce the exact same pair set
+        "ngram_jaccard_prefix": dedup.NGRAM_JACCARD_SQL,
     }

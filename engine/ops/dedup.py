@@ -134,6 +134,15 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8):
     """
     docs = _read_docs(sf_dir, columns=["doc_id", "text"])
     hot_cap = max(64.0, 0.1 * docs.count())
+    return _exact_jaccard_pairs(docs, hot_cap, threshold)
+
+
+def _exact_jaccard_pairs(docs: "rd.Dataset", hot_cap: float, threshold: float):
+    """The exact shingle-join Jaccard kernel shared by ngram_jaccard_pairs
+    (whole corpus) and ngram_jaccard_prefix (corpus pruned to candidate
+    docs).  `hot_cap` is always computed over the FULL corpus by the caller
+    so the boilerplate HAVING rule matches the oracle regardless of
+    pruning."""
     tok = docs.map_batches(_shingle_rows, batch_format="pyarrow", zero_copy_batch=True)
 
     def pairs_of_partition(g: pd.DataFrame) -> pd.DataFrame:
@@ -270,6 +279,134 @@ JOIN sz sa ON sa.doc_id = a
 JOIN sz sb ON sb.doc_id = b
 WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
 """
+
+
+def ngram_jaccard_prefix(
+    sf_dir: str, threshold: float = 0.8, pushdown_budget_ids: int = None
+):
+    """PPJoin-style prefix-filtered exact Jaccard pairs — the scale path for
+    EXACT (not approximate) similarity joins, output-identical to
+    ngram_jaccard_pairs and gated by the same SQL oracle.
+
+    Prefix filtering (Chaudhuri et al. 2006; Xiao et al. 2008 "PPJoin",
+    public literature): under ANY fixed global order on shingles, two sets
+    with Jaccard >= t must share at least one element inside both of their
+    prefixes of length |S| - ceil(t*|S|) + 1 (rarest-first ordering is only
+    an optimization; we use the stable crc32 order so no global-df pass is
+    needed).  So the candidate join touches only ~(1-t) of each doc's
+    shingle rows, plus a length filter (min(n) >= t*max(n)) that kills
+    cross-size pairs before they materialize.
+
+    Plan: shingle rows annotated map-side with a per-doc prefix flag (the
+    prefix is a property of the doc's own set — no shuffle needed to mark
+    it) -> candidate pairs from PREFIX rows only via one coarse
+    crc32(shingle) shuffle -> distinct candidates -> the candidate doc_id
+    set prunes the corpus read by predicate pushdown (adaptive: over
+    `pushdown_budget_ids` the pruning is skipped and the kernel degrades to
+    the exact whole-corpus join rather than building a corpus-scale driver
+    list, the minhash_lsh_pairs budget design) -> the shared exact kernel
+    (_exact_jaccard_pairs) verifies real Jaccard over candidate docs only.
+    Completeness: every oracle pair has oracle-jaccard <= true-jaccard, so
+    >= t implies both docs are candidates; non-candidate pairs of candidate
+    docs are killed by the kernel's own >= t filter.  hot_cap is computed
+    over the FULL corpus so the boilerplate HAVING rule is unchanged."""
+    import math
+    import zlib
+
+    if pushdown_budget_ids is None:
+        pushdown_budget_ids = _PUSHDOWN_BUDGET_IDS
+    docs = _read_docs(sf_dir, columns=["doc_id", "text"])
+    hot_cap = max(64.0, 0.1 * docs.count())
+
+    def prefix_rows(t: pa.Table) -> pa.Table:
+        """(doc_id, tk, n, part) rows for each doc's PREFIX shingles only:
+        its shingle set sorted by (crc32, shingle) — the same global order
+        in every task — truncated to n - ceil(t*n) + 1 entries."""
+        doc_ids, shingles, ns, parts = [], [], [], []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = tokenize(text)
+            ss = {
+                f"{toks[i]} {toks[i + 1]} {toks[i + 2]}"
+                for i in range(len(toks) - 2)
+            }
+            n = len(ss)
+            if n == 0:
+                continue
+            p = n - int(math.ceil(threshold * n - 1e-9)) + 1
+            crcs = {s: zlib.crc32(s.encode()) for s in ss}
+            pref = sorted(ss, key=lambda s: (crcs[s], s))[:p]
+            for s in pref:
+                doc_ids.append(did)
+                shingles.append(s)
+                ns.append(n)
+                parts.append(crcs[s] % _N_JACCARD_PARTS)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "tk": pa.array(shingles, pa.string()),
+                "n": pa.array(ns, pa.int64()),
+                "part": pa.array(parts, pa.int64()),
+            }
+        )
+
+    def cand_of_partition(g: pd.DataFrame) -> pd.DataFrame:
+        """Pairs co-occurring on a prefix shingle, with the Jaccard length
+        filter applied vectorized before the distinct."""
+        empty = {
+            "a": pd.Series([], dtype="int64"),
+            "b": pd.Series([], dtype="int64"),
+            "ppart": pd.Series([], dtype="int64"),
+        }
+        if g.empty:
+            return pd.DataFrame(empty)
+        codes, _ = pd.factorize(g["tk"], sort=False)
+        order = np.argsort(codes, kind="stable")
+        codes_s = codes[order]
+        docs_s = g["doc_id"].to_numpy()[order]
+        ns_s = g["n"].to_numpy()[order]
+        starts = np.nonzero(np.r_[True, codes_s[1:] != codes_s[:-1]])[0]
+        ends = np.r_[starts[1:], codes_s.size]
+        out = []
+        for s, e in zip(starts[ends - starts >= 2], ends[ends - starts >= 2]):
+            ids, nn = docs_s[s:e], ns_s[s:e]
+            o = np.argsort(ids)
+            ids, nn = ids[o], nn[o]
+            ai, bi = np.triu_indices(ids.size, k=1)
+            na, nb = nn[ai], nn[bi]
+            ok = np.minimum(na, nb) >= threshold * np.maximum(na, nb)
+            if ok.any():
+                out.append((ids[ai][ok], ids[bi][ok]))
+        if not out:
+            return pd.DataFrame(empty)
+        df = pd.DataFrame(
+            {"a": np.concatenate([x[0] for x in out]),
+             "b": np.concatenate([x[1] for x in out])}
+        ).drop_duplicates()
+        df["ppart"] = (df["a"] * 1_000_003 + df["b"]) % _N_JACCARD_PARTS
+        return df
+
+    cands = (
+        docs.map_batches(prefix_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(cand_of_partition, batch_format="pandas")
+        .groupby("ppart")
+        .map_groups(  # a pair can co-occur on several prefix shingles
+            lambda g: g.drop_duplicates(["a", "b"])[["a", "b"]],
+            batch_format="pandas",
+        )
+    ).materialize()
+
+    pruned = docs
+    if 2 * cands.count() <= pushdown_budget_ids:
+        cand_ids = sorted(
+            {int(x) for x in cands.unique("a")} | {int(x) for x in cands.unique("b")}
+        )
+        pruned = rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+            filter=pc.field("doc_id").isin(cand_ids),
+        )
+    return _exact_jaccard_pairs(pruned, hot_cap, threshold)
 
 
 # ---------------------------------------------------------------------------

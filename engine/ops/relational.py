@@ -3954,3 +3954,558 @@ CROSS JOIN n
 WHERE r.rank <= {_BASKET_TOP}
 ORDER BY r.rank
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q9 analog — product-line profit by supplier nation and order year
+# (partsupp does not exist in the fixture set, so "profit" is discounted
+# revenue; the JOIN SHAPE — lineitem x orders x supplier x nation x part
+# with a name predicate — is Q9's).
+
+_Q9_PART_LIKE = "bolt"
+
+
+def q9_profit_by_nation_year(sf_dir: str):
+    """(nation, yr, revenue_cents): discounted revenue (exact integer
+    cents, per-row deterministic rounding) of '%bolt%' parts by
+    supplier nation x order year.  Scale shape: part predicate and the
+    supplier->nation map resolve into ONE broadcast (sorted partkey array +
+    sorted suppkey/nation-code arrays — part/supplier grain, not lineitem
+    grain); lineitem batches prune to matching parts BEFORE the only wide
+    op, an order-keyed hash join against the 2-column orders scan; each
+    joined batch collapses to (nation_code, yr) partials so the reduce
+    moves one float per (nation, yr) per block."""
+    nation = _pa(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    nnames = {
+        int(k): n for k, n in zip(nation["n_nationkey"].to_pylist(),
+                                  nation["n_name"].to_pylist())
+    }
+    part = _pa(
+        sf_dir, "part", columns=["p_partkey"],
+        filter=pc.match_substring(pc.field("p_name"), _Q9_PART_LIKE),
+    )
+    pkeys = np.sort(part["p_partkey"].to_numpy(zero_copy_only=False))
+    sup = _pa(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    sk = sup["s_suppkey"].to_numpy(zero_copy_only=False)
+    snk = sup["s_nationkey"].to_numpy(zero_copy_only=False)
+    so = np.argsort(sk)
+    bcast = ray.put((pkeys, sk[so], snk[so].astype(np.int64)))
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"],
+    )
+
+    def part_prune(t: pa.Table) -> pa.Table:
+        keys, _, _ = ray.get(bcast)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        if keys.size == 0:
+            return t.slice(0, 0)
+        pos = np.minimum(np.searchsorted(keys, pk), keys.size - 1)
+        return t.filter(pa.array(keys[pos] == pk))
+
+    pruned = li.map_batches(part_prune, batch_format="pyarrow", zero_copy_batch=True)
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    joined = pruned.join(
+        orders, "inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def profit_partial(t: pa.Table) -> pa.Table:
+        _, keys, nk = ray.get(bcast)
+        ls = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(keys, ls), keys.size - 1)
+        ncode = nk[pos]
+        rev = pc.cast(
+            pc.round(
+                pc.multiply(
+                    pc.multiply(
+                        t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"]),
+                    ),
+                    pa.scalar(100.0),
+                ),
+                round_mode="half_towards_infinity",  # SQL round(): half away from zero
+            ),
+            pa.int64(),
+        )
+        yr = pc.year(t["o_orderdate"]).cast(pa.int64())
+        tt = pa.table(
+            {"ncode": pa.array(ncode, pa.int64()), "yr": yr, "rev": rev}
+        )
+        return (
+            tt.group_by(["ncode", "yr"]).aggregate([("rev", "sum")])
+            .rename_columns(["ncode", "yr", "rev"])
+        )
+
+    out = (
+        joined.map_batches(profit_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .groupby(["ncode", "yr"])
+        .aggregate(Sum("rev", alias_name="rev"))
+        .to_pandas()  # (nation, year)-grain
+    )
+    if out.empty:
+        return pd.DataFrame(
+            {"nation": pd.Series([], dtype="object"),
+             "yr": pd.Series([], dtype="int64"),
+             "revenue_cents": pd.Series([], dtype="int64")}
+        )
+    out["nation"] = out["ncode"].map(nnames)
+    out["revenue_cents"] = out["rev"].astype("int64")
+    return (
+        out.sort_values(["nation", "yr"], ascending=[True, False])
+        .reset_index(drop=True)[["nation", "yr", "revenue_cents"]]
+    )
+
+
+Q9_SQL = f"""
+WITH flows AS (
+  SELECT n_name AS nation,
+         CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+           AS rev
+  FROM lineitem
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation   ON n_nationkey = s_nationkey
+  JOIN part     ON p_partkey = l_partkey
+  WHERE p_name LIKE '%{_Q9_PART_LIKE}%'
+)
+SELECT nation, yr, CAST(sum(rev) AS BIGINT) AS revenue_cents
+FROM flows GROUP BY nation, yr ORDER BY nation, yr DESC
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q11 analog — "important stock": per-part value from one nation's
+# suppliers, kept only above a fraction of the nation's total (the
+# global-total scalar subquery + HAVING shape).
+
+_Q11_NATION = "NATION_3"
+_Q11_FRACTION = 0.001
+
+
+def q11_important_parts(sf_dir: str):
+    """(p_partkey, value_cents): per-part discounted revenue (integer
+    cents, exact) from NATION_3 suppliers, HAVING value > 0.001 * the
+    nation's total.  Scale shape: the nation's supplier keys broadcast as
+    one sorted array; lineitem batches prune + emit (partkey, cents)
+    partials; ONE coarse partkey-hash shuffle reduces to part grain; the
+    global total is a second pass over the PART-GRAIN dataset (parts <<
+    lineitems), never the raw scan; the HAVING filter streams over part
+    grain and only qualifying parts reach the driver."""
+    nation = _pa(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    nk = {
+        n: int(k) for k, n in zip(nation["n_nationkey"].to_pylist(),
+                                  nation["n_name"].to_pylist())
+    }[_Q11_NATION]
+    sup = _pa(
+        sf_dir, "supplier", columns=["s_suppkey"],
+        filter=(pc.field("s_nationkey") == pc.scalar(nk)),
+    )
+    skeys = np.sort(sup["s_suppkey"].to_numpy(zero_copy_only=False))
+    bcast = ray.put(skeys)
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = ray.get(bcast)
+        ls = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        if keys.size == 0:
+            hit = np.zeros(ls.size, bool)
+        else:
+            pos = np.minimum(np.searchsorted(keys, ls), keys.size - 1)
+            hit = keys[pos] == ls
+        t = t.filter(pa.array(hit))
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(
+                    pc.multiply(
+                        t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"]),
+                    ),
+                    pa.scalar(100.0),
+                ),
+                round_mode="half_towards_infinity",  # SQL round(): half away from zero
+            ),
+            pa.int64(),
+        )
+        tt = pa.table({"p": t["l_partkey"], "cents": cents})
+        g = tt.group_by("p").aggregate([("cents", "sum")])
+        g = g.rename_columns(["p", "cents"])
+        return g.append_column(
+            "part", pa.array(_keypart(g["p"].to_numpy(zero_copy_only=False)))
+        )
+
+    def sum_of_partition(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("p", sort=False, as_index=False).agg(
+            value_cents=("cents", "sum")
+        )
+        return out.rename(columns={"p": "p_partkey"})[["p_partkey", "value_cents"]]
+
+    parts_val = (
+        li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(sum_of_partition, batch_format="pandas")
+    ).materialize()  # part grain — small relative to the scan
+    total = parts_val.sum("value_cents") or 0
+    cut = _Q11_FRACTION * total
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.greater(t["value_cents"], pa.scalar(cut, pa.float64()))
+        )
+
+    out = parts_val.map_batches(
+        keep, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()  # qualifying parts only (result scale)
+    if out.empty:
+        return pd.DataFrame(
+            {"p_partkey": pd.Series([], dtype="int64"),
+             "value_cents": pd.Series([], dtype="int64")}
+        )
+    return (
+        out.sort_values(["value_cents", "p_partkey"], ascending=[False, True])
+        .reset_index(drop=True)[["p_partkey", "value_cents"]]
+    )
+
+
+Q11_SQL = f"""
+WITH nat AS (
+  SELECT s_suppkey FROM supplier
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name = '{_Q11_NATION}'
+),
+pv AS (
+  SELECT l_partkey AS p_partkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS value_cents
+  FROM lineitem JOIN nat ON s_suppkey = l_suppkey
+  GROUP BY 1
+)
+SELECT p_partkey, value_cents FROM pv
+WHERE value_cents > {_Q11_FRACTION} * (SELECT sum(value_cents) FROM pv)
+ORDER BY value_cents DESC, p_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16 analog — supplier-count-per-part-profile with NOT-predicates
+# (lineitem stands in for partsupp as the part<->supplier relation).
+
+_Q16_BRAND_NOT = "Brand#17"
+_Q16_TYPE_NOT_PREFIX = "PROMO"
+_Q16_SIZES = (2, 5, 11, 28, 29, 37, 42, 50)
+
+
+def q16_supplier_counts(sf_dir: str):
+    """(p_brand, p_type, p_size, supplier_cnt): COUNT(DISTINCT supplier)
+    per surviving part profile, excluding one brand and one type prefix.
+    Scale shape: the NOT-predicates prune the part table BEFORE broadcast
+    (sorted partkey + attribute-code arrays, part grain); lineitem batches
+    emit distinct (brand, type, size, suppkey) partials; the dedup key
+    includes suppkey, so ONE coarse hash shuffle makes per-partition
+    distinct counts exact and the final (brand, type, size) reduce sums
+    disjoint partials — COUNT(DISTINCT) with no global re-dedup."""
+    part = _pa(
+        sf_dir, "part",
+        columns=["p_partkey", "p_brand", "p_type", "p_size"],
+        filter=(
+            (pc.field("p_brand") != pc.scalar(_Q16_BRAND_NOT))
+            & ~pc.starts_with(pc.field("p_type"), _Q16_TYPE_NOT_PREFIX)
+            & pc.field("p_size").isin(list(_Q16_SIZES))
+        ),
+    )
+    pk = part["p_partkey"].to_numpy(zero_copy_only=False)
+    po = np.argsort(pk)
+    brands = part["p_brand"].to_pandas().to_numpy()
+    types = part["p_type"].to_pandas().to_numpy()
+    bvals, bcode = np.unique(brands, return_inverse=True)
+    tvals, tcode = np.unique(types, return_inverse=True)
+    sizes = part["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+    bcast = ray.put(
+        (pk[po], bcode[po].astype(np.int64), tcode[po].astype(np.int64),
+         sizes[po])
+    )
+
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys, bc, tc, sz = ray.get(bcast)
+        lp = t["l_partkey"].to_numpy(zero_copy_only=False)
+        if keys.size == 0:
+            hit = np.zeros(lp.size, bool)
+            pos = np.zeros(lp.size, np.int64)
+        else:
+            pos = np.minimum(np.searchsorted(keys, lp), keys.size - 1)
+            hit = keys[pos] == lp
+        tt = pa.table(
+            {
+                "b": pa.array(bc[pos][hit], pa.int64()),
+                "t": pa.array(tc[pos][hit], pa.int64()),
+                "s": pa.array(sz[pos][hit], pa.int64()),
+                "sk": t["l_suppkey"].filter(pa.array(hit)),
+            }
+        )
+        g = tt.group_by(["b", "t", "s", "sk"]).aggregate([])
+        key = (
+            g["b"].to_numpy(zero_copy_only=False) * 1_000_003
+            + g["t"].to_numpy(zero_copy_only=False) * 8191
+            + g["s"].to_numpy(zero_copy_only=False) * 131
+            + g["sk"].to_numpy(zero_copy_only=False)
+        )
+        return g.append_column("part", pa.array(_keypart(key)))
+
+    def count_of_partition(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["b", "t", "s", "sk"])
+        out = d.groupby(["b", "t", "s"], sort=False, as_index=False).agg(
+            supplier_cnt=("sk", "size")
+        )
+        return out
+
+    out = (
+        li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(count_of_partition, batch_format="pandas")
+        .groupby(["b", "t", "s"])
+        .aggregate(Sum("supplier_cnt", alias_name="supplier_cnt"))
+        .to_pandas()  # profile grain (brand x type x size)
+    )
+    if out.empty:
+        return pd.DataFrame(
+            {"p_brand": pd.Series([], dtype="object"),
+             "p_type": pd.Series([], dtype="object"),
+             "p_size": pd.Series([], dtype="int64"),
+             "supplier_cnt": pd.Series([], dtype="int64")}
+        )
+    out["p_brand"] = bvals[out["b"].to_numpy()]
+    out["p_type"] = tvals[out["t"].to_numpy()]
+    out = out.rename(columns={"s": "p_size"})
+    return (
+        out.sort_values(
+            ["supplier_cnt", "p_brand", "p_type", "p_size"],
+            ascending=[False, True, True, True],
+        )
+        .reset_index(drop=True)[["p_brand", "p_type", "p_size", "supplier_cnt"]]
+    )
+
+
+Q16_SQL = f"""
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> '{_Q16_BRAND_NOT}'
+  AND p_type NOT LIKE '{_Q16_TYPE_NOT_PREFIX}%'
+  AND p_size IN {_Q16_SIZES}
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pareto / ABC supplier classification — cumulative-share window over a
+# supplier-grain aggregate (the 80/15/5 procurement report).
+
+
+def suppliers_pareto(sf_dir: str):
+    """(s_suppkey, rev_cents, cum_share_r6, pareto_class): suppliers by
+    exact integer-cent discounted revenue with running cumulative share and
+    ABC class (A <= 0.8 < B <= 0.95 < C).  Scale shape: per-batch
+    (suppkey, cents) partials -> ONE coarse supplier-hash shuffle to
+    supplier grain; the cumulative window runs over the RESULT-scale
+    supplier series (suppliers << lineitems; at fleet scale the same
+    cum-share would come from a value-grain CDF broadcast, the
+    customers_rfm design).  Integer cents end-to-end, so the sort order,
+    prefix sums and class boundaries are bitwise-deterministic vs SQL."""
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(
+                    pc.multiply(
+                        t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"]),
+                    ),
+                    pa.scalar(100.0),
+                ),
+                round_mode="half_towards_infinity",  # SQL round(): half away from zero
+            ),
+            pa.int64(),
+        )
+        tt = pa.table({"sk": t["l_suppkey"], "cents": cents})
+        g = tt.group_by("sk").aggregate([("cents", "sum")])
+        g = g.rename_columns(["sk", "cents"])
+        return g.append_column(
+            "part", pa.array(_keypart(g["sk"].to_numpy(zero_copy_only=False)))
+        )
+
+    def sum_of_partition(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("sk", sort=False, as_index=False).agg(
+            rev_cents=("cents", "sum")
+        )
+
+    out = (
+        li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(sum_of_partition, batch_format="pandas")
+        .to_pandas()  # supplier grain == result grain
+    )
+    if out.empty:
+        return pd.DataFrame(
+            {"s_suppkey": pd.Series([], dtype="int64"),
+             "rev_cents": pd.Series([], dtype="int64"),
+             "cum_share_r6": pd.Series([], dtype="float64"),
+             "pareto_class": pd.Series([], dtype="object")}
+        )
+    out = out.sort_values(
+        ["rev_cents", "sk"], ascending=[False, True]
+    ).reset_index(drop=True)
+    rev = out["rev_cents"].to_numpy(np.int64)
+    cs = np.cumsum(rev) / rev.sum()
+    out["cum_share_r6"] = np.round(cs, 6)
+    out["pareto_class"] = np.where(cs <= 0.8, "A", np.where(cs <= 0.95, "B", "C"))
+    return out.rename(columns={"sk": "s_suppkey"})[
+        ["s_suppkey", "rev_cents", "cum_share_r6", "pareto_class"]
+    ]
+
+
+SUPPLIERS_PARETO_SQL = """
+WITH s AS (
+  SELECT l_suppkey AS s_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM lineitem GROUP BY 1
+),
+w AS (
+  SELECT s_suppkey, rev_cents,
+         sum(rev_cents) OVER (ORDER BY rev_cents DESC, s_suppkey) * 1.0
+           / sum(rev_cents) OVER () AS cs
+  FROM s
+)
+SELECT s_suppkey, rev_cents, round(cs, 6) AS cum_share_r6,
+       CASE WHEN cs <= 0.8 THEN 'A' WHEN cs <= 0.95 THEN 'B'
+            ELSE 'C' END AS pareto_class
+FROM w ORDER BY rev_cents DESC, s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# DAU/MAU stickiness — the product-analytics engagement ratio (exact
+# distinct users at day and month grain from one shuffle).
+
+
+def events_dau_mau(sf_dir: str):
+    """(emonth, event_type, mau, dau_avg_r6, stickiness_r6): per month x
+    event type, exact distinct users, the average of per-day distinct-user
+    counts, and the DAU/MAU stickiness ratio.  Scale shape: per-batch
+    distinct (month, day, type, user) partials -> ONE coarse user-hash
+    shuffle (a user's rows co-locate, so per-partition dedup is globally
+    exact and per-(day, type) / per-(month, type) partial counts are
+    disjoint) -> a day+month-grain reduce -> month-grain ratio math on the
+    driver.  Counts are integers, so avg and ratio are
+    bitwise-deterministic vs SQL."""
+    ds = _read(sf_dir, "events", columns=["ts", "user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = pa.table(
+            {
+                "m": pc.strftime(t["ts"], format="%Y-%m"),
+                "d": pc.strftime(t["ts"], format="%Y-%m-%d"),
+                "e": t["event_type"],
+                "u": t["user_id"],
+            }
+        )
+        g = tt.group_by(["m", "d", "e", "u"]).aggregate([])
+        return g.append_column(
+            "part", pa.array(_keypart(g["u"].to_numpy(zero_copy_only=False)))
+        )
+
+    def counts_of_partition(g: pd.DataFrame) -> pd.DataFrame:
+        empty = {
+            "kind": pd.Series([], dtype="int64"),
+            "key": pd.Series([], dtype="object"),
+            "e": pd.Series([], dtype="object"),
+            "n": pd.Series([], dtype="int64"),
+        }
+        if g.empty:
+            return pd.DataFrame(empty)
+        du = g.drop_duplicates(["d", "e", "u"])
+        day = du.groupby(["d", "e"], sort=False, as_index=False).agg(
+            n=("u", "size")
+        )
+        day = day.rename(columns={"d": "key"})
+        day["kind"] = 0
+        mu = g.drop_duplicates(["m", "e", "u"])
+        mon = mu.groupby(["m", "e"], sort=False, as_index=False).agg(
+            n=("u", "size")
+        )
+        mon = mon.rename(columns={"m": "key"})
+        mon["kind"] = 1
+        return pd.concat([day, mon], ignore_index=True)[["kind", "key", "e", "n"]]
+
+    red = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(counts_of_partition, batch_format="pandas")
+        .groupby(["kind", "key", "e"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # (day + month) x type grain
+    )
+    if red.empty:
+        return pd.DataFrame(
+            {"emonth": pd.Series([], dtype="object"),
+             "event_type": pd.Series([], dtype="object"),
+             "mau": pd.Series([], dtype="int64"),
+             "dau_avg_r6": pd.Series([], dtype="float64"),
+             "stickiness_r6": pd.Series([], dtype="float64")}
+        )
+    days = red[red["kind"] == 0].copy()
+    days["emonth"] = days["key"].str.slice(0, 7)
+    dau = days.groupby(["emonth", "e"], as_index=False).agg(
+        dsum=("n", "sum"), dcnt=("n", "size")
+    )
+    mau = red[red["kind"] == 1].rename(columns={"key": "emonth", "n": "mau"})[
+        ["emonth", "e", "mau"]
+    ]
+    out = dau.merge(mau, on=["emonth", "e"])
+    avg = out["dsum"].to_numpy(np.float64) / out["dcnt"].to_numpy(np.float64)
+    out["dau_avg_r6"] = np.round(avg, 6)
+    out["stickiness_r6"] = np.round(avg / out["mau"].to_numpy(np.float64), 6)
+    out["mau"] = out["mau"].astype("int64")
+    out = out.rename(columns={"e": "event_type"})
+    return (
+        out.sort_values(["emonth", "event_type"]).reset_index(drop=True)
+        [["emonth", "event_type", "mau", "dau_avg_r6", "stickiness_r6"]]
+    )
+
+
+EVENTS_DAU_MAU_SQL = """
+WITH du AS (
+  SELECT strftime(ts, '%Y-%m') AS emonth, strftime(ts, '%Y-%m-%d') AS eday,
+         event_type, user_id
+  FROM events GROUP BY 1, 2, 3, 4
+),
+dau AS (
+  SELECT emonth, eday, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM du GROUP BY 1, 2, 3
+),
+mau AS (
+  SELECT emonth, event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+  FROM du GROUP BY 1, 2
+)
+SELECT mau.emonth, mau.event_type, mau.mau,
+       round(avg(dau.n), 6) AS dau_avg_r6,
+       round(avg(dau.n) / mau.mau, 6) AS stickiness_r6
+FROM dau JOIN mau
+  ON dau.emonth = mau.emonth AND dau.event_type = mau.event_type
+GROUP BY 1, 2, 3 ORDER BY 1, 2
+"""

@@ -144,6 +144,12 @@ SQL_CHECKED = [
     "embeddings_norm_outliers",
     "orders_basket_pairs",
     "docs_weighted_sample",
+    "q9_profit_by_nation_year",
+    "q11_important_parts",
+    "q16_supplier_counts",
+    "suppliers_pareto",
+    "events_dau_mau",
+    "ngram_jaccard_prefix",
 ]
 
 
@@ -160,6 +166,20 @@ def test_vs_oracle(name, con):
             ), c
         else:
             assert got[c].equals(want[c]), c
+
+
+def test_jaccard_prefix_identical_to_exact():
+    """PPJoin prefix filtering is an exact algorithm: the pruned join must
+    return the same pair set as the whole-corpus exact kernel, and the
+    over-budget fallback (no doc pushdown) must too."""
+    from engine.ops.dedup import ngram_jaccard_pairs, ngram_jaccard_prefix
+
+    exact = _canon(_to_pandas(ngram_jaccard_pairs(SF)))
+    pref = _canon(_to_pandas(ngram_jaccard_prefix(SF)))
+    pd.testing.assert_frame_equal(pref, exact)
+    # over-budget path: pushdown disabled, kernel runs on the full corpus
+    nofilter = _canon(_to_pandas(ngram_jaccard_prefix(SF, pushdown_budget_ids=0)))
+    pd.testing.assert_frame_equal(nofilter, exact)
 
 
 def test_lsh_recall_vs_bruteforce():
