@@ -26,7 +26,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """Ordered so the driver's 50-entry correctness window is ENTIRELY
-    SQL-hash-gated: 123 operators carry an oracle_sql() twin, so 73 of them
+    SQL-hash-gated: 125 operators carry an oracle_sql() twin, so 75 of them
     live in the overflow this round (docs_merged_topk is new in round 5
     and takes the window slot of events_keyset_page8, driver-green
     r02-r04).  Round 5 rotates the round-4
@@ -283,6 +283,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # PPJoin-style prefix-filtered EXACT Jaccard join (scale path for
         # the exact similarity join; same oracle as ngram_jaccard_pairs)
         "ngram_jaccard_prefix": dedup.ngram_jaccard_prefix,
+        # sequential pattern mining: top 3-step event-type paths
+        "events_top_paths": relational.events_top_paths,
+        # robust median/MAD outlier screen (heavy-tail-safe z-score twin)
+        "events_mad_outliers": relational.events_mad_outliers,
         # ---- rows-only / sketch entries (no SQL oracle by nature) ----
         "events_value_quantiles_sketch": relational.events_value_quantiles_sketch,
         # DDSketch-style log-histogram quantiles (provable relative error)
@@ -311,6 +315,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SemDeDup semantic dedup (rows-only: k-means; pytest re-derives
         # every verdict + greedy invariants)
         "semdedup_prune": ann.semdedup_prune,
+        # PCA explained variance of the embedding cloud (rows-only: no
+        # eigendecomposition in SQL; pytest re-derives the spectrum)
+        "embeddings_pca_evr": ann.embeddings_pca_evr,
         # full BPE merge-training loop (rows-only: iterative; pytest checks
         # equality with an independent DuckDB+regex reference)
         "bpe_train_merges": textops.bpe_train_merges,
@@ -471,4 +478,6 @@ def oracle_sql() -> dict[str, str]:
         # identical oracle as ngram_jaccard_pairs: the prefix-filtered scale
         # path must produce the exact same pair set
         "ngram_jaccard_prefix": dedup.NGRAM_JACCARD_SQL,
+        "events_top_paths": relational.EVENTS_TOP_PATHS_SQL,
+        "events_mad_outliers": relational.EVENTS_MAD_SQL,
     }

@@ -364,6 +364,13 @@ def run_bench() -> dict:
         ("orders_basket_pairs", relational.orders_basket_pairs),
         ("customers_rfm", relational.customers_rfm),
         ("docs_compression_ratio", textops.docs_compression_ratio),
+        # final-wave representatives: the exact similarity join's two paths
+        # side by side (prefix filtering should win on a low-dup corpus),
+        # plus the widest new join shape
+        ("ngram_jaccard_pairs", dedup.ngram_jaccard_pairs),
+        ("ngram_jaccard_prefix", dedup.ngram_jaccard_prefix),
+        ("q9_profit_by_nation_year", relational.q9_profit_by_nation_year),
+        ("events_dau_mau", relational.events_dau_mau),
     ]:
         best = None
         for _ in range(2):  # best-of-2: single shots swing with neighbor load

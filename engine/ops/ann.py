@@ -1379,3 +1379,71 @@ SELECT vec_id, round(norm, 6) AS norm_r6,
        abs(round((norm - s.mu) / s.sigma, 4)) > 2 AS is_outlier
 FROM n CROSS JOIN s
 """
+
+
+# ---------------------------------------------------------------------------
+# PCA explained variance — the embedding-space health diagnostic every
+# dense-retrieval pipeline runs before whitening / dim-reduction (an
+# anisotropic, collapsed space ranks badly; reference analog: the per-model
+# embedding tables rds_schema.sql:45-58 whose spaces this would audit).
+
+_PCA_TOP = 8
+
+
+def embeddings_pca_evr(sf_dir: str, n_components: int = _PCA_TOP):
+    """(component, eigval_r6, evr_r6, cum_evr_r6): top-k covariance
+    eigenvalues of the embedding cloud with explained-variance ratios.
+    Scale shape: each batch collapses to ONE (count, sum-vector, flattened
+    sum-of-outer-products) moment row — d + d^2 floats regardless of batch
+    size, computed as a single X^T X GEMM — so the driver reduces
+    n_blocks x (d^2 + d + 1) floats and runs the d x d eigendecomposition
+    on result-scale data (d=64 here; at d=1024 the moment row is 8 MB and
+    the reduce is still block-count-bounded, never corpus-bounded).
+    Rows-only (no eigendecomposition in SQL); the pytest oracle re-derives
+    the spectrum from the raw parquet with numpy."""
+    ds = _read_emb(sf_dir)
+
+    def moments(t: pa.Table) -> pd.DataFrame:
+        _, x = _emb_matrix(t)
+        if x.size == 0:
+            return pd.DataFrame({"n": [0], "s1": [b""], "s2": [b""]})
+        s1 = x.sum(axis=0)
+        s2 = x.T @ x
+        return pd.DataFrame(
+            {
+                "n": np.array([x.shape[0]], dtype=np.int64),
+                "s1": [s1.tobytes()],
+                "s2": [s2.astype(np.float64).tobytes()],
+            }
+        )
+
+    parts = ds.map_batches(moments, batch_format="pyarrow").to_pandas()
+    parts = parts[parts["n"] > 0]
+    if parts.empty:
+        return pd.DataFrame(
+            {"component": pd.Series([], dtype="int64"),
+             "eigval_r6": pd.Series([], dtype="float64"),
+             "evr_r6": pd.Series([], dtype="float64"),
+             "cum_evr_r6": pd.Series([], dtype="float64")}
+        )
+    n = int(parts["n"].sum())
+    s1 = np.sum([np.frombuffer(b, np.float64) for b in parts["s1"]], axis=0)
+    d = s1.size
+    s2 = np.sum(
+        [np.frombuffer(b, np.float64).reshape(d, d) for b in parts["s2"]], axis=0
+    )
+    mu = s1 / n
+    cov = s2 / n - np.outer(mu, mu)
+    eig = np.linalg.eigvalsh(cov)[::-1]  # descending
+    eig = np.clip(eig, 0.0, None)
+    total = eig.sum()
+    k = min(n_components, d)
+    evr = eig[:k] / total if total > 0 else np.zeros(k)
+    return pd.DataFrame(
+        {
+            "component": np.arange(1, k + 1, dtype=np.int64),
+            "eigval_r6": np.round(eig[:k], 6),
+            "evr_r6": np.round(evr, 6),
+            "cum_evr_r6": np.round(np.cumsum(evr), 6),
+        }
+    )

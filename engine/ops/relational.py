@@ -4509,3 +4509,144 @@ FROM dau JOIN mau
   ON dau.emonth = mau.emonth AND dau.event_type = mau.event_type
 GROUP BY 1, 2, 3 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Sequential pattern mining — top event-type 3-step paths across per-user
+# ordered event streams (the "common journeys" report).
+
+_PATHS_TOP = 10
+
+
+def events_top_paths(sf_dir: str, n_out: int = _PATHS_TOP):
+    """(path, n): the top-N most frequent 3-step event-type sequences over
+    per-user (ts, event_id)-ordered streams, tie-broken (n DESC, path ASC).
+    Scale shape: ONE coarse user-hash shuffle co-locates each user's
+    events; the partition kernel lexsorts once and forms all consecutive
+    triples vectorized (shifted-array compare, no per-user loop),
+    pre-counting paths before the path-grain reduce — path cardinality is
+    bounded by |event types|^3, so the reduce and the driver top-N are
+    tiny regardless of corpus size."""
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "part",
+            pa.array(_keypart(t["user_id"].to_numpy(zero_copy_only=False))),
+        )
+
+    def paths_of_partition(g: pd.DataFrame) -> pd.DataFrame:
+        empty = {
+            "path": pd.Series([], dtype="object"),
+            "n": pd.Series([], dtype="int64"),
+        }
+        if len(g) < 3:
+            return pd.DataFrame(empty)
+        u = g["user_id"].to_numpy(np.int64)
+        ts = g["ts"].to_numpy()
+        eid = g["event_id"].to_numpy(np.int64)
+        et = g["event_type"].to_numpy()
+        order = np.lexsort((eid, ts, u))
+        u_s, et_s = u[order], et[order]
+        same3 = (u_s[:-2] == u_s[1:-1]) & (u_s[1:-1] == u_s[2:])
+        if not same3.any():
+            return pd.DataFrame(empty)
+        a = et_s[:-2][same3]
+        b = et_s[1:-1][same3]
+        c = et_s[2:][same3]
+        paths = pd.Series(a).str.cat([pd.Series(b), pd.Series(c)], sep=">")
+        out = paths.value_counts().rename_axis("path").reset_index(name="n")
+        out["n"] = out["n"].astype("int64")
+        return out[["path", "n"]]
+
+    red = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(paths_of_partition, batch_format="pandas")
+        .groupby("path")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # |types|^3-bounded grain
+    )
+    if red.empty:
+        return pd.DataFrame(
+            {"path": pd.Series([], dtype="object"),
+             "n": pd.Series([], dtype="int64")}
+        )
+    red["n"] = red["n"].astype("int64")
+    return (
+        red.sort_values(["n", "path"], ascending=[False, True])
+        .head(n_out)
+        .reset_index(drop=True)[["path", "n"]]
+    )
+
+
+EVENTS_TOP_PATHS_SQL = f"""
+WITH o AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+t AS (
+  SELECT a.event_type || '>' || b.event_type || '>' || c.event_type AS path
+  FROM o a
+  JOIN o b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+  JOIN o c ON c.user_id = a.user_id AND c.rn = a.rn + 2
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n
+FROM t GROUP BY path ORDER BY n DESC, path LIMIT {_PATHS_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier screen — median/MAD per event type (the z-score twin that
+# heavy tails can't poison).
+
+
+def events_mad_outliers(sf_dir: str):
+    """(event_type, med_r6, mad_r6, n_outliers): per-type median, median
+    absolute deviation, and the count of events with |value - med| >
+    3 * MAD.  Both medians interpolate linearly (np.quantile 'linear' ==
+    SQL quantile_cont) and are rounded to 6 decimals BEFORE the deviation /
+    threshold math, so the outlier comparison runs on identical doubles in
+    both engines.  Scale shape: one type-keyed group per kernel call (the
+    events_value_quantiles precedent; exact medians need the full value
+    vector — the sketch twins events_value_quantiles_dd/_sketch are the
+    bounded-memory scale path)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def mad_of_type(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["value"].to_numpy(np.float64)
+        med = round(float(np.quantile(v, 0.5, method="linear")), 6)
+        ad = np.abs(v - med)
+        mad = round(float(np.quantile(ad, 0.5, method="linear")), 6)
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "med_r6": [med],
+                "mad_r6": [mad],
+                "n_outliers": np.array([(ad > 3 * mad).sum()], dtype=np.int64),
+            }
+        )
+
+    return ds.groupby("event_type").map_groups(mad_of_type, batch_format="pandas")
+
+
+EVENTS_MAD_SQL = """
+WITH med AS (
+  SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med_r6
+  FROM events GROUP BY 1
+),
+dev AS (
+  SELECT e.event_type, m.med_r6, abs(e.value - m.med_r6) AS ad
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, round(quantile_cont(ad, 0.5), 6) AS mad_r6
+  FROM dev GROUP BY 1
+)
+SELECT d.event_type, d.med_r6, m.mad_r6,
+       CAST(sum(CASE WHEN d.ad > 3 * m.mad_r6 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY 1, 2, 3 ORDER BY 1
+"""

@@ -150,6 +150,8 @@ SQL_CHECKED = [
     "suppliers_pareto",
     "events_dau_mau",
     "ngram_jaccard_prefix",
+    "events_top_paths",
+    "events_mad_outliers",
 ]
 
 
@@ -166,6 +168,29 @@ def test_vs_oracle(name, con):
             ), c
         else:
             assert got[c].equals(want[c]), c
+
+
+def test_pca_evr_vs_numpy_oracle():
+    """The blockwise moment reduce must reproduce the spectrum numpy gets
+    from the raw matrix in one shot (round-6; moment sums reorder floats)."""
+    import pyarrow.parquet as pq
+    from engine.ops.ann import embeddings_pca_evr
+
+    got = _to_pandas(embeddings_pca_evr(SF))
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    x = np.asarray(t["embedding"].combine_chunks().flatten(), np.float64).reshape(
+        t.num_rows, -1
+    )
+    cov = np.cov(x, rowvar=False, bias=True)
+    eig = np.clip(np.linalg.eigvalsh(cov)[::-1], 0.0, None)
+    evr = eig / eig.sum()
+    k = len(got)
+    assert k == 8
+    assert np.allclose(got["eigval_r6"], np.round(eig[:k], 6), atol=2e-6)
+    assert np.allclose(got["evr_r6"], np.round(evr[:k], 6), atol=2e-6)
+    assert np.allclose(got["cum_evr_r6"], np.round(np.cumsum(evr[:k]), 6), atol=1e-5)
+    # a healthy (near-isotropic) synthetic cloud: no component dominates
+    assert got["evr_r6"].iloc[0] < 0.5
 
 
 def test_jaccard_prefix_identical_to_exact():
