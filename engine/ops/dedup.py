@@ -309,7 +309,17 @@ def ngram_jaccard_prefix(
     Completeness: every oracle pair has oracle-jaccard <= true-jaccard, so
     >= t implies both docs are candidates; non-candidate pairs of candidate
     docs are killed by the kernel's own >= t filter.  hot_cap is computed
-    over the FULL corpus so the boilerplate HAVING rule is unchanged."""
+    over the FULL corpus so the boilerplate HAVING rule is unchanged.
+
+    Crossover (measured, BENCH round 5): at sf0.1 (100k docs, ~0.03% dup
+    rate) this path is ~2x SLOWER than the exact join (3.4 s vs 1.6 s) —
+    stage A re-tokenizes the corpus, so the prefix pass only pays off once
+    pair ENUMERATION dominates tokenization.  That is exactly the
+    100-TB-shaped regime (shared-shingle groups grow with corpus size;
+    non-candidate docs then never enter the quadratic kernel), and the
+    regime where the exact join is the published baseline against which
+    PPJoin reports its wins; at low dup rates and toy scale, use
+    ngram_jaccard_pairs directly."""
     import math
     import zlib
 
