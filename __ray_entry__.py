@@ -26,7 +26,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """Ordered so the driver's 50-entry correctness window is ENTIRELY
-    SQL-hash-gated: 125 operators carry an oracle_sql() twin, so 75 of them
+    SQL-hash-gated: 126 operators carry an oracle_sql() twin, so 76 of them
     live in the overflow this round (docs_merged_topk is new in round 5
     and takes the window slot of events_keyset_page8, driver-green
     r02-r04).  Round 5 rotates the round-4
@@ -287,6 +287,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top_paths": relational.events_top_paths,
         # robust median/MAD outlier screen (heavy-tail-safe z-score twin)
         "events_mad_outliers": relational.events_mad_outliers,
+        # TPC-H Q2 analog: correlated-min-cost supplier per part in a region
+        "q2_min_cost_supplier": relational.q2_min_cost_supplier,
         # ---- rows-only / sketch entries (no SQL oracle by nature) ----
         "events_value_quantiles_sketch": relational.events_value_quantiles_sketch,
         # DDSketch-style log-histogram quantiles (provable relative error)
@@ -480,4 +482,5 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_prefix": dedup.NGRAM_JACCARD_SQL,
         "events_top_paths": relational.EVENTS_TOP_PATHS_SQL,
         "events_mad_outliers": relational.EVENTS_MAD_SQL,
+        "q2_min_cost_supplier": relational.Q2_SQL,
     }

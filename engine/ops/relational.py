@@ -4650,3 +4650,161 @@ SELECT d.event_type, d.med_r6, m.mad_r6,
 FROM dev d JOIN mad m USING (event_type)
 GROUP BY 1, 2, 3 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2 analog — minimum-cost supplier per part within a region (the
+# correlated-min + 4-way-join shape; unit price min(l_extendedprice /
+# l_quantity) over the lineitem part<->supplier relation stands in for
+# ps_supplycost).
+
+_Q2_REGION = "EUROPE"
+_Q2_TYPE = "SMALL"
+_Q2_TOP = 100
+
+
+def q2_min_cost_supplier(sf_dir: str):
+    """(s_acctbal, s_name, nation, p_partkey, cost_r6): for SMALL-type
+    parts, the region's supplier(s) achieving the minimum effective unit
+    price, ordered (acctbal DESC, part, supplier), top 100.  Scale shape:
+    the part predicate and the region's supplier attributes broadcast once
+    (part/supplier grain); lineitem batches prune to (matching part,
+    region supplier) and collapse to per-(part, supplier) MIN partials;
+    ONE coarse partkey-hash shuffle finishes the mins and resolves each
+    part's winner rows vectorized (a part's whole group co-locates, so the
+    correlated min never leaves the partition); only winner rows —
+    bounded by the filtered part count — reach the driver for the
+    attribute join + global top-100.  Min/equality run on bitwise-identical
+    doubles in both engines (same division, same value set)."""
+    nation = _pa(sf_dir, "nation",
+                 columns=["n_nationkey", "n_name", "n_regionkey"])
+    region = _pa(sf_dir, "region", columns=["r_regionkey", "r_name"])
+    rk = {
+        k: n for k, n in zip(region["r_regionkey"].to_pylist(),
+                             region["r_name"].to_pylist())
+    }
+    region_nk = {
+        nk for nk, rgk in zip(nation["n_nationkey"].to_pylist(),
+                              nation["n_regionkey"].to_pylist())
+        if rk[rgk] == _Q2_REGION
+    }
+    nnames = {
+        int(k): n for k, n in zip(nation["n_nationkey"].to_pylist(),
+                                  nation["n_name"].to_pylist())
+    }
+    part = _pa(
+        sf_dir, "part", columns=["p_partkey"],
+        filter=(pc.field("p_type") == pc.scalar(_Q2_TYPE)),
+    )
+    pkeys = np.sort(part["p_partkey"].to_numpy(zero_copy_only=False))
+    sup = _pa(
+        sf_dir, "supplier",
+        columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+        filter=pc.field("s_nationkey").isin(sorted(region_nk)),
+    )
+    sk = sup["s_suppkey"].to_numpy(zero_copy_only=False)
+    so = np.argsort(sk)
+    sup_attrs = {
+        int(k): (float(b), str(nm), int(nk))
+        for k, b, nm, nk in zip(
+            sk, sup["s_acctbal"].to_numpy(zero_copy_only=False),
+            sup["s_name"].to_pylist(), sup["s_nationkey"].to_pylist(),
+        )
+    }
+    bcast = ray.put((pkeys, sk[so]))
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        pks, sks = ray.get(bcast)
+        lp = t["l_partkey"].to_numpy(zero_copy_only=False)
+        ls = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        if pks.size == 0 or sks.size == 0:
+            hit = np.zeros(lp.size, bool)
+        else:
+            ppos = np.minimum(np.searchsorted(pks, lp), pks.size - 1)
+            spos = np.minimum(np.searchsorted(sks, ls), sks.size - 1)
+            hit = (pks[ppos] == lp) & (sks[spos] == ls)
+        t = t.filter(pa.array(hit))
+        cost = pc.divide(t["l_extendedprice"], t["l_quantity"])
+        tt = pa.table({"p": t["l_partkey"], "s": t["l_suppkey"], "cost": cost})
+        g = tt.group_by(["p", "s"]).aggregate([("cost", "min")])
+        g = g.rename_columns(["p", "s", "cost"])
+        return g.append_column(
+            "part", pa.array(_keypart(g["p"].to_numpy(zero_copy_only=False)))
+        )
+
+    def winners_of_partition(g: pd.DataFrame) -> pd.DataFrame:
+        empty = {
+            "p": pd.Series([], dtype="int64"),
+            "s": pd.Series([], dtype="int64"),
+            "cost": pd.Series([], dtype="float64"),
+        }
+        if g.empty:
+            return pd.DataFrame(empty)
+        c = g.groupby(["p", "s"], sort=False, as_index=False).agg(
+            cost=("cost", "min")
+        )
+        mc = c.groupby("p")["cost"].transform("min")
+        return c[c["cost"] == mc][["p", "s", "cost"]]
+
+    out = (
+        li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(winners_of_partition, batch_format="pandas")
+        .to_pandas()  # winner rows only (<= filtered part count + ties)
+    )
+    if out.empty:
+        return pd.DataFrame(
+            {"s_acctbal": pd.Series([], dtype="float64"),
+             "s_name": pd.Series([], dtype="object"),
+             "nation": pd.Series([], dtype="object"),
+             "p_partkey": pd.Series([], dtype="int64"),
+             "cost_r6": pd.Series([], dtype="float64")}
+        )
+    attrs = out["s"].map(sup_attrs)
+    out["s_acctbal"] = attrs.map(lambda a: a[0])
+    out["s_name"] = attrs.map(lambda a: a[1])
+    out["nation"] = attrs.map(lambda a: nnames[a[2]])
+    # SQL round() is half-away-from-zero; unit prices are dyadic rationals
+    # (price / small-int quantity) that land exactly on 5e-7 boundaries,
+    # where np.round's half-to-even disagrees by 1e-6 (costs are positive)
+    out["cost_r6"] = np.floor(out["cost"].to_numpy(np.float64) * 1e6 + 0.5) / 1e6
+    out = out.rename(columns={"p": "p_partkey"})
+    return (
+        out.sort_values(["s_acctbal", "p_partkey", "s"],
+                        ascending=[False, True, True])
+        .head(_Q2_TOP)
+        .reset_index(drop=True)
+        [["s_acctbal", "s_name", "nation", "p_partkey", "cost_r6"]]
+    )
+
+
+Q2_SQL = f"""
+WITH sups AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = '{_Q2_REGION}'
+),
+ps AS (
+  SELECT l_partkey AS p, l_suppkey AS s,
+         min(l_extendedprice / l_quantity) AS cost
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN sups ON s_suppkey = l_suppkey
+  WHERE p_type = '{_Q2_TYPE}'
+  GROUP BY 1, 2
+),
+mc AS (SELECT p, min(cost) AS mincost FROM ps GROUP BY 1)
+SELECT s.s_acctbal, s.s_name, s.n_name AS nation, ps.p AS p_partkey,
+       round(ps.cost, 6) AS cost_r6
+FROM ps
+JOIN mc ON mc.p = ps.p AND ps.cost = mc.mincost
+JOIN sups s ON s.s_suppkey = ps.s
+ORDER BY s.s_acctbal DESC, ps.p, ps.s LIMIT {_Q2_TOP}
+"""

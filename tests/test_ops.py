@@ -152,6 +152,7 @@ SQL_CHECKED = [
     "ngram_jaccard_prefix",
     "events_top_paths",
     "events_mad_outliers",
+    "q2_min_cost_supplier",
 ]
 
 
