@@ -26,7 +26,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """Ordered so the driver's 50-entry correctness window is ENTIRELY
-    SQL-hash-gated: 126 operators carry an oracle_sql() twin, so 76 of them
+    SQL-hash-gated: 129 operators carry an oracle_sql() twin, so 79 of them
     live in the overflow this round (docs_merged_topk is new in round 5
     and takes the window slot of events_keyset_page8, driver-green
     r02-r04).  Round 5 rotates the round-4
@@ -289,6 +289,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mad_outliers": relational.events_mad_outliers,
         # TPC-H Q2 analog: correlated-min-cost supplier per part in a region
         "q2_min_cost_supplier": relational.q2_min_cost_supplier,
+        # TPC-H Q12 analog: join + dual conditional counts per category
+        "q12_priority_counts": relational.q12_priority_counts,
+        # TPC-H Q20 analog: nested-aggregate threshold + semi-join
+        "q20_excess_suppliers": relational.q20_excess_suppliers,
+        # TPC-H Q21 analog: NOT-EXISTS other-supplier-on-the-order counts
+        "q21_sole_supplier_orders": relational.q21_sole_supplier_orders,
         # ---- rows-only / sketch entries (no SQL oracle by nature) ----
         "events_value_quantiles_sketch": relational.events_value_quantiles_sketch,
         # DDSketch-style log-histogram quantiles (provable relative error)
@@ -483,4 +489,7 @@ def oracle_sql() -> dict[str, str]:
         "events_top_paths": relational.EVENTS_TOP_PATHS_SQL,
         "events_mad_outliers": relational.EVENTS_MAD_SQL,
         "q2_min_cost_supplier": relational.Q2_SQL,
+        "q12_priority_counts": relational.Q12_SQL,
+        "q20_excess_suppliers": relational.Q20_SQL,
+        "q21_sole_supplier_orders": relational.Q21_SQL,
     }

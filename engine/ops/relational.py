@@ -4808,3 +4808,253 @@ JOIN mc ON mc.p = ps.p AND ps.cost = mc.mincost
 JOIN sups s ON s.s_suppkey = ps.s
 ORDER BY s.s_acctbal DESC, ps.p, ps.s LIMIT {_Q2_TOP}
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q12 analog — join + dual conditional counts per category
+# (l_returnflag stands in for l_shipmode; the fixture has no shipmode).
+
+
+def q12_priority_counts(sf_dir: str):
+    """(l_returnflag, high_count, low_count): per return flag, how many
+    lineitems belong to high-priority (1-URGENT / 2-HIGH) vs lower-priority
+    orders.  Scale shape: the ONLY wide op is the order-keyed hash join of
+    the 2-column scans; each joined batch collapses to flag-grain
+    (high, low) integer partials — the reduce moves 2 ints per flag per
+    block."""
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    joined = li.join(
+        orders, "inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        hi = pc.is_in(
+            t["o_orderpriority"],
+            value_set=pa.array(["1-URGENT", "2-HIGH"]),
+        )
+        hi_i = pc.cast(hi, pa.int64())
+        tt = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "high_count": hi_i,
+                "low_count": pc.subtract(pa.scalar(1, pa.int64()), hi_i),
+            }
+        )
+        return (
+            tt.group_by("l_returnflag")
+            .aggregate([("high_count", "sum"), ("low_count", "sum")])
+            .rename_columns(["l_returnflag", "high_count", "low_count"])
+        )
+
+    out = (
+        joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_returnflag")
+        .aggregate(Sum("high_count", alias_name="high_count"),
+                   Sum("low_count", alias_name="low_count"))
+        .to_pandas()  # flag grain
+    )
+    out["high_count"] = out["high_count"].astype("int64")
+    out["low_count"] = out["low_count"].astype("int64")
+    return out.sort_values("l_returnflag").reset_index(drop=True)[
+        ["l_returnflag", "high_count", "low_count"]
+    ]
+
+
+Q12_SQL = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q20 analog — suppliers shipping well above a part's average
+# (nested aggregate threshold + semi-join; shipped quantity stands in for
+# ps_availqty).
+
+_Q20_PART_LIKE = "red"
+_Q20_YEAR = (np.datetime64("1996-01-01", "us"), np.datetime64("1996-12-31", "us"))
+_Q20_FACTOR = 1.5
+
+
+def q20_excess_suppliers(sf_dir: str):
+    """(s_suppkey, s_name): suppliers who shipped more than 1.5x the
+    per-part average quantity of some '%red%' part during 1996.  Scale
+    shape: the part predicate broadcasts as one sorted key array and the
+    ship-year prunes at the read; per-batch (supplier, part) integer
+    quantity partials ride ONE coarse partkey-hash shuffle; each part's
+    whole group co-locates, so the correlated average and the 1.5x
+    threshold resolve inside the partition (quantities are integral ->
+    the avg and comparison are identical doubles in both engines); only
+    qualifying supplier ids — result scale — reach the driver for the
+    name join."""
+    part = _pa(
+        sf_dir, "part", columns=["p_partkey"],
+        filter=pc.match_substring(pc.field("p_name"), _Q20_PART_LIKE),
+    )
+    pkeys = np.sort(part["p_partkey"].to_numpy(zero_copy_only=False))
+    bcast = ray.put(pkeys)
+    sup = _pa(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    names = {
+        int(k): n for k, n in zip(sup["s_suppkey"].to_pylist(),
+                                  sup["s_name"].to_pylist())
+    }
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+        filter=(
+            (pc.field("l_shipdate") >= pc.scalar(_Q20_YEAR[0]))
+            & (pc.field("l_shipdate") <= pc.scalar(_Q20_YEAR[1]))
+        ),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = ray.get(bcast)
+        lp = t["l_partkey"].to_numpy(zero_copy_only=False)
+        if keys.size == 0:
+            hit = np.zeros(lp.size, bool)
+        else:
+            pos = np.minimum(np.searchsorted(keys, lp), keys.size - 1)
+            hit = keys[pos] == lp
+        t = t.filter(pa.array(hit))
+        tt = pa.table(
+            {
+                "p": t["l_partkey"],
+                "s": t["l_suppkey"],
+                "q": t["l_quantity"].cast(pa.int64()),
+            }
+        )
+        g = tt.group_by(["p", "s"]).aggregate([("q", "sum")])
+        g = g.rename_columns(["p", "s", "q"])
+        return g.append_column(
+            "part", pa.array(_keypart(g["p"].to_numpy(zero_copy_only=False)))
+        )
+
+    def excess_of_partition(g: pd.DataFrame) -> pd.DataFrame:
+        empty = {"s": pd.Series([], dtype="int64")}
+        if g.empty:
+            return pd.DataFrame(empty)
+        c = g.groupby(["p", "s"], sort=False, as_index=False).agg(q=("q", "sum"))
+        aq = c.groupby("p")["q"].transform("mean")  # integral sums -> exact
+        return c[c["q"].to_numpy(np.float64) > _Q20_FACTOR * aq.to_numpy()][["s"]]
+
+    out = (
+        li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(excess_of_partition, batch_format="pandas")
+        .to_pandas()  # qualifying (part, supplier) winners only
+    )
+    if out.empty:
+        return pd.DataFrame(
+            {"s_suppkey": pd.Series([], dtype="int64"),
+             "s_name": pd.Series([], dtype="object")}
+        )
+    ids = np.unique(out["s"].to_numpy(np.int64))
+    return pd.DataFrame(
+        {"s_suppkey": ids, "s_name": [names[int(i)] for i in ids]}
+    )
+
+
+Q20_SQL = f"""
+WITH shipped AS (
+  SELECT l_suppkey AS s, l_partkey AS p, sum(CAST(l_quantity AS BIGINT)) AS q
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE '%{_Q20_PART_LIKE}%'
+    AND l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+  GROUP BY 1, 2
+),
+pavg AS (SELECT p, avg(q) AS aq FROM shipped GROUP BY 1)
+SELECT DISTINCT s_suppkey, s_name
+FROM shipped
+JOIN pavg USING (p)
+JOIN supplier ON s_suppkey = s
+WHERE q > {_Q20_FACTOR} * aq
+ORDER BY s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 analog — sole-supplier order counts (the (NOT) EXISTS
+# other-lineitem-of-the-same-order shape; the fixture has no commitdate,
+# so "waiting" becomes "was the order's only supplier").
+
+_Q21_TOP = 20
+
+
+def q21_sole_supplier_orders(sf_dir: str):
+    """(s_suppkey, s_name, sole_orders): per supplier, how many orders
+    they supplied ALONE (no lineitem from any other supplier exists),
+    top-20 by (count DESC, suppkey).  Scale shape: distinct (order,
+    supplier) per-batch partials -> ONE coarse order-hash shuffle (an
+    order's suppliers co-locate, so the NOT-EXISTS resolves exactly inside
+    the partition) -> supplier-grain count partials -> a tiny supplier
+    reduce; the driver sees supplier-grain counts only for suppliers that
+    have at least one sole order."""
+    sup = _pa(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    names = {
+        int(k): n for k, n in zip(sup["s_suppkey"].to_pylist(),
+                                  sup["s_name"].to_pylist())
+    }
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = pa.table({"o": t["l_orderkey"], "s": t["l_suppkey"]})
+        g = tt.group_by(["o", "s"]).aggregate([])
+        return g.append_column(
+            "part", pa.array(_keypart(g["o"].to_numpy(zero_copy_only=False)))
+        )
+
+    def sole_of_partition(g: pd.DataFrame) -> pd.DataFrame:
+        empty = {
+            "s": pd.Series([], dtype="int64"),
+            "n": pd.Series([], dtype="int64"),
+        }
+        if g.empty:
+            return pd.DataFrame(empty)
+        d = g.drop_duplicates(["o", "s"])
+        ns = d.groupby("o")["s"].transform("size")
+        sole = d[ns == 1]
+        out = sole.groupby("s", sort=False, as_index=False).agg(n=("o", "size"))
+        return out[["s", "n"]]
+
+    red = (
+        li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(sole_of_partition, batch_format="pandas")
+        .groupby("s")
+        .aggregate(Sum("n", alias_name="sole_orders"))
+        .to_pandas()  # supplier grain (only suppliers with sole orders)
+    )
+    if red.empty:
+        return pd.DataFrame(
+            {"s_suppkey": pd.Series([], dtype="int64"),
+             "s_name": pd.Series([], dtype="object"),
+             "sole_orders": pd.Series([], dtype="int64")}
+        )
+    red["sole_orders"] = red["sole_orders"].astype("int64")
+    red = red.rename(columns={"s": "s_suppkey"})
+    red["s_name"] = red["s_suppkey"].map(lambda k: names[int(k)])
+    return (
+        red.sort_values(["sole_orders", "s_suppkey"], ascending=[False, True])
+        .head(_Q21_TOP)
+        .reset_index(drop=True)[["s_suppkey", "s_name", "sole_orders"]]
+    )
+
+
+Q21_SQL = f"""
+WITH os AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem),
+sole AS (
+  SELECT o, min(s) AS s FROM os GROUP BY o HAVING count(*) = 1
+)
+SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS sole_orders
+FROM sole JOIN supplier ON s_suppkey = s
+GROUP BY 1, 2
+ORDER BY sole_orders DESC, s_suppkey LIMIT {_Q21_TOP}
+"""

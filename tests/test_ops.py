@@ -153,6 +153,9 @@ SQL_CHECKED = [
     "events_top_paths",
     "events_mad_outliers",
     "q2_min_cost_supplier",
+    "q12_priority_counts",
+    "q20_excess_suppliers",
+    "q21_sole_supplier_orders",
 ]
 
 
