@@ -21,6 +21,7 @@ from __future__ import annotations
 import os
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
@@ -251,3 +252,87 @@ def bloom_decontaminate(sf_dir: str, n: int = _DECON_N):
     return _read_docs(sf_dir, columns=["doc_id", "text"]).map_batches(
         probe_batch, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic decontamination — embedding-space benchmark overlap (the
+# escalation of the n-gram gates above for paraphrased test leakage:
+# n-gram decontamination misses reworded benchmark items; cosine
+# similarity against the benchmark's embeddings catches them).
+
+_SEM_BENCH_MOD = 101  # vec_id % 101 == 0 plays the held-out benchmark set
+_SEM_THRESHOLD = 0.42
+
+
+def decontaminate_semantic(sf_dir: str, threshold: float = _SEM_THRESHOLD):
+    """(vec_id, max_sim_r6, contaminated): for every corpus embedding, its
+    maximum cosine similarity against the benchmark slice (vec_id %
+    101 == 0 — the fixture stand-in for a real benchmark's embeddings,
+    the decontaminate_docs held-out-slice convention) and the >= 0.42
+    verdict on the ROUNDED similarity (so the flag is deterministic given
+    round-6 agreement).  Scale shape: benchmark embeddings are small by
+    nature (a benchmark suite) and broadcast ONCE as a normalized float64
+    matrix (`ray.put`); each corpus batch is one GEMM + row-max —
+    embarrassingly parallel, nothing corpus-scale leaves the workers.
+    Reference analog: the reference's whole retrieval core is this same
+    pgvector cosine kernel (streamlit_app.py:281-282), repurposed as a
+    curation gate."""
+    from .ann import _emb_matrix, _read_emb
+
+    bench = (
+        _read_emb(sf_dir)
+        .filter(lambda r: r["vec_id"] % _SEM_BENCH_MOD == 0)
+        .to_pandas()  # benchmark-suite scale, not corpus scale
+    )
+    if bench.empty:
+        return pd.DataFrame(
+            {"vec_id": pd.Series([], dtype="int64"),
+             "max_sim_r6": pd.Series([], dtype="float64"),
+             "contaminated": pd.Series([], dtype="bool")}
+        )
+    b = np.stack(bench["embedding"].to_numpy()).astype(np.float64)
+    bn = b / np.linalg.norm(b, axis=1, keepdims=True)
+    b_ref = ray.put(bn)
+
+    def max_sim(t: pa.Table) -> pa.Table:
+        ids, m = _emb_matrix(t)
+        keep = ids % _SEM_BENCH_MOD != 0
+        ids, m = ids[keep], m[keep]
+        if ids.size == 0:
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()),
+                 "max_sim_r6": pa.array([], pa.float64()),
+                 "contaminated": pa.array([], pa.bool_())}
+            )
+        q = ray.get(b_ref)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        ms = np.round((mn @ q.T).max(axis=1), 6)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "max_sim_r6": pa.array(ms, pa.float64()),
+                "contaminated": pa.array(ms >= threshold),
+            }
+        )
+
+    return _read_emb(sf_dir).map_batches(
+        max_sim, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+DECONTAMINATE_SEMANTIC_SQL = f"""
+WITH b AS (
+  SELECT embedding FROM embeddings WHERE vec_id % {_SEM_BENCH_MOD} = 0
+),
+s AS (
+  SELECT c.vec_id,
+         max(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[]))) AS ms
+  FROM embeddings c CROSS JOIN b
+  WHERE c.vec_id % {_SEM_BENCH_MOD} <> 0
+  GROUP BY 1
+)
+SELECT vec_id, round(ms, 6) AS max_sim_r6,
+       round(ms, 6) >= {_SEM_THRESHOLD} AS contaminated
+FROM s
+"""

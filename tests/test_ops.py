@@ -156,6 +156,7 @@ SQL_CHECKED = [
     "q12_priority_counts",
     "q20_excess_suppliers",
     "q21_sole_supplier_orders",
+    "decontaminate_semantic",
 ]
 
 
