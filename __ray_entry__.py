@@ -26,7 +26,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """Ordered so the driver's 50-entry correctness window is ENTIRELY
-    SQL-hash-gated: 130 operators carry an oracle_sql() twin, so 80 of them
+    SQL-hash-gated: 131 operators carry an oracle_sql() twin, so 81 of them
     live in the overflow this round (docs_merged_topk is new in round 5
     and takes the window slot of events_keyset_page8, driver-green
     r02-r04).  Round 5 rotates the round-4
@@ -297,6 +297,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q21_sole_supplier_orders": relational.q21_sole_supplier_orders,
         # semantic decontamination: embedding-cosine benchmark overlap
         "decontaminate_semantic": decontam.decontaminate_semantic,
+        # synonym query expansion (Lucene SynonymQuery: summed-tf/union-df)
+        "docs_synonym_topk": docsearch.bm25_docs_synonyms,
         # ---- rows-only / sketch entries (no SQL oracle by nature) ----
         "events_value_quantiles_sketch": relational.events_value_quantiles_sketch,
         # DDSketch-style log-histogram quantiles (provable relative error)
@@ -495,4 +497,5 @@ def oracle_sql() -> dict[str, str]:
         "q20_excess_suppliers": relational.Q20_SQL,
         "q21_sole_supplier_orders": relational.Q21_SQL,
         "decontaminate_semantic": decontam.DECONTAMINATE_SEMANTIC_SQL,
+        "docs_synonym_topk": docsearch.SYNONYM_DOCS_SQL,
     }

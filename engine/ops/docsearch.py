@@ -1178,3 +1178,93 @@ ORDER BY p.term, pos.doc_id
 
 
 TERM_OCCURRENCES_SQL = _term_occurrences_sql()
+
+
+# ---------------------------------------------------------------------------
+# Synonym query expansion — Lucene-SynonymQuery semantics: a registered
+# synonym group scores as ONE pseudo-term (summed tf, union df) so members
+# share a single IDF instead of double-counting.  Reference analog: the
+# reference's slogan rewrite serves the same goal (matching alternate
+# phrasings of one concept) on the embedding side; this is the lexical
+# twin every search engine ships as a synonym filter.
+
+SYN_DOC_QUERIES = [
+    [["hash"], ["join", "merge"]],
+    [["scan"], ["table", "row"]],
+    [["window"], ["agg", "group"]],
+]
+
+
+def bm25_docs_synonyms(sf_dir: str, k: int = K) -> pd.DataFrame:
+    """(query_id, rank, doc_id, score_r6): BM25 top-k where each bracketed
+    group of the query is a synonym set scored with combined saturation
+    (tf' = sum of member tfs, df' = |union of member postings|).  Runs on
+    the same index/serving path as every other query entry; the synonym
+    scorer is IndexReader.search_synonyms (raw tf/doclen postings decode +
+    one combined impact pass per group)."""
+    reader = _index_for(sf_dir)
+    rows = []
+    for qid, groups in enumerate(SYN_DOC_QUERIES):
+        for rank, (doc_id, score) in enumerate(
+            reader.search_synonyms(groups, k=k), start=1
+        ):
+            rows.append((qid, rank, doc_id, round(score, 6)))
+    return pd.DataFrame(
+        rows, columns=["query_id", "rank", "doc_id", "score_r6"]
+    ).astype({"query_id": "int64", "rank": "int64", "doc_id": "int64",
+              "score_r6": "float64"})
+
+
+def _synonyms_sql(k: int = K) -> str:
+    vals = []
+    for qid, groups in enumerate(SYN_DOC_QUERIES):
+        for gid, group in enumerate(groups):
+            for term in sorted(set(group)):
+                vals.append(f"({qid}, {gid}, '{term}')")
+    return f"""
+WITH syn(query_id, gid, term) AS (VALUES {", ".join(vals)}),
+tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS tk
+  FROM documents
+),
+tf AS (SELECT doc_id, tk, count(*) AS tf FROM tok GROUP BY doc_id, tk),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+-- SynonymQuery: per (query, group, doc) the member tfs SUM before
+-- saturation, and the group's df is the union of member postings
+gtf AS (
+  SELECT s.query_id, s.gid, tf.doc_id, CAST(sum(tf.tf) AS DOUBLE) AS tf
+  FROM syn s JOIN tf ON tf.tk = s.term
+  GROUP BY 1, 2, 3
+),
+gdf AS (SELECT query_id, gid, count(*) AS df FROM gtf GROUP BY 1, 2),
+contrib AS (
+  SELECT g.query_id, g.doc_id,
+         ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1)
+           * (g.tf * ({K1} + 1.0)
+              / (g.tf + {K1} * ((1.0 - {B}) + ({B} * dl.dl) / s.avgdl))) AS c
+  FROM gtf g
+  JOIN gdf d ON d.query_id = g.query_id AND d.gid = g.gid
+  JOIN dl ON dl.doc_id = g.doc_id
+  CROSS JOIN stats s
+),
+scores AS (
+  SELECT query_id, doc_id, sum(c) AS score FROM contrib GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, round(score, 6) AS score_r6,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM scores
+)
+SELECT query_id, rank, doc_id, score_r6 FROM ranked WHERE rank <= {k}
+"""
+
+
+SYNONYM_DOCS_SQL = _synonyms_sql()

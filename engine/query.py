@@ -508,6 +508,83 @@ class IndexReader:
             return 0
         return int(np.unique(np.concatenate(ids)).size)
 
+    def _term_postings_raw(
+        self, term: str
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(doc_nos, tfs, doclens) for one analyzed term, concatenated over
+        its (salted) chunks, UNDECORATED — the raw columns the impact
+        formula consumes, for scorers whose saturation must run on a
+        COMBINED tf (SynonymQuery) rather than per-term impacts."""
+        tbl, index = self._bucket_rows(term_bucket(term))
+        ids_l, tf_l, dl_l = [], [], []
+        for row in index.get(term, ()):
+            n = tbl["df_chunk"][row].as_py()
+            ids_l.append(
+                codec.delta_decode(tbl["doc_ids"][row].as_py(), n).astype(np.int64)
+            )
+            tf_l.append(codec.ints_decode(tbl["tfs"][row].as_py(), n).astype(np.float64))
+            dl_l.append(
+                codec.ints_decode(tbl["doclens"][row].as_py(), n).astype(np.float64)
+            )
+        if not ids_l:
+            e = np.empty(0, np.int64)
+            return e, np.empty(0, np.float64), np.empty(0, np.float64)
+        return np.concatenate(ids_l), np.concatenate(tf_l), np.concatenate(dl_l)
+
+    def search_synonyms(
+        self, groups: list[list[str]], k: int = 10
+    ) -> list[tuple[int, float]]:
+        """BM25 top-k under Lucene-SynonymQuery semantics: each GROUP of
+        analyzed terms scores as one pseudo-term whose tf is the SUM of the
+        member tfs in a doc and whose df is the size of the UNION of the
+        member postings — so "merge" and "join" registered as synonyms rank
+        a doc mentioning either (or both, with combined saturation) under
+        one IDF, instead of double-counting two independent terms.  Exact
+        same impact arithmetic (dtype, op order, constants) as the scorer;
+        returns [(doc_id, score)], (score DESC, doc_id) tie-broken."""
+        k1 = float(self.stats["k1"])
+        b = float(self.stats["b"])
+        avgdl = self.avgdl
+        docs_l: list[np.ndarray] = []
+        imps_l: list[np.ndarray] = []
+        for group in groups:
+            ids_l, tf_l, dl_l = [], [], []
+            for term in sorted(set(group)):
+                i, t, d = self._term_postings_raw(term)
+                if i.size:
+                    ids_l.append(i)
+                    tf_l.append(t)
+                    dl_l.append(d)
+            if not ids_l:
+                continue
+            ids = np.concatenate(ids_l)
+            tfs = np.concatenate(tf_l)
+            dls = np.concatenate(dl_l)
+            u, inv = np.unique(ids, return_inverse=True)
+            gtf = np.zeros(u.size, np.float64)
+            np.add.at(gtf, inv, tfs)
+            gdl = np.zeros(u.size, np.float64)
+            gdl[inv] = dls  # doclen is a doc property: identical per member
+            df = u.size
+            idf = float(np.log((self.n_docs - df + 0.5) / (df + 0.5) + 1.0))
+            imps_l.append(
+                idf * (gtf * (k1 + 1.0) / (gtf + k1 * ((1.0 - b) + (b * gdl) / avgdl)))
+            )
+            docs_l.append(u)
+        if not docs_l:
+            return []
+        alive = self._tombstone_mask()
+        docs = np.concatenate(docs_l)
+        imps = np.concatenate(imps_l)
+        u, inv = np.unique(docs, return_inverse=True)
+        score = np.zeros(u.size, np.float64)
+        np.add.at(score, inv, imps)
+        if alive is not None:
+            keep = alive[u]
+            u, score = u[keep], score[keep]
+        order = np.lexsort((u, -np.round(score, 6)))[:k]
+        return self._docnos_to_ids([(int(u[i]), float(score[i])) for i in order])
+
     def term_occurrences(
         self, term: str
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:

@@ -157,6 +157,7 @@ SQL_CHECKED = [
     "q20_excess_suppliers",
     "q21_sole_supplier_orders",
     "decontaminate_semantic",
+    "docs_synonym_topk",
 ]
 
 
