@@ -26,7 +26,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """Ordered so the driver's 50-entry correctness window is ENTIRELY
-    SQL-hash-gated: 131 operators carry an oracle_sql() twin, so 81 of them
+    SQL-hash-gated: 132 operators carry an oracle_sql() twin, so 82 of them
     live in the overflow this round (docs_merged_topk is new in round 5
     and takes the window slot of events_keyset_page8, driver-green
     r02-r04).  Round 5 rotates the round-4
@@ -299,6 +299,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_semantic": decontam.decontaminate_semantic,
         # synonym query expansion (Lucene SynonymQuery: summed-tf/union-df)
         "docs_synonym_topk": docsearch.bm25_docs_synonyms,
+        # keep-best-source exact dedup (provenance-aware keep rule)
+        "dedup_by_source_priority": dedup.dedup_by_source_priority,
         # ---- rows-only / sketch entries (no SQL oracle by nature) ----
         "events_value_quantiles_sketch": relational.events_value_quantiles_sketch,
         # DDSketch-style log-histogram quantiles (provable relative error)
@@ -498,4 +500,5 @@ def oracle_sql() -> dict[str, str]:
         "q21_sole_supplier_orders": relational.Q21_SQL,
         "decontaminate_semantic": decontam.DECONTAMINATE_SEMANTIC_SQL,
         "docs_synonym_topk": docsearch.SYNONYM_DOCS_SQL,
+        "dedup_by_source_priority": dedup.DEDUP_SOURCE_PRIORITY_SQL,
     }

@@ -1465,3 +1465,87 @@ j AS (
 SELECT status, CAST(count(*) AS BIGINT) AS n FROM j
 GROUP BY status ORDER BY status
 """
+
+
+# ---------------------------------------------------------------------------
+# Source-priority dedup — keep-best-source within exact-duplicate clusters
+# (the corpus-curation rule: when a page appears in a curated source AND a
+# crawl, keep the curated copy; plain exact_dedup's min-doc_id keep rule
+# ignores provenance).
+
+
+def dedup_by_source_priority(sf_dir: str):
+    """(h, keep_id, keep_source, n_dups): per content hash, the surviving
+    doc under the (source priority, doc_id) keep rule — priority is the
+    source's numeric suffix ascending (src0 outranks src1).  Scale shape:
+    identical to exact_dedup (per-batch per-hash winner partials + counts
+    -> ONE coarse hash-prefix shuffle -> vectorized per-partition
+    re-argmin); the winner rule composes lexicographically, so partials
+    lose no information."""
+
+    def hash_batch(t: pa.Table) -> pd.DataFrame:
+        hs = [hashlib.md5(x.encode("utf-8")).hexdigest() for x in t["text"].to_pylist()]
+        import re
+
+        src = t["source"].to_pylist()
+        # trailing digits = priority rank (mirrors the oracle's
+        # regexp_extract('([0-9]+)$')); no digits -> 0
+        prio = np.array(
+            [int((re.search(r"([0-9]+)$", s) or [None, "0"])[1]) for s in src],
+            np.int64,
+        )
+        df = pd.DataFrame(
+            {
+                "h": hs,
+                "prio": prio,
+                "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+                "source": src,
+                "n": np.ones(len(hs), np.int64),
+            }
+        )
+        # per-batch winner per hash: lexicographic (prio, doc_id) argmin
+        df = df.sort_values(["h", "prio", "doc_id"], kind="mergesort")
+        counts = df.groupby("h", sort=False)["n"].transform("sum")
+        df["n"] = counts
+        df = df.drop_duplicates("h", keep="first")
+        df["part"] = [int(x[:8], 16) % _N_CAND_PARTS for x in df["h"]]
+        return df[["h", "prio", "doc_id", "source", "n", "part"]]
+
+    def dedup_of_partition(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {"h": pd.Series([], dtype="object"),
+                 "keep_id": pd.Series([], dtype="int64"),
+                 "keep_source": pd.Series([], dtype="object"),
+                 "n_dups": pd.Series([], dtype="int64")}
+            )
+        g = g.sort_values(["h", "prio", "doc_id"], kind="mergesort")
+        n = g.groupby("h", sort=False)["n"].transform("sum")
+        g = g.assign(n_dups=n).drop_duplicates("h", keep="first")
+        g = g.rename(columns={"doc_id": "keep_id", "source": "keep_source"})
+        return g[["h", "keep_id", "keep_source", "n_dups"]]
+
+    return (
+        _read_docs(sf_dir, columns=["doc_id", "text", "source"])
+        .map_batches(hash_batch, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(dedup_of_partition, batch_format="pandas")
+    )
+
+
+DEDUP_SOURCE_PRIORITY_SQL = """
+WITH d AS (
+  SELECT doc_id, source, md5(text) AS h,
+         CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) AS prio
+  FROM documents
+),
+r AS (
+  SELECT h, doc_id, source,
+         row_number() OVER (PARTITION BY h ORDER BY prio, doc_id) AS rn,
+         count(*) OVER (PARTITION BY h) AS n_dups
+  FROM d
+)
+SELECT h, doc_id AS keep_id, source AS keep_source,
+       CAST(n_dups AS BIGINT) AS n_dups
+FROM r WHERE rn = 1
+"""

@@ -158,6 +158,7 @@ SQL_CHECKED = [
     "q21_sole_supplier_orders",
     "decontaminate_semantic",
     "docs_synonym_topk",
+    "dedup_by_source_priority",
 ]
 
 
