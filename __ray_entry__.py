@@ -26,7 +26,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """Ordered so the driver's 50-entry correctness window is ENTIRELY
-    SQL-hash-gated: 132 operators carry an oracle_sql() twin, so 82 of them
+    SQL-hash-gated: 134 operators carry an oracle_sql() twin, so 84 of them
     live in the overflow this round (docs_merged_topk is new in round 5
     and takes the window slot of events_keyset_page8, driver-green
     r02-r04).  Round 5 rotates the round-4
@@ -301,6 +301,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_synonym_topk": docsearch.bm25_docs_synonyms,
         # keep-best-source exact dedup (provenance-aware keep rule)
         "dedup_by_source_priority": dedup.dedup_by_source_priority,
+        # trailing-window burst days (incident screen)
+        "events_burst_days": relational.events_burst_days,
+        # alpha=0.5 EWMA of daily volume (bitwise-exact dyadic weights)
+        "events_ewma_daily": relational.events_ewma_daily,
         # ---- rows-only / sketch entries (no SQL oracle by nature) ----
         "events_value_quantiles_sketch": relational.events_value_quantiles_sketch,
         # DDSketch-style log-histogram quantiles (provable relative error)
@@ -501,4 +505,6 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_semantic": decontam.DECONTAMINATE_SEMANTIC_SQL,
         "docs_synonym_topk": docsearch.SYNONYM_DOCS_SQL,
         "dedup_by_source_priority": dedup.DEDUP_SOURCE_PRIORITY_SQL,
+        "events_burst_days": relational.EVENTS_BURST_SQL,
+        "events_ewma_daily": relational.EVENTS_EWMA_SQL,
     }

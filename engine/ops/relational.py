@@ -5058,3 +5058,199 @@ FROM sole JOIN supplier ON s_suppkey = s
 GROUP BY 1, 2
 ORDER BY sole_orders DESC, s_suppkey LIMIT {_Q21_TOP}
 """
+
+
+# ---------------------------------------------------------------------------
+# Burst detection — trailing-window spike screen on daily volumes (the
+# trend/incident twin of events_anomaly_zscore's global-moments screen).
+
+_BURST_WINDOW = 7
+_BURST_FACTOR = 1.25  # dyadic: the compare is exact in both engines
+_BURST_MIN_PRIOR = 3
+
+
+def events_burst_days(sf_dir: str):
+    """(event_type, dday, n, trail_avg_r6): days whose event count exceeds
+    1.25x the average of the preceding <=7 days (needing >= 3 prior
+    days; the factor is dyadic so the compare is exact in both engines).
+    Scale shape: the events_anomaly_zscore plan — per-batch (type, day)
+    count partials, ONE type-keyed shuffle, per-type day series bounded by
+    the time range; the trailing average is integer-exact so the burst
+    comparison is deterministic vs SQL."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def count_partials(t: pa.Table) -> pa.Table:
+        day = pc.strftime(t["ts"], format="%Y-%m-%d")
+        g = pa.table({"event_type": t["event_type"], "dday": day}).group_by(
+            ["event_type", "dday"]
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "dday": g["dday"],
+                "n_part": g["count_all"].cast(pa.int64()),
+            }
+        )
+
+    def bursts_of_type(g: pd.DataFrame) -> pd.DataFrame:
+        empty = {
+            "event_type": pd.Series([], dtype="object"),
+            "dday": pd.Series([], dtype="object"),
+            "n": pd.Series([], dtype="int64"),
+            "trail_avg_r6": pd.Series([], dtype="float64"),
+        }
+        if g.empty:
+            return pd.DataFrame(empty)
+        c = (
+            g.groupby(["event_type", "dday"], sort=False, as_index=False)
+            .agg(n=("n_part", "sum"))
+            .sort_values("dday")
+            .reset_index(drop=True)
+        )
+        n = c["n"].to_numpy(np.int64)
+        d = n.size
+        csum = np.r_[0, np.cumsum(n)]
+        out_rows = []
+        for i in range(_BURST_MIN_PRIOR, d):
+            lo = max(0, i - _BURST_WINDOW)
+            w = i - lo
+            avg = (csum[i] - csum[lo]) / w  # integer-exact numerator
+            if n[i] > _BURST_FACTOR * avg:
+                out_rows.append(
+                    (c["event_type"].iloc[i], c["dday"].iloc[i], int(n[i]),
+                     round(avg, 6))
+                )
+        if not out_rows:
+            return pd.DataFrame(empty)
+        return pd.DataFrame(
+            out_rows, columns=["event_type", "dday", "n", "trail_avg_r6"]
+        ).astype({"n": "int64", "trail_avg_r6": "float64"})
+
+    out = (
+        ds.map_batches(count_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .map_groups(bursts_of_type, batch_format="pandas")
+        .to_pandas()  # burst-day scale (rare by construction)
+    )
+    if out.empty:  # all-empty groups lose the pandas schema in the union
+        return pd.DataFrame(
+            {"event_type": pd.Series([], dtype="object"),
+             "dday": pd.Series([], dtype="object"),
+             "n": pd.Series([], dtype="int64"),
+             "trail_avg_r6": pd.Series([], dtype="float64")}
+        )
+    return out.reset_index(drop=True)
+
+
+EVENTS_BURST_SQL = f"""
+WITH c AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS dday,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type, dday, n,
+         avg(n) OVER (PARTITION BY event_type ORDER BY dday
+                      ROWS BETWEEN {_BURST_WINDOW} PRECEDING
+                           AND 1 PRECEDING) AS trail_avg,
+         row_number() OVER (PARTITION BY event_type ORDER BY dday) - 1
+           AS prior_days
+  FROM c
+)
+SELECT event_type, dday, n, round(trail_avg, 6) AS trail_avg_r6
+FROM w
+WHERE prior_days >= {_BURST_MIN_PRIOR} AND n > {_BURST_FACTOR} * trail_avg
+"""
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing — per-type exponentially weighted moving average of daily
+# volume (alpha = 0.5: dyadic weights make the recursion and the oracle's
+# closed-form sum bitwise-identical for month-scale series).
+
+_EWMA_ALPHA = 0.5  # DYADIC on purpose — see docstring
+
+
+def events_ewma_daily(sf_dir: str):
+    """(event_type, dday, n, ewma_r6): per-type daily counts with the
+    alpha=0.5 EWMA (e_0 = x_0; e_i = a*x_i + (1-a)*e_{i-1}).  alpha is
+    deliberately a power of two: every weight (1-a)^j is dyadic, so both
+    the engine's recursion and the oracle's closed-form pow-sum evaluate
+    EXACTLY in float64 for month-scale series (integer counts < 2^20,
+    series < 40 days -> < 52 significant bits) — no rounding-boundary
+    risk.  Scale shape: the zscore/burst plan (count partials -> one
+    type-keyed shuffle -> result-scale day-series kernel)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def count_partials(t: pa.Table) -> pa.Table:
+        day = pc.strftime(t["ts"], format="%Y-%m-%d")
+        g = pa.table({"event_type": t["event_type"], "dday": day}).group_by(
+            ["event_type", "dday"]
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "dday": g["dday"],
+                "n_part": g["count_all"].cast(pa.int64()),
+            }
+        )
+
+    def ewma_of_type(g: pd.DataFrame) -> pd.DataFrame:
+        empty = {
+            "event_type": pd.Series([], dtype="object"),
+            "dday": pd.Series([], dtype="object"),
+            "n": pd.Series([], dtype="int64"),
+            "ewma_r6": pd.Series([], dtype="float64"),
+        }
+        if g.empty:
+            return pd.DataFrame(empty)
+        c = (
+            g.groupby(["event_type", "dday"], sort=False, as_index=False)
+            .agg(n=("n_part", "sum"))
+            .sort_values("dday")
+            .reset_index(drop=True)
+        )
+        n = c["n"].to_numpy(np.int64).astype(np.float64)
+        e = np.empty_like(n)
+        e[0] = n[0]
+        for i in range(1, n.size):
+            e[i] = _EWMA_ALPHA * n[i] + (1.0 - _EWMA_ALPHA) * e[i - 1]
+        return pd.DataFrame(
+            {
+                "event_type": c["event_type"],
+                "dday": c["dday"],
+                "n": c["n"].astype("int64"),
+                # dyadic EWMA values land EXACTLY on 5e-7 boundaries, where
+                # np.round's half-to-even disagrees with SQL round(); counts
+                # are positive, so half-away == floor(x*1e6 + 0.5)
+                "ewma_r6": np.floor(e * 1e6 + 0.5) / 1e6,
+            }
+        )
+
+    return (
+        ds.map_batches(count_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .map_groups(ewma_of_type, batch_format="pandas")
+    )
+
+
+EVENTS_EWMA_SQL = f"""
+WITH c AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS dday,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type, dday, n,
+         row_number() OVER (PARTITION BY event_type ORDER BY dday) - 1 AS i
+  FROM c
+)
+-- closed form of the recursion: e_i = (1-a)^i * x_0 + a * sum (1-a)^(i-j) x_j
+SELECT a.event_type, a.dday, a.n,
+       round(sum(CASE WHEN b.i = 0
+                      THEN pow({1.0 - _EWMA_ALPHA}, a.i) * b.n
+                      ELSE {_EWMA_ALPHA} * pow({1.0 - _EWMA_ALPHA}, a.i - b.i)
+                           * b.n END), 6) AS ewma_r6
+FROM idx a JOIN idx b ON b.event_type = a.event_type AND b.i <= a.i
+GROUP BY 1, 2, 3
+"""

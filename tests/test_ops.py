@@ -159,6 +159,8 @@ SQL_CHECKED = [
     "decontaminate_semantic",
     "docs_synonym_topk",
     "dedup_by_source_priority",
+    "events_burst_days",
+    "events_ewma_daily",
 ]
 
 
