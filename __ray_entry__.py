@@ -26,7 +26,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """Ordered so the driver's 50-entry correctness window is ENTIRELY
-    SQL-hash-gated: 134 operators carry an oracle_sql() twin, so 84 of them
+    SQL-hash-gated: 135 operators carry an oracle_sql() twin, so 85 of them
     live in the overflow this round (docs_merged_topk is new in round 5
     and takes the window slot of events_keyset_page8, driver-green
     r02-r04).  Round 5 rotates the round-4
@@ -305,6 +305,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_burst_days": relational.events_burst_days,
         # alpha=0.5 EWMA of daily volume (bitwise-exact dyadic weights)
         "events_ewma_daily": relational.events_ewma_daily,
+        # index-integrity gate: the index's FULL vocabulary + dfs vs corpus
+        "index_df_histogram": docsearch.index_df_histogram,
         # ---- rows-only / sketch entries (no SQL oracle by nature) ----
         "events_value_quantiles_sketch": relational.events_value_quantiles_sketch,
         # DDSketch-style log-histogram quantiles (provable relative error)
@@ -507,4 +509,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_by_source_priority": dedup.DEDUP_SOURCE_PRIORITY_SQL,
         "events_burst_days": relational.EVENTS_BURST_SQL,
         "events_ewma_daily": relational.EVENTS_EWMA_SQL,
+        "index_df_histogram": docsearch.INDEX_DF_HISTOGRAM_SQL,
     }

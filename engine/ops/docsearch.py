@@ -1268,3 +1268,66 @@ SELECT query_id, rank, doc_id, score_r6 FROM ranked WHERE rank <= {k}
 
 
 SYNONYM_DOCS_SQL = _synonyms_sql()
+
+
+# ---------------------------------------------------------------------------
+# Index-integrity observability — vocabulary df histogram read from the
+# INDEX's dfs store and gated against a corpus-derived SQL oracle: the hash
+# match proves the index's entire vocabulary and every document frequency
+# equal the tokenized corpus's ground truth (a structural check no scoring
+# gate gives, since top-k only ever touches the query terms).
+
+
+def index_df_histogram(sf_dir: str) -> pd.DataFrame:
+    """(df_bucket, n_terms, max_df): log2-bucketed document-frequency
+    histogram of the index vocabulary.  Buckets use floor(log2(df + 0.5))
+    — df + 0.5 is never a power of two, so the floor has no float boundary
+    in either engine.  Scale shape: the dfs store streams as a Ray dataset
+    (vocab-scale, never driver-side as one table); per-batch bucket
+    partials reduce to <= 64 rows."""
+    import ray.data as rd
+
+    reader = _index_for(sf_dir)
+    ds = rd.read_parquet(os.path.join(reader.index_dir, "dfs"), columns=["df"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        bucket = np.floor(np.log2(df + 0.5)).astype(np.int64)
+        tt = pa.table(
+            {
+                "df_bucket": pa.array(bucket, pa.int64()),
+                "n_terms": pa.array(np.ones(bucket.size, np.int64)),
+                "max_df": t["df"].cast(pa.int64()),
+            }
+        )
+        g = tt.group_by("df_bucket").aggregate([("n_terms", "sum"), ("max_df", "max")])
+        return g.rename_columns(["df_bucket", "n_terms", "max_df"])
+
+    from ray.data.aggregate import Max, Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("df_bucket")
+        .aggregate(Sum("n_terms", alias_name="n_terms"),
+                   Max("max_df", alias_name="max_df"))
+        .to_pandas()  # <= 64 buckets
+    )
+    out = out.astype({"df_bucket": "int64", "n_terms": "int64", "max_df": "int64"})
+    return out.sort_values("df_bucket").reset_index(drop=True)[
+        ["df_bucket", "n_terms", "max_df"]
+    ]
+
+
+INDEX_DF_HISTOGRAM_SQL = """
+WITH tok AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS tk
+  FROM documents
+),
+df AS (SELECT tk, count(*) AS df FROM tok GROUP BY tk)
+SELECT CAST(floor(log2(df + 0.5)) AS BIGINT) AS df_bucket,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(max(df) AS BIGINT) AS max_df
+FROM df GROUP BY 1 ORDER BY 1
+"""

@@ -161,6 +161,7 @@ SQL_CHECKED = [
     "dedup_by_source_priority",
     "events_burst_days",
     "events_ewma_daily",
+    "index_df_histogram",
 ]
 
 
