@@ -1331,3 +1331,93 @@ SELECT CAST(floor(log2(df + 0.5)) AS BIGINT) AS df_bucket,
        CAST(max(df) AS BIGINT) AS max_df
 FROM df GROUP BY 1 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Regex term queries — Lucene RegexpQuery analog: a regular expression
+# expands against the index vocabulary (df-capped, same rule as wildcard)
+# and the expansion scores as a BM25 OR.
+
+REGEX_DOC_QUERIES = [
+    "(join|merge)",
+    "ta.le",
+    "s(can|ort)",
+    "wind.*",
+]
+
+
+def bm25_docs_regex(sf_dir: str, k: int = K) -> pd.DataFrame:
+    """(query_id, rank, doc_id, score_r6): BM25 top-k where each query is
+    a REGEX over the vocabulary (IndexReader.regex_expand: full-match,
+    capped (df DESC, term ASC) like wildcard).  Patterns stick to the
+    portable subset (classes, alternation, quantifiers) so Python re and
+    DuckDB's RE2 agree."""
+    reader = _index_for(sf_dir)
+    rows = []
+    for qid, pattern in enumerate(REGEX_DOC_QUERIES):
+        terms = reader.regex_expand(pattern)
+        if not terms:
+            continue
+        # 2k by exact score, then the oracle's (round6 DESC, doc_id) order
+        res = reader.search(" ".join(terms), k=2 * k)
+        res = [(int(np.int64(np.uint64(d))), round(s, 6)) for d, s in res]
+        res.sort(key=lambda t: (-t[1], t[0]))
+        for rank, (did, s) in enumerate(res[:k], 1):
+            rows.append((qid, rank, did, s))
+    return pd.DataFrame(
+        rows, columns=["query_id", "rank", "doc_id", "score_r6"]
+    ).astype({"query_id": "int64", "rank": "int64", "doc_id": "int64",
+              "score_r6": "float64"})
+
+
+def _regex_docs_sql(k: int = K) -> str:
+    from ..query import MAX_PREFIX_EXPANSIONS
+
+    px_ctes, q_unions = [], []
+    for qid, pattern in enumerate(REGEX_DOC_QUERIES):
+        px_ctes.append(
+            f"rx{qid} AS (SELECT tk FROM dfv "
+            f"WHERE regexp_full_match(tk, '{pattern}') "
+            f"ORDER BY df DESC, tk LIMIT {MAX_PREFIX_EXPANSIONS})"
+        )
+        q_unions.append(f"SELECT {qid} AS query_id, tk AS term FROM rx{qid}")
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS tk
+  FROM documents
+),
+tf AS (SELECT doc_id, tk, count(*) AS tf FROM tok GROUP BY doc_id, tk),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+dfv AS (SELECT tk, count(*) AS df FROM tf GROUP BY tk),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+{", ".join(px_ctes)},
+queries AS ({" UNION ALL ".join(q_unions)}),
+contrib AS (
+  SELECT q.query_id, tf.doc_id,
+         ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1)
+           * tf.tf * ({K1} + 1.0)
+           / (tf.tf + {K1} * ((1.0 - {B}) + ({B} * dl.dl) / s.avgdl)) AS c
+  FROM queries q
+  JOIN tf ON tf.tk = q.term
+  JOIN dfv d ON d.tk = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+scores AS (SELECT query_id, doc_id, sum(c) AS score FROM contrib GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, doc_id, round(score, 6) AS score_r6,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM scores
+)
+SELECT query_id, rank, doc_id, score_r6 FROM ranked WHERE rank <= {k}
+"""
+
+
+REGEX_DOCS_SQL = _regex_docs_sql()

@@ -410,6 +410,25 @@ class IndexReader:
             terms = terms[keep]
         return sorted(terms.tolist())
 
+    def regex_expand(self, pattern: str) -> list[str]:
+        """Indexed terms fully matching `pattern` (Lucene RegexpQuery
+        analog), capped deterministically at MAX_PREFIX_EXPANSIONS by
+        (df DESC, term ASC) — the same cap rule as wildcard expansion, and
+        the SQL oracle mirrors it with regexp_full_match + ORDER BY df
+        DESC, tk LIMIT.  The scan walks the in-memory term-sorted
+        vocabulary (at web vocab: the partitioned dfs/ parquet, prunable
+        to a literal-prefix term range when the pattern has one)."""
+        rx = re.compile(pattern)
+        vocab, dfs = self._vocab()
+        hit = np.fromiter(
+            (rx.fullmatch(t) is not None for t in vocab), bool, count=vocab.size
+        )
+        terms, d = vocab[hit], dfs[hit]
+        if terms.size > MAX_PREFIX_EXPANSIONS:
+            keep = np.lexsort((terms, -d))[:MAX_PREFIX_EXPANSIONS]
+            terms = terms[keep]
+        return sorted(terms.tolist())
+
     # ------------------------------------------------------------------
     def _delete_index(self) -> dict[str, list[str]]:
         """SymSpell-style candidate index: every single-character deletion of

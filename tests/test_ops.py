@@ -162,6 +162,7 @@ SQL_CHECKED = [
     "events_burst_days",
     "events_ewma_daily",
     "index_df_histogram",
+    "docs_regex_topk",
 ]
 
 
