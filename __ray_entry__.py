@@ -26,7 +26,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """Ordered so the driver's 50-entry correctness window is ENTIRELY
-    SQL-hash-gated: 136 operators carry an oracle_sql() twin, so 86 of them
+    SQL-hash-gated: 137 operators carry an oracle_sql() twin, so 87 of them
     live in the overflow this round (docs_merged_topk is new in round 5
     and takes the window slot of events_keyset_page8, driver-green
     r02-r04).  Round 5 rotates the round-4
@@ -309,6 +309,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_df_histogram": docsearch.index_df_histogram,
         # regex term queries (Lucene RegexpQuery: vocab full-match, df cap)
         "docs_regex_topk": docsearch.bm25_docs_regex,
+        # score EXPLAIN: per-term breakdown of each query's top-1 doc
+        "docs_score_explain": docsearch.docs_score_explain,
         # ---- rows-only / sketch entries (no SQL oracle by nature) ----
         "events_value_quantiles_sketch": relational.events_value_quantiles_sketch,
         # DDSketch-style log-histogram quantiles (provable relative error)
@@ -513,4 +515,5 @@ def oracle_sql() -> dict[str, str]:
         "events_ewma_daily": relational.EVENTS_EWMA_SQL,
         "index_df_histogram": docsearch.INDEX_DF_HISTOGRAM_SQL,
         "docs_regex_topk": docsearch.REGEX_DOCS_SQL,
+        "docs_score_explain": docsearch.SCORE_EXPLAIN_SQL,
     }

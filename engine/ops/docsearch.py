@@ -1421,3 +1421,91 @@ SELECT query_id, rank, doc_id, score_r6 FROM ranked WHERE rank <= {k}
 
 
 REGEX_DOCS_SQL = _regex_docs_sql()
+
+
+# ---------------------------------------------------------------------------
+# Score explanation — the Lucene Explanation analog through the SQL gate:
+# for each query's TOP-1 document, the per-term (tf, df, idf, contribution)
+# breakdown, proving the engine's served score decomposes exactly as the
+# corpus-derived BM25 algebra says it should.
+
+
+def docs_score_explain(sf_dir: str) -> pd.DataFrame:
+    """(query_id, doc_id, term, tf, df, idf_r6, contrib_r6): per-term
+    score breakdown of each DOC_QUERIES query's rank-1 document
+    (IndexReader.explain: raw postings probe + the scorer's exact
+    arithmetic).  The oracle recomputes the same breakdown from raw text,
+    so a hash match proves served scores decompose term-by-term into the
+    documented BM25 algebra — the debugging surface every search engine
+    ships as "explain"."""
+    reader = _index_for(sf_dir)
+    rows = []
+    for qid, qtext in enumerate(DOC_QUERIES):
+        res = reader.search(qtext, k=2)
+        res = [(int(np.int64(np.uint64(d))), round(s, 6)) for d, s in res]
+        res.sort(key=lambda t: (-t[1], t[0]))
+        if not res:
+            continue
+        top_doc = res[0][0]
+        for term, tf, df, idf, contrib in reader.explain(qtext, top_doc):
+            rows.append(
+                (qid, top_doc, term, tf, df, round(idf, 6), round(contrib, 6))
+            )
+    return pd.DataFrame(
+        rows,
+        columns=["query_id", "doc_id", "term", "tf", "df", "idf_r6",
+                 "contrib_r6"],
+    ).astype({"query_id": "int64", "doc_id": "int64", "tf": "int64",
+              "df": "int64", "idf_r6": "float64", "contrib_r6": "float64"})
+
+
+def _score_explain_sql() -> str:
+    values = []
+    for qid, qtext in enumerate(DOC_QUERIES):
+        for term in sorted(set(tokenize(qtext))):
+            values.append(f"({qid}, '{term}')")
+    return f"""
+WITH queries(query_id, term) AS (VALUES {", ".join(values)}),
+tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS tk
+  FROM documents
+),
+tf AS (SELECT doc_id, tk, count(*) AS tf FROM tok GROUP BY doc_id, tk),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+dfv AS (SELECT tk, count(*) AS df FROM tf GROUP BY tk),
+contrib AS (
+  SELECT q.query_id, tf.doc_id, q.term, tf.tf, dfv.df,
+         ln((s.n - dfv.df + 0.5) / (dfv.df + 0.5) + 1) AS idf,
+         ln((s.n - dfv.df + 0.5) / (dfv.df + 0.5) + 1)
+           * (tf.tf * ({K1} + 1.0)
+              / (tf.tf + {K1} * ((1.0 - {B}) + ({B} * dl.dl) / s.avgdl))) AS c
+  FROM queries q
+  JOIN tf ON tf.tk = q.term
+  JOIN dfv ON dfv.tk = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(sum(c), 6) DESC, doc_id) AS rank
+  FROM contrib GROUP BY query_id, doc_id
+)
+SELECT c.query_id, c.doc_id, c.term, CAST(c.tf AS BIGINT) AS tf,
+       CAST(c.df AS BIGINT) AS df, round(c.idf, 6) AS idf_r6,
+       round(c.c, 6) AS contrib_r6
+FROM contrib c
+JOIN ranked r ON r.query_id = c.query_id AND r.doc_id = c.doc_id
+WHERE r.rank = 1
+ORDER BY c.query_id, c.term
+"""
+
+
+SCORE_EXPLAIN_SQL = _score_explain_sql()

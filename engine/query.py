@@ -410,6 +410,40 @@ class IndexReader:
             terms = terms[keep]
         return sorted(terms.tolist())
 
+    def explain(
+        self, query_text: str, doc_id: int
+    ) -> list[tuple[str, int, int, float, float]]:
+        """Score explanation (the Lucene Explanation analog): for one
+        (query, doc) pair, the per-term breakdown [(term, tf, df, idf,
+        contribution)], terms absent from the doc omitted.  Uses the exact
+        scorer arithmetic (same dtype/op order/constants), so the
+        contributions sum to the served score bitwise; costs one raw
+        postings decode per query term (cached chunks)."""
+        k1 = float(self.stats["k1"])
+        b = float(self.stats["b"])
+        avgdl = self.avgdl
+        self._load_docmeta()
+        ids = self._docmeta[0]
+        pos = int(np.searchsorted(ids, np.uint64(doc_id)))
+        if pos >= ids.size or int(ids[pos]) != int(np.uint64(doc_id)):
+            return []
+        out = []
+        for term in sorted(set(tokenize(query_text, self.analyzer))):
+            docs, tfs, dls = self._term_postings_raw(term)
+            if docs.size == 0:
+                continue
+            # salted chunks concatenate unsorted across salts: O(df) probe
+            hit = np.nonzero(docs == pos)[0]
+            if hit.size == 0:
+                continue
+            j = int(hit[0])
+            df = int(self._df.get(term, 0))
+            idf = float(np.log((self.n_docs - df + 0.5) / (df + 0.5) + 1.0))
+            tf, dl = float(tfs[j]), float(dls[j])
+            contrib = idf * (tf * (k1 + 1.0) / (tf + k1 * ((1.0 - b) + (b * dl) / avgdl)))
+            out.append((term, int(tf), df, idf, contrib))
+        return out
+
     def regex_expand(self, pattern: str) -> list[str]:
         """Indexed terms fully matching `pattern` (Lucene RegexpQuery
         analog), capped deterministically at MAX_PREFIX_EXPANSIONS by

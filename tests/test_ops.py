@@ -163,6 +163,7 @@ SQL_CHECKED = [
     "events_ewma_daily",
     "index_df_histogram",
     "docs_regex_topk",
+    "docs_score_explain",
 ]
 
 
