@@ -26,7 +26,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """Ordered so the driver's 50-entry correctness window is ENTIRELY
-    SQL-hash-gated: 137 operators carry an oracle_sql() twin, so 87 of them
+    SQL-hash-gated: 139 operators carry an oracle_sql() twin, so 89 of them
     live in the overflow this round (docs_merged_topk is new in round 5
     and takes the window slot of events_keyset_page8, driver-green
     r02-r04).  Round 5 rotates the round-4
@@ -311,6 +311,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_regex_topk": docsearch.bm25_docs_regex,
         # score EXPLAIN: per-term breakdown of each query's top-1 doc
         "docs_score_explain": docsearch.docs_score_explain,
+        # funnel latency: first-view -> first-purchase lag quantiles
+        "events_conversion_lag": relational.events_conversion_lag,
+        # churn screen: users inactive for the trailing 14 days
+        "events_churned_users": relational.events_churned_users,
         # ---- rows-only / sketch entries (no SQL oracle by nature) ----
         "events_value_quantiles_sketch": relational.events_value_quantiles_sketch,
         # DDSketch-style log-histogram quantiles (provable relative error)
@@ -516,4 +520,6 @@ def oracle_sql() -> dict[str, str]:
         "index_df_histogram": docsearch.INDEX_DF_HISTOGRAM_SQL,
         "docs_regex_topk": docsearch.REGEX_DOCS_SQL,
         "docs_score_explain": docsearch.SCORE_EXPLAIN_SQL,
+        "events_conversion_lag": relational.EVENTS_CONVERSION_LAG_SQL,
+        "events_churned_users": relational.EVENTS_CHURNED_SQL,
     }

@@ -5254,3 +5254,187 @@ SELECT a.event_type, a.dday, a.n,
 FROM idx a JOIN idx b ON b.event_type = a.event_type AND b.i <= a.i
 GROUP BY 1, 2, 3
 """
+
+
+# ---------------------------------------------------------------------------
+# Conversion lag — per acquisition cohort, the latency distribution from a
+# user's first 'view' to their first subsequent 'purchase' (the funnel's
+# "how long" companion to events_funnel's "how many").
+
+
+def events_conversion_lag(sf_dir: str):
+    """(cohort_day, n_converted, median_lag_s_r6, p90_lag_s_r6): users
+    grouped by their first-view day; lag = first purchase AFTER the first
+    view, in seconds.  Scale shape: ONE user-hash shuffle; the per-user
+    first-view/first-purchase pair resolves vectorized inside the user's
+    partition and emits ONE (cohort_day, lag) row per converted user;
+    the quantile kernel then groups those result-grain rows by cohort day
+    (a cohort's converted users per day, bounded by signup volume — the
+    events_value_quantiles precedent; the DDSketch twin is the
+    bounded-memory path).  Lags are integer microseconds -> the /1e6 and
+    the quantile interpolation are identical doubles in both engines."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["event_type"], value_set=pa.array(["view", "purchase"]))
+        t = t.filter(keep)
+        tt = pa.table(
+            {
+                "u": t["user_id"],
+                "e": t["event_type"],
+                "ts": t["ts"].cast(pa.int64()),
+            }
+        )
+        # per-batch min ts per (user, type): partials compose under min
+        g = tt.group_by(["u", "e"]).aggregate([("ts", "min")])
+        g = g.rename_columns(["u", "e", "ts"])
+        return g.append_column(
+            "part", pa.array(_keypart(g["u"].to_numpy(zero_copy_only=False)))
+        )
+
+    def lags_of_partition(g: pd.DataFrame) -> pd.DataFrame:
+        empty = {
+            "cohort_day": pd.Series([], dtype="object"),
+            "lag_us": pd.Series([], dtype="int64"),
+        }
+        if g.empty:
+            return pd.DataFrame(empty)
+        c = g.groupby(["u", "e"], sort=False, as_index=False).agg(ts=("ts", "min"))
+        p = c.pivot_table(index="u", columns="e", values="ts", aggfunc="min")
+        if "view" not in p.columns or "purchase" not in p.columns:
+            return pd.DataFrame(empty)
+        p = p.dropna(subset=["view", "purchase"])
+        v = p["view"].to_numpy(np.int64)
+        b = p["purchase"].to_numpy(np.int64)
+        conv = b > v  # purchase strictly after the first view
+        if not conv.any():
+            return pd.DataFrame(empty)
+        v, b = v[conv], b[conv]
+        day = pd.to_datetime(v, unit="us").strftime("%Y-%m-%d")
+        return pd.DataFrame({"cohort_day": day, "lag_us": b - v})
+
+    def quantiles_of_day(g: pd.DataFrame) -> pd.DataFrame:
+        lag_s = g["lag_us"].to_numpy(np.int64) / 1e6
+        med, p90 = np.quantile(lag_s, [0.5, 0.9], method="linear")
+        return pd.DataFrame(
+            {
+                "cohort_day": [g["cohort_day"].iloc[0]],
+                "n_converted": np.array([lag_s.size], np.int64),
+                "median_lag_s_r6": [round(float(med), 6)],
+                "p90_lag_s_r6": [round(float(p90), 6)],
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(lags_of_partition, batch_format="pandas")
+        .groupby("cohort_day")
+        .map_groups(quantiles_of_day, batch_format="pandas")
+    )
+
+
+EVENTS_CONVERSION_LAG_SQL = """
+WITH firsts AS (
+  SELECT user_id, event_type, min(CAST(ts AS TIMESTAMP)) AS ts
+  FROM events WHERE event_type IN ('view', 'purchase')
+  GROUP BY 1, 2
+),
+p AS (
+  SELECT v.user_id, v.ts AS vts, b.ts AS bts
+  FROM firsts v JOIN firsts b USING (user_id)
+  WHERE v.event_type = 'view' AND b.event_type = 'purchase' AND b.ts > v.ts
+),
+lags AS (
+  SELECT strftime(vts, '%Y-%m-%d') AS cohort_day,
+         CAST(epoch_us(bts) - epoch_us(vts) AS BIGINT) / 1000000.0 AS lag_s
+  FROM p
+)
+SELECT cohort_day, CAST(count(*) AS BIGINT) AS n_converted,
+       round(quantile_cont(lag_s, 0.5), 6) AS median_lag_s_r6,
+       round(quantile_cont(lag_s, 0.9), 6) AS p90_lag_s_r6
+FROM lags GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Churn screen — users inactive for the trailing window of the corpus (the
+# recency gate of customers_rfm applied to the event stream).
+
+_CHURN_DAYS = 1  # dense fixture: users re-appear ~hourly, so 1 day discriminates
+
+
+def events_churned_users(sf_dir: str):
+    """(user_id, last_seen, n_events): users whose LAST event is more than
+    _CHURN_DAYS days before the corpus max timestamp (1 on the dense
+    fixtures; a production crawl would use 14-30).  Scale shape: per-batch
+    (user, max ts, count) partials -> ONE coarse user-hash reduce to user
+    grain; the corpus max is a scalar second pass over the USER-GRAIN
+    dataset (never the raw scan); the churn filter streams user-grain and
+    only churned users reach the driver."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = pa.table(
+            {"u": t["user_id"], "ts": t["ts"].cast(pa.int64()),
+             "n": pa.array(np.ones(t.num_rows, np.int64))}
+        )
+        g = tt.group_by("u").aggregate([("ts", "max"), ("n", "sum")])
+        g = g.rename_columns(["u", "ts", "n"])
+        return g.append_column(
+            "part", pa.array(_keypart(g["u"].to_numpy(zero_copy_only=False)))
+        )
+
+    def reduce_partition(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("u", sort=False, as_index=False).agg(
+            last_us=("ts", "max"), n_events=("n", "sum")
+        )
+        return out
+
+    users = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(reduce_partition, batch_format="pandas")
+    ).materialize()  # user grain
+    mx = users.max("last_us")
+    if mx is None:
+        return pd.DataFrame(
+            {"user_id": pd.Series([], dtype="int64"),
+             "last_seen": pd.Series([], dtype="datetime64[us]"),
+             "n_events": pd.Series([], dtype="int64")}
+        )
+    cutoff = int(mx) - _CHURN_DAYS * US_PER_DAY
+
+    def churned(t: pa.Table) -> pa.Table:
+        keep = pc.less(t["last_us"], pa.scalar(cutoff, pa.int64()))
+        t = t.filter(keep)
+        return pa.table(
+            {
+                "user_id": t["u"],
+                "last_seen": t["last_us"].cast(pa.timestamp("us")),
+                "n_events": t["n_events"],
+            }
+        )
+
+    out = users.map_batches(
+        churned, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()  # churned users only (result scale)
+    if out.empty:
+        return pd.DataFrame(
+            {"user_id": pd.Series([], dtype="int64"),
+             "last_seen": pd.Series([], dtype="datetime64[us]"),
+             "n_events": pd.Series([], dtype="int64")}
+        )
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+EVENTS_CHURNED_SQL = f"""
+WITH u AS (
+  SELECT user_id, max(ts) AS last_seen, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT user_id, last_seen, n_events FROM u
+WHERE last_seen < (SELECT max(last_seen) FROM u) - INTERVAL {_CHURN_DAYS} DAY
+ORDER BY user_id
+"""

@@ -164,6 +164,8 @@ SQL_CHECKED = [
     "index_df_histogram",
     "docs_regex_topk",
     "docs_score_explain",
+    "events_conversion_lag",
+    "events_churned_users",
 ]
 
 
