@@ -26,7 +26,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """Ordered so the driver's 50-entry correctness window is ENTIRELY
-    SQL-hash-gated: 139 operators carry an oracle_sql() twin, so 89 of them
+    SQL-hash-gated: 141 operators carry an oracle_sql() twin, so 91 of them
     live in the overflow this round (docs_merged_topk is new in round 5
     and takes the window slot of events_keyset_page8, driver-green
     r02-r04).  Round 5 rotates the round-4
@@ -315,6 +315,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_conversion_lag": relational.events_conversion_lag,
         # churn screen: users inactive for the trailing 14 days
         "events_churned_users": relational.events_churned_users,
+        # AR-style aging report over open orders (bucketed date-diff)
+        "orders_open_aging": relational.orders_open_aging,
+        # tokenizer health: vocabulary term-length distribution
+        "docs_term_length_dist": textops.docs_term_length_dist,
         # ---- rows-only / sketch entries (no SQL oracle by nature) ----
         "events_value_quantiles_sketch": relational.events_value_quantiles_sketch,
         # DDSketch-style log-histogram quantiles (provable relative error)
@@ -522,4 +526,6 @@ def oracle_sql() -> dict[str, str]:
         "docs_score_explain": docsearch.SCORE_EXPLAIN_SQL,
         "events_conversion_lag": relational.EVENTS_CONVERSION_LAG_SQL,
         "events_churned_users": relational.EVENTS_CHURNED_SQL,
+        "orders_open_aging": relational.ORDERS_AGING_SQL,
+        "docs_term_length_dist": textops.TERM_LENGTH_DIST_SQL,
     }

@@ -5438,3 +5438,90 @@ SELECT user_id, last_seen, n_events FROM u
 WHERE last_seen < (SELECT max(last_seen) FROM u) - INTERVAL {_CHURN_DAYS} DAY
 ORDER BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Aging report — open orders bucketed by age (the AR-aging OLAP shape:
+# bucketed date-diff against a corpus-relative anchor).
+
+_AGING_BUCKETS = (30, 90, 180, 365)  # days; open-ended tail above the last
+
+
+def orders_open_aging(sf_dir: str):
+    """(age_bucket, n_orders, value_cents): OPEN ('O') orders bucketed by
+    age in days relative to the corpus max order date, with exact
+    integer-cent value.  Scale shape: status filter at the read; the
+    anchor is a scalar max over the pruned date column; per-batch
+    (bucket) partials -> a <=5-row reduce.  Day arithmetic is integer, so
+    bucket membership is deterministic."""
+    ds = _read(
+        sf_dir, "orders",
+        columns=["o_orderdate", "o_totalprice"],
+        filter=(pc.field("o_orderstatus") == pc.scalar("O")),
+    )
+    anchor = ds.max("o_orderdate")
+    if anchor is None:
+        return pd.DataFrame(
+            {"age_bucket": pd.Series([], dtype="object"),
+             "n_orders": pd.Series([], dtype="int64"),
+             "value_cents": pd.Series([], dtype="int64")}
+        )
+    anchor_us = int(pd.Timestamp(anchor).value // 1000)
+    edges = list(_AGING_BUCKETS)
+    labels = (
+        [f"0-{edges[0]}"]
+        + [f"{a + 1}-{b}" for a, b in zip(edges[:-1], edges[1:])]
+        + [f"{edges[-1] + 1}+"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        age_days = (anchor_us - ts) // US_PER_DAY
+        idx = np.searchsorted(np.asarray(edges, np.int64), age_days, side="left")
+        cents = pc.cast(
+            pc.round(pc.multiply(t["o_totalprice"], pa.scalar(100.0))), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        tt = pa.table(
+            {
+                "b": pa.array(idx, pa.int64()),
+                "n_orders": pa.array(np.ones(idx.size, np.int64)),
+                "value_cents": pa.array(cents, pa.int64()),
+            }
+        )
+        g = tt.group_by("b").aggregate([("n_orders", "sum"), ("value_cents", "sum")])
+        return g.rename_columns(["b", "n_orders", "value_cents"])
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("b")
+        .aggregate(Sum("n_orders", alias_name="n_orders"),
+                   Sum("value_cents", alias_name="value_cents"))
+        .to_pandas()  # <=5 buckets
+    )
+    out["age_bucket"] = [labels[int(i)] for i in out["b"]]
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["value_cents"] = out["value_cents"].astype("int64")
+    return (
+        out.sort_values("b").reset_index(drop=True)
+        [["age_bucket", "n_orders", "value_cents"]]
+    )
+
+
+ORDERS_AGING_SQL = """
+WITH o AS (
+  SELECT o_orderdate,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         date_diff('day', o_orderdate,
+                   (SELECT max(o_orderdate) FROM orders
+                    WHERE o_orderstatus = 'O')) AS age
+  FROM orders WHERE o_orderstatus = 'O'
+)
+SELECT CASE WHEN age <= 30 THEN '0-30'
+            WHEN age <= 90 THEN '31-90'
+            WHEN age <= 180 THEN '91-180'
+            WHEN age <= 365 THEN '181-365'
+            ELSE '366+' END AS age_bucket,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS value_cents
+FROM o GROUP BY 1 ORDER BY min(age)
+"""

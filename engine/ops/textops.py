@@ -2605,3 +2605,73 @@ def docs_compression_ratio(sf_dir: str, level: int = 6):
     return _read_docs(sf_dir, columns=["doc_id", "text"]).map_batches(
         fn, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer health — term-length distribution of the vocabulary (catches
+# analyzer regressions: a glued-token bug shows up as a long-length tail,
+# an over-aggressive splitter as a pile of 1-char terms).
+
+
+def docs_term_length_dist(sf_dir: str):
+    """(term_len, n_terms, occurrences): per character length, the number
+    of distinct vocabulary terms and their total corpus occurrences.
+    Scale shape: the hapax plan — map-side (term, tf) partials, ONE
+    coarse term-hash shuffle so each term counts distinct-once in its
+    partition, then a length-grain (<= max term length) reduce."""
+
+    def partials(t: pa.Table) -> pa.Table:
+        _, terms, tfs, _ = tokenize_counts_arrow(t["text"])
+        tt = pa.table({"term": terms, "tf": pa.array(tfs.astype(np.int64))})
+        g = tt.group_by("term").aggregate([("tf", "sum")])
+        return pa.table(
+            {
+                "term": g["term"],
+                "tf_part": g["tf_sum"],
+                "part": _term_parts(g["term"]),
+            }
+        )
+
+    def lengths_of_partition(g: pd.DataFrame) -> pd.DataFrame:
+        empty = {
+            "term_len": pd.Series([], dtype="int64"),
+            "n_terms": pd.Series([], dtype="int64"),
+            "occurrences": pd.Series([], dtype="int64"),
+        }
+        if g.empty:
+            return pd.DataFrame(empty)
+        agg = g.groupby("term", sort=False, as_index=False).agg(
+            tf=("tf_part", "sum")
+        )
+        ln = agg["term"].str.len().to_numpy(np.int64)
+        out = pd.DataFrame({"term_len": ln, "tf": agg["tf"].to_numpy(np.int64)})
+        out = out.groupby("term_len", as_index=False).agg(
+            n_terms=("tf", "size"), occurrences=("tf", "sum")
+        )
+        return out.astype({"n_terms": "int64", "occurrences": "int64"})
+
+    from ray.data.aggregate import Sum
+
+    return (
+        _read_docs(sf_dir)
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(lengths_of_partition, batch_format="pandas")
+        .groupby("term_len")
+        .aggregate(Sum("n_terms", alias_name="n_terms"),
+                   Sum("occurrences", alias_name="occurrences"))
+    )
+
+
+TERM_LENGTH_DIST_SQL = """
+WITH tok AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS tk
+  FROM documents
+),
+tf AS (SELECT tk, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY tk)
+SELECT CAST(length(tk) AS BIGINT) AS term_len,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(tf) AS BIGINT) AS occurrences
+FROM tf GROUP BY 1 ORDER BY 1
+"""

@@ -166,6 +166,8 @@ SQL_CHECKED = [
     "docs_score_explain",
     "events_conversion_lag",
     "events_churned_users",
+    "orders_open_aging",
+    "docs_term_length_dist",
 ]
 
 
