@@ -407,7 +407,19 @@ def ngram_jaccard_prefix(
     ).materialize()
 
     pruned = docs
-    if 2 * cands.count() <= pushdown_budget_ids:
+    n_cands = cands.count()
+    if n_cands == 0:
+        # prefix filtering is complete: zero candidates proves zero pairs
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        )
+    if 2 * n_cands <= pushdown_budget_ids:
         cand_ids = sorted(
             {int(x) for x in cands.unique("a")} | {int(x) for x in cands.unique("b")}
         )

@@ -1557,3 +1557,130 @@ def test_compression_ratio_matches_stdlib_and_separates_tails():
     junk = "".join(chr(33 + int(x)) for x in rng.integers(0, 90, 2000))
     high = len(zlib.compress(junk.encode(), 6)) / 2000
     assert rep < 0.05 < 0.5 < high
+
+
+def test_final_wave_ops_empty_and_tiny_inputs(tmp_path):
+    """The final-session operators must survive 0-row and near-degenerate
+    inputs: events ops on an empty table and a 4-row single-user table,
+    docs ops on the shared empty/tiny corpora, orders aging on a table
+    with no open orders."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.ops import dedup, relational, textops
+
+    # ---- events fixtures ------------------------------------------------
+    eev = pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            "ts": pa.array([], pa.timestamp("us")),
+            "user_id": pa.array([], pa.int64()),
+            "event_type": pa.array([], pa.string()),
+            "value": pa.array([], pa.float64()),
+            "props": pa.array([], pa.string()),
+        }
+    )
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    hour = np.timedelta64(3600, "s")
+    tev = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "ts": pa.array([t0, t0 + hour, t0 + 2 * hour, t0 + 3 * hour]),
+            "user_id": pa.array([7, 7, 7, 7], pa.int64()),
+            "event_type": pa.array(
+                ["view", "click", "purchase", "view"], pa.string()
+            ),
+            "value": pa.array([1.0, 2.0, 3.0, 4.0], pa.float64()),
+            "props": pa.array(["{}"] * 4, pa.string()),
+        }
+    )
+    dirs = {}
+    for name, t in (("eempty", eev), ("etiny", tev)):
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(t, str(d / "events.parquet"))
+        dirs[name] = str(d)
+
+    event_ops = [
+        relational.events_dau_mau,
+        relational.events_top_paths,
+        relational.events_mad_outliers,
+        relational.events_burst_days,
+        relational.events_ewma_daily,
+        relational.events_conversion_lag,
+        relational.events_churned_users,
+    ]
+    for fn in event_ops:
+        out = _to_pandas(fn(dirs["eempty"]))
+        assert len(out) == 0, fn.__name__
+        out = _to_pandas(fn(dirs["etiny"]))
+        assert len(out) >= 0, fn.__name__  # no crash
+    # single-user 4-event stream: exactly two 3-step paths, one converter
+    paths = _to_pandas(relational.events_top_paths(dirs["etiny"]))
+    assert len(paths) == 2 and set(paths["n"]) == {1}
+    lag = _to_pandas(relational.events_conversion_lag(dirs["etiny"]))
+    assert len(lag) == 1 and int(lag["n_converted"].iloc[0]) == 1
+    assert float(lag["median_lag_s_r6"].iloc[0]) == 7200.0
+    # every event within 1 day of max -> nobody churned
+    churn = _to_pandas(relational.events_churned_users(dirs["etiny"]))
+    assert len(churn) == 0
+
+    # ---- documents fixtures --------------------------------------------
+    dempty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "text": pa.array([], pa.string()),
+            "lang": pa.array([], pa.string()),
+            "source": pa.array([], pa.string()),
+            "n_chars": pa.array([], pa.int64()),
+        }
+    )
+    dtiny = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                ["alpha beta gamma delta", "alpha beta gamma delta", ""],
+                pa.string(),
+            ),
+            "lang": pa.array(["en", "en", "en"], pa.string()),
+            "source": pa.array(["src2", "src0", "src1"], pa.string()),
+            "n_chars": pa.array([22, 22, 0], pa.int64()),
+        }
+    )
+    for name, t in (("dempty", dempty), ("dtiny", dtiny)):
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(t, str(d / "documents.parquet"))
+        dirs[name] = str(d)
+
+    for fn in (dedup.ngram_jaccard_prefix, dedup.dedup_by_source_priority,
+               textops.docs_term_length_dist):
+        out = _to_pandas(fn(dirs["dempty"]))
+        assert len(out) == 0, fn.__name__
+    # identical texts: the prefix join must find the pair, and the
+    # source-priority rule must keep the src0 copy (doc 2), not min doc_id
+    pairs = _to_pandas(dedup.ngram_jaccard_prefix(dirs["dtiny"]))
+    assert len(pairs) == 1 and float(pairs["jaccard"].iloc[0]) == 1.0
+    keep = _to_pandas(dedup.dedup_by_source_priority(dirs["dtiny"]))
+    dup_row = keep[keep["n_dups"] == 2]
+    assert len(dup_row) == 1 and int(dup_row["keep_id"].iloc[0]) == 2
+    assert dup_row["keep_source"].iloc[0] == "src0"
+
+    # ---- orders with no open rows --------------------------------------
+    o = pa.table(
+        {
+            "o_orderkey": pa.array([1], pa.int64()),
+            "o_custkey": pa.array([1], pa.int64()),
+            "o_orderstatus": pa.array(["F"], pa.string()),
+            "o_totalprice": pa.array([10.0], pa.float64()),
+            "o_orderdate": pa.array([t0]),
+            "o_orderpriority": pa.array(["5-LOW"], pa.string()),
+        }
+    )
+    d = tmp_path / "oclosed"
+    d.mkdir()
+    pq.write_table(o, str(d / "orders.parquet"))
+    aging = _to_pandas(relational.orders_open_aging(str(d)))
+    assert len(aging) == 0 and list(aging.columns) == [
+        "age_bucket", "n_orders", "value_cents",
+    ]
